@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify
+output parquet against DuckDB oracle SQL (canonicalize: sort by all
+columns NULLs first, round doubles to 1e-6, hash)."""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == np.float64 or df[c].dtype == np.float32:
+            df[c] = df[c].astype(np.float64).round(6)
+    df = df.sort_values(by=list(df.columns), na_position="first")
+    return df.reset_index(drop=True)
+
+n_pass = n_fail = 0
+for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(qdir.rstrip("/"))
+    got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{qdir}/*.parquet")])
+    if name not in oracle:
+        status = f"rows-only ({len(got)} rows)"
+        ok = len(got) > 0
+    else:
+        want = con.execute(oracle[name]).df()
+        g, w = canon(got), canon(want)
+        g.columns = [c.lower() for c in g.columns]
+        w.columns = [c.lower() for c in w.columns]
+        ok = True
+        if list(g.columns) != list(w.columns):
+            ok, status = False, f"SCHEMA got={list(g.columns)} want={list(w.columns)}"
+        elif len(g) != len(w):
+            ok, status = False, f"ROWS got={len(g)} want={len(w)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, atol=2e-6, rtol=0)
+                status = f"match ({len(g)} rows)"
+            except AssertionError as e:
+                ok, status = False, "VALUES " + str(e).split("\n")[0]
+    n_pass += ok; n_fail += (not ok)
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: {status}")
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
