@@ -16,8 +16,10 @@ object SparkEntry {
     graft.queries.Relational.q12Join(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.Extended.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
+    graft.queries.Relational.oracleSql ++
+      graft.queries.Extended.oracleSql
 }

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+
+/** Engine-extension surface (SURVEY §2.4 closing note): join variants,
+  * window functions, grouping sets, set ops, JSON access, scalar
+  * subqueries. The reference never needed these (single wide table),
+  * but a user switching to this engine gets them from stock Spark —
+  * each exposed and oracle-checked here.
+  *
+  * Scale notes inline: joins keyed on the shuffle key, small sides
+  * broadcast, windows partitioned by a high-cardinality key (never a
+  * global unpartitioned window over raw rows).
+  */
+object Extended {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q16 — left-semi join (EXISTS): customers that have orders. */
+  def q16SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+
+  /** q17 — left-anti join (NOT EXISTS): customers with no orders. */
+  def q17AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+
+  /** q18 — partitioned window: per-user event sequence number and
+    * running value sum. Partition key user_id keeps window state
+    * bounded per task at any scale; ties broken by event_id so the
+    * frame order is deterministic.
+    */
+  def q18WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      row_number().over(w).cast(LongType).as("rn"),
+      round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .as("running_value"))
+  }
+
+  /** q19 — lag/lead: per-user inter-event gap in seconds and value delta. */
+  def q19LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .as("gap_s"),
+      round(col("value") - lag(col("value"), 1).over(w), 4).as("value_delta"))
+  }
+
+  /** q20 — sessionization: a >30 min gap starts a new session; session
+    * id = running count of gap-starts. The canonical streaming-state
+    * pattern expressed as two stacked windows (both partitioned by
+    * user_id — shuffle once, reused by both windows).
+    */
+  def q20Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapS = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+    t(s, dir, "events")
+      .withColumn("is_new", when(gapS.isNull || gapS > 1800, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("event_id", "user_id", "session_id")
+  }
+
+  /** q21 — rollup: order counts/sums at (status, priority), (status),
+    * and grand-total grouping levels.
+    */
+  def q21Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** q22 — cube over lineitem flags. */
+  def q22Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+
+  /** q23 — JSON field access on the events props column. */
+  def q23Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+
+  /** q24 — INTERSECT (set semantics). */
+  def q24Intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+
+  /** q25 — EXCEPT (set semantics). */
+  def q25Except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+
+  /** q26 — top-k per group via ranked window (top-3 orders by price
+    * per status, deterministic tie-break on key).
+    */
+  def q26TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
+  /** q27 — scalar subquery: orders above the global mean price.
+    * Expressed through the SQL front-end (temp views) to exercise it;
+    * Catalyst plans the subquery as a broadcast scalar.
+    */
+  def q27ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderkey FROM orders
+             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""")
+  }
+
+  /** q28 — 5-way star join (TPC-H Q5 shape): revenue per region.
+    * region/nation/customer are broadcast dims; the orders⋈lineitem
+    * fact-fact join shuffles on orderkey once.
+    */
+  def q28StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** q29 — hourly event-type matrix: date_trunc + two-key aggregate,
+    * emitted as epoch seconds to keep timestamp precision out of the
+    * comparison.
+    */
+  def q29TimeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_semi_join"      -> q16SemiJoin _,
+    "q17_anti_join"      -> q17AntiJoin _,
+    "q18_window_running" -> q18WindowRunning _,
+    "q19_lag_lead"       -> q19LagLead _,
+    "q20_sessionize"     -> q20Sessionize _,
+    "q21_rollup"         -> q21Rollup _,
+    "q22_cube"           -> q22Cube _,
+    "q23_json"           -> q23Json _,
+    "q24_intersect"      -> q24Intersect _,
+    "q25_except"         -> q25Except _,
+    "q26_topk_per_group" -> q26TopKPerGroup _,
+    "q27_scalar_subq"    -> q27ScalarSubquery _,
+    "q28_star_join"      -> q28StarJoin _,
+    "q29_time_agg"       -> q29TimeAgg _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q17_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q18_window_running" ->
+      """SELECT event_id, user_id,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+        |FROM events""".stripMargin,
+    "q19_lag_lead" ->
+      """SELECT event_id, user_id,
+        |CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |  - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS gap_s,
+        |round(value - lag(value, 1) OVER w, 4) AS value_delta
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q20_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS gap_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id
+        |FROM g""".stripMargin,
+    "q21_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |round(SUM(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q22_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |round(SUM(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q23_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q24_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+    "q25_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+    "q26_topk_per_group" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q27_scalar_subq" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q28_star_join" ->
+      """SELECT r_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q29_time_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |event_type, COUNT(*) AS n, round(SUM(value), 4) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}
