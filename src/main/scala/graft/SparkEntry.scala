@@ -17,9 +17,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Extended.queries
+      graft.queries.Extended.queries ++
+      graft.llm.TextAnalysis.queries ++
+      graft.llm.Dedup.queries ++
+      graft.llm.Similarity.queries ++
+      graft.llm.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
-      graft.queries.Extended.oracleSql
+      graft.queries.Extended.oracleSql ++
+      graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Dedup.oracleSql ++
+      graft.llm.Similarity.oracleSql ++
+      graft.llm.Multimodal.oracleSql
 }

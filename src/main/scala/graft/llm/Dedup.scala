@@ -1,0 +1,213 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+import TextAnalysis.hash60
+
+/** Deduplication operators (SURVEY §4.3 north-star) over `documents`:
+  * exact (hash group-by), MinHash+LSH candidate generation, exact
+  * n-gram-Jaccard verification of candidates, and SimHash signatures.
+  *
+  * 100 TB design notes:
+  *  - Exact dedup groups on a 128-bit content hash, never on the full
+  *    text — the shuffle carries 32 bytes + doc_id per row instead of
+  *    the document body.
+  *  - MinHash/LSH is the scale path for near-dedup: signatures are
+  *    computed scan-side (one pass, array lambdas inside codegen'd
+  *    projections), then docs shuffle ONCE keyed by (band, band
+  *    signature); candidate pairs form only inside equal-signature
+  *    buckets — never an O(n²) cross join. Skewed buckets (boilerplate
+  *    docs) are the known hazard; cap or salt oversized buckets before
+  *    the pair join in production.
+  *  - Jaccard verification joins shingle sets only for LSH candidates,
+  *    so its cost is O(candidates), not O(n²).
+  *
+  * Cross-engine determinism: pure 64-bit integer arithmetic seeded by
+  * the md5-derived [[TextAnalysis.hash60]]; products stay < 2^60 so
+  * Spark and DuckDB (which errors on BIGINT overflow) compute the same
+  * values.
+  */
+object Dedup {
+
+  /** Modulus for the minhash permutation family: 2^31 - 1 (prime). */
+  val M: Long = 2147483647L
+  val NumHashes = 32
+  val BandSize  = 4
+  val NumBands: Int = NumHashes / BandSize
+
+  private def hashA(k: Int): Long = 12582917L * k + 7L
+  private def hashB(k: Int): Long = 15485863L * k + 11L
+
+  // -- d1: exact dedup -----------------------------------------------------
+  /** Groups of byte-identical texts: content hash, representative
+    * (min doc_id), and multiplicity.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  // -- shared shingle machinery -------------------------------------------
+  /** Distinct word-3-gram shingles per doc; docs under 3 tokens use the
+    * whole trimmed text as their single shingle.
+    */
+  def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+      .select(col("doc_id"), col("txt"), split(col("txt"), "\\s+").as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+          array_distinct(transform(sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" ",
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2),
+              element_at(col("t"), i + 3)))))
+          .otherwise(array(col("txt"))).as("shingles"))
+  }
+
+  /** MinHash signature: sig[k] = min over shingles of
+    * (hashA(k) * (h60(shingle) mod M) + hashB(k)) mod M, k < 32.
+    * One scan-side projection; md5 is evaluated once per shingle.
+    */
+  def signatures(s: SparkSession, dir: String): DataFrame = {
+    val ks = sequence(lit(0), lit(NumHashes - 1))
+    shingleSets(s, dir)
+      .select(col("doc_id"),
+        transform(col("shingles"), sh => hash60(sh) % M).as("hv"))
+      .select(col("doc_id"),
+        transform(ks, k =>
+          array_min(transform(col("hv"), v =>
+            (v * (lit(12582917L) * k + 7L) + (lit(15485863L) * k + 11L)) % M)))
+          .as("sig"))
+  }
+
+  /** LSH bands: (doc_id, band_idx, band_key) with band_key the
+    * comma-joined 4-slice of the signature.
+    */
+  def bands(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          array_join(transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            v => v.cast("string")), ","))))
+      .toDF("doc_id", "band_idx", "band_key")
+
+  // -- d2: MinHash LSH candidates -----------------------------------------
+  /** Candidate near-dup pairs: docs sharing any (band, signature)
+    * bucket. The self-join is an equi-join on the bucket key — shuffle
+    * once, pair only within buckets.
+    */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val b = bands(s, dir)
+    b.as("x").join(b.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // -- d3: exact Jaccard verification of LSH candidates -------------------
+  /** LSH candidates filtered by true shingle-set Jaccard >= 0.8 —
+    * the verify stage of the standard near-dedup pipeline.
+    */
+  def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+    minhashCandidates(s, dir)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          / size(array_union(col("sa.shingles"), col("sb.shingles"))).cast("double"),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  // -- d4: SimHash ---------------------------------------------------------
+  /** 32-bit SimHash over term-frequency-weighted token hashes:
+    * bit j is set iff sum over tokens of ±1 (sign of hash bit j) is
+    * positive. Single scan + one groupBy(doc_id) with 32 conditional
+    * sums — partial aggregation makes the shuffle O(docs), and the
+    * whole map side stays in codegen.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), hash60(col("tok")).as("hv"))
+    val sums = (0 until 32).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    toks.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup"  -> exactDedup _,
+    "d2_minhash_lsh"  -> minhashCandidates _,
+    "d3_jaccard_verify" -> jaccardVerify _,
+    "d4_simhash"      -> simhash _)
+
+  /** Shared oracle CTEs (DuckDB lists are 1-based; generate_series is
+    * inclusive — shingle i spans t[i..i+2] for i in 1..len-2, matching
+    * the 0-based Spark sequence).
+    */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, trim(text) AS txt,
+      |  string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
+
+  private val sigCte =
+    s"""$shingleCte,
+       |hs AS (SELECT doc_id, list_transform(shingles,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS hv
+       |  FROM sh),
+       |sig AS (SELECT doc_id, k,
+       |  list_min(list_transform(hv,
+       |    v -> (v * (12582917 * k + 7) + (15485863 * k + 11)) % 2147483647)) AS mh
+       |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)),
+       |band AS (SELECT doc_id, k // 4 AS band_idx,
+       |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_key
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM band x JOIN band y ON x.band_idx = y.band_idx
+       |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_lsh" -> s"WITH $sigCte SELECT doc_a, doc_b FROM cand",
+    "d3_jaccard_verify" ->
+      s"""WITH $sigCte
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+         |    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+         |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+         |            JOIN sh sb ON doc_b = sb.doc_id)
+         |WHERE jaccard >= 0.8""".stripMargin,
+    "d4_simhash" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM tk),
+        |b AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        |FROM b GROUP BY doc_id""".stripMargin)
+}

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+
+/** Multimodal-column plumbing (SURVEY §4.3 north-star): media payloads
+  * as opaque `binary` columns with typed metadata, plus the
+  * decode/feature-extract pipeline shape a 100 TB media corpus needs.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB ([[stubDecode]]); everything
+  * around it — the schema, the typed Dataset, per-partition batched
+  * processing, and the metadata projection — is real and tested.
+  *
+  * Scale notes: media rows are large and skewed; the processing path
+  * uses `mapPartitions` so a real decoder amortizes model/codec init
+  * once per partition (the JVM analogue of batched `mapInPandas`), and
+  * metadata-only queries never deserialize payload bytes thanks to
+  * parquet column pruning — [[binaryMeta]]'s scan reads only the bytes
+  * it projects.
+  */
+object Multimodal {
+
+  /** A media payload with typed metadata. At scale this is the parquet
+    * row layout: small typed columns + one big binary column.
+    */
+  case class MediaRow(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      payload: Array[Byte],
+      n_bytes: Long)
+
+  /** Extracted features for one media row (decoder output schema). */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: String)
+
+  /** Builds a media table from `documents` by treating the UTF-8 text
+    * bytes as an opaque payload — the plumbing fixture standing in for
+    * real image/audio blobs.
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode kernel — deterministic fake standing in for the real
+    * codec call (??? in production without a codec). Derives plausible
+    * dimensions from payload length so downstream plumbing is
+    * exercised with stable values.
+    */
+  def stubDecode(row: MediaRow): MediaFeatures = {
+    val n = row.n_bytes
+    MediaFeatures(
+      media_id = row.media_id,
+      kind = row.kind,
+      width = (16 + n % 64).toInt,
+      height = (16 + (n / 64) % 64).toInt,
+      n_frames = if (row.kind == "video") (1 + n % 30).toInt else 1,
+      checksum = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.payload).map("%02x".format(_)).mkString)
+  }
+
+  /** Batched per-partition decode: codec init happens once per
+    * partition, rows stream through — the real-decoder shape.
+    */
+  def decodeFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions { rows =>
+      // real pipeline: open codec / load model here, once per partition
+      rows.map(stubDecode)
+    }
+  }
+
+  /** m1 — metadata + stub features as a relational query (oracle-
+    * checkable: byte length, md5 checksum, and the stub geometry are
+    * all deterministic arithmetic over the payload).
+    */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, dir)
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        col("width").cast(LongType), col("height").cast(LongType),
+        col("n_frames").cast(LongType), col("checksum"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_binary_meta" -> binaryMeta _)
+
+  val oracleSql: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT doc_id AS media_id,
+        |['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |16 + strlen(text) % 64 AS width,
+        |16 + (strlen(text) // 64) % 64 AS height,
+        |CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 30 ELSE 1 END AS n_frames,
+        |md5(text) AS checksum
+        |FROM documents""".stripMargin)
+}

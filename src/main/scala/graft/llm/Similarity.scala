@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+
+/** Embedding similarity search (SURVEY §4.3 north-star) over the
+  * `embeddings` table (64-dim float vectors, integer cluster label).
+  *
+  * Scale design:
+  *  - [[knnBrute]] is the exactness baseline: the (small) query set is
+  *    broadcast, so the plan is a BroadcastNestedLoopJoin streamed over
+  *    the corpus — one scan, no shuffle of the big side; top-k via a
+  *    window partitioned by query id (bounded state per query).
+  *  - [[knnIvf]] is the scale path: an IVF-style search that probes
+  *    only the query's coarse cell (here the pre-assigned `label`
+  *    column standing in for a KMeans-assigned centroid id at 100 TB;
+  *    see [[kmeansCells]]). Probing cells turns the cross join into an
+  *    equi-join on the cell id — shuffle keyed by cell, cost
+  *    O(n / #cells) per query.
+  *  - Distance math uses built-in higher-order functions (`zip_with` +
+  *    `aggregate`) over arrays cast to double — sequential fold, so
+  *    DuckDB's list_dot_product (same left-to-right order) reproduces
+  *    it exactly; compared values rounded to 6 dp.
+  *
+  * Embeddings are float32 on disk; all arithmetic is double.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity = dot / (||a|| * ||b||), each norm its own fold. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  // -- s1: brute-force top-k ----------------------------------------------
+  /** Exact cosine top-5 over the whole corpus for queries vec_id < 20.
+    * Ties broken by neighbor id so ranks are deterministic.
+    */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
+  // -- s2: IVF-style cell-probed top-k ------------------------------------
+  /** ANN search probing only the query's coarse cell: top-3 neighbors
+    * sharing the query's `label`. Equi-join on the cell id — the form
+    * that survives 100 TB (each probe touches one cell's partitions).
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    e.join(broadcast(q), col("label") === col("q_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
+  // -- s3: embedding near-dup pairs ---------------------------------------
+  /** Near-duplicate vector pairs: cosine >= 0.35 within a cell
+    * (threshold tuned to the synthetic corpus, whose max cross-pair
+    * cosine is ~0.51). Cell blocking keeps the pair join O(cell²), the
+    * standard embedding-dedup shape.
+    */
+  def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .filter(col("sim") >= 0.35)
+  }
+
+  // -- KMeans-based IVF (API surface; validated by ScalaTest, not the
+  //    SQL oracle — KMeans cell assignment isn't SQL-reproducible) ---------
+  /** Assigns every vector to a KMeans cell — the real coarse quantizer
+    * an IVF index would use at scale. Deterministic via fixed seed.
+    */
+  def kmeansCells(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import org.apache.spark.ml.feature.{VectorAssembler => _}
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.clustering.KMeans
+    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
+    val df = emb(s, dir).withColumn("features", toVec(col("v")))
+    val model = new KMeans().setK(k).setSeed(777L).setFeaturesCol("features")
+      .fit(df)
+    model.transform(df).select(col("vec_id"), col("prediction").as("cell"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> knnBrute _,
+    "s2_knn_ivf"   -> knnIvf _,
+    "s3_embed_dup" -> embedDupPairs _)
+
+  private val cosSql =
+    "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+         |        e.vec_id) AS rk
+         |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |WHERE rk <= 5""".stripMargin,
+    "s2_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+         |        e.vec_id) AS rk
+         |  FROM e q JOIN e ON e.label = q.label
+         |    AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |WHERE rk <= 3""".stripMargin,
+    "s3_embed_dup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6) AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE sim >= 0.35""".stripMargin)
+}

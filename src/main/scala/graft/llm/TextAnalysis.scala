@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY §4.3 north-star): token stats, quality scoring, language ID,
+  * document fingerprinting — all over the `documents` table.
+  *
+  * Everything here is a narrow projection over a single scan: no
+  * shuffle, no UDF (built-in `functions._` + higher-order array
+  * lambdas only, so the whole stage stays inside Catalyst/codegen and
+  * scales linearly with input splits at 100 TB).
+  *
+  * Cross-engine determinism: every hash is derived from `md5()` hex
+  * output (identical in Spark and DuckDB); every double is produced by
+  * the same left-to-right arithmetic then rounded, so the DuckDB
+  * oracle matches bit-for-bit at the compared precision.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (no empties: text is trimmed first). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Portable 60-bit hash: first 15 hex digits of md5 as a BIGINT.
+    * Same value in DuckDB via `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  // -- t1: token statistics ------------------------------------------------
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tk.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
+        round(
+          aggregate(transform(col("t"), t => length(t).cast("double")),
+            lit(0.0), (acc, v) => acc + v) / size(col("t")), 4)
+          .as("avg_token_len"))
+  }
+
+  // -- t2: quality scoring -------------------------------------------------
+  /** Heuristic doc-quality score in [0,1]: lexical diversity
+    * (distinct/total tokens) blended with closeness of the stopword
+    * ratio to a natural-text target of 0.4. Deterministic arithmetic
+    * only — no RNG, no model.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    val sw = array(stopwords.map(lit): _*)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tk.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        round(size(filter(col("t"), t => array_contains(sw, t)))
+          / size(col("t")).cast("double"), 4).as("stop_ratio"),
+        round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
+          .as("diversity"))
+      .withColumn("quality",
+        round(lit(0.6) * col("diversity")
+          + lit(0.4) * (lit(1.0) - abs(col("stop_ratio") - lit(0.4))), 4))
+  }
+
+  // -- t3: language ID -----------------------------------------------------
+  /** Marker-token language ID (n-gram-free heuristic): score each
+    * language by |tokens ∩ markers| and take the arg-max, ties broken
+    * by the fixed language order below. On real corpora the marker
+    * lists would be the top-k function words per language.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "ren2", "you3", "wo3"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val tk = array_distinct(tokens(col("text")))
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tk.as("t"))
+      .select(col("doc_id") +: langMarkers.map { case (l, ms) =>
+        size(array_intersect(col("t"), array(ms.map(lit): _*)))
+          .cast(LongType).as(s"s_$l")
+      }: _*)
+    val best = langMarkers.map(m => col(s"s_${m._1}")).reduce(greatest(_, _))
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight builds when-chains back-to-front; first match in
+    // langMarkers order wins, matching the oracle's CASE order.
+    scored.select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  // -- t4: fingerprint -----------------------------------------------------
+  /** Canonical-form fingerprint: lowercase, collapse runs of
+    * whitespace, md5 → 128-bit hex + 60-bit long. The long form is
+    * what a 100 TB dedup shuffle would key on (8 bytes vs 32).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      md5(norm).as("fp"),
+      hash60(norm).as("fp60"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> tokenStats _,
+    "t2_quality"     -> qualityScore _,
+    "t3_lang_id"     -> langId _,
+    "t4_fingerprint" -> fingerprint _)
+
+  private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |CAST(len(t) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |round(list_sum(list_transform(t, x -> CAST(strlen(x) AS DOUBLE))) / len(t), 4)
+        |  AS avg_token_len
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)""".stripMargin,
+    "t2_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, diversity,
+         |round(0.6 * diversity + 0.4 * (1.0 - abs(stop_ratio - 0.4)), 4) AS quality
+         |FROM (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(len(list_filter(t, x -> list_contains($swList, x))) * 1.0 / len(t), 4)
+         |    AS stop_ratio,
+         |  round(len(list_distinct(t)) * 1.0 / len(t), 4) AS diversity
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents))""".stripMargin,
+    "t3_lang_id" -> {
+      val scores = langMarkers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(t, $lst)) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val gr = "greatest(" + langMarkers.map(m => s"s_${m._1}").mkString(", ") + ")"
+      val cases = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $gr AND $gr > 0 THEN '$l'"
+      }.mkString("\n  ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $scores
+         |  FROM (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+         |        FROM documents))""".stripMargin
+    },
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(n) AS fp,
+        |CAST(('0x' || substr(md5(n), 1, 15)) AS BIGINT) AS fp60
+        |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+        |      FROM documents)""".stripMargin)
+}
