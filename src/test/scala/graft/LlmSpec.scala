@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavioral tests for the llm/ operator families on sf0.001
+  * (50 documents / 50 embeddings) — properties the DuckDB oracle
+  * can't express: candidate-set soundness, hamming behavior, stub
+  * plumbing types.
+  */
+class LlmSpec extends SparkSpec {
+
+  test("minhash LSH candidates are sound: every high-Jaccard pair is found") {
+    // ground truth: all pairs with shingle-Jaccard >= 0.9 (small data)
+    val sh = Dedup.shingleSets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val truth = for {
+      a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= 0.9
+    } yield (a, b)
+    val cands = Dedup.minhashCandidates(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.foreach(p => assert(cands.contains(p), s"missed near-dup pair $p"))
+  }
+
+  test("jaccard verify only keeps pairs above threshold") {
+    Dedup.jaccardVerify(spark, sfDir).collect()
+      .foreach(r => assert(r.getDouble(2) >= 0.8))
+  }
+
+  test("simhash of identical texts collide; hamming distance is small for near-dups") {
+    val sims = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // verified near-dups should have close simhashes (weak bound)
+    val nearDups = Dedup.jaccardVerify(spark, sfDir).collect()
+    nearDups.foreach { r =>
+      val d = java.lang.Long.bitCount(sims(r.getLong(0)) ^ sims(r.getLong(1)))
+      assert(d <= 16, s"hamming $d for jaccard ${r.getDouble(2)}")
+    }
+  }
+
+  test("knn brute: k results per query, sims sorted desc, self excluded") {
+    val rows = Similarity.knnBrute(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      assert(rs.forall(_.getLong(1) != q))
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivf probe results are a subset of the same-label corpus") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Similarity.knnIvf(spark, sfDir).collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+    }
+  }
+
+  test("kmeans IVF cells: deterministic assignment, k cells max") {
+    val cells = Similarity.kmeansCells(spark, sfDir, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.values.toSet.size <= 4)
+    val again = Similarity.kmeansCells(spark, sfDir, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == again)
+  }
+
+  test("token stats and quality are consistent") {
+    Similarity // touch
+    TextAnalysis.qualityScore(spark, sfDir).collect().foreach { r =>
+      val q = r.getDouble(4)
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) // stop_ratio
+    }
+  }
+
+  test("multimodal: typed dataset plumbing with stub decode") {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
+    assert(feats.length == nDocs)
+    feats.foreach { f =>
+      assert(Set("image", "audio", "video").contains(f.kind))
+      assert(f.width >= 16 && f.height >= 16)
+      assert(f.checksum.length == 32)
+      if (f.kind != "video") assert(f.n_frames == 1)
+    }
+  }
+}

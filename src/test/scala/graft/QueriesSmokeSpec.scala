@@ -1,0 +1,23 @@
+package graft
+
+/** t1 smoke: every SparkEntry query executes on sf0.001 and the
+  * flagship entry returns rows (the driver's smoke contract).
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every queries entry has an oracle or is a declared rows-only check") {
+    val rowsOnly = Set("q11_sample") // RNG-dependent by design
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      assert(fn(spark, sfDir).count() >= 0)
+    }
+  }
+}
