@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` installer for the engine's native
+  * functions — enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` so every
+  * session (including pure-SQL users) gets `vec_dot` without calling
+  * the programmatic registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(VectorFunctions.fnName),
+      new ExpressionInfo(classOf[VecDot].getName, VectorFunctions.fnName),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+  }
+}

