@@ -1,0 +1,34 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources (SURVEY §2.1 S1/S4).
+  *
+  * S1 parity mode reads header CSV with schema inference (two passes,
+  * like the reference); the engine default takes an explicit schema —
+  * one pass and type-stable, which is the only viable form at 100 TB
+  * (inference over a PB-scale directory is a full extra scan).
+  */
+object Sources {
+
+  /** S1 — reference-parity CSV read (header + inferSchema). */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).option("inferSchema", true).csv(path)
+
+  /** S1 engine default — declared-schema CSV read (single pass). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+
+  /** Engine-default columnar source. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S4 — tiny driver-side list read (the reference's pandas
+    * `read_csv(...).iloc[:,0].tolist()` feeding feature lists between
+    * jobs): first column of a small CSV as driver values.
+    */
+  def columnList(spark: SparkSession, path: String): Seq[String] =
+    spark.read.option("header", true).csv(path)
+      .collect().map(_.getString(0)).toSeq
+}
