@@ -30,15 +30,23 @@ object TextAnalysis {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, and single
+    * non-space symbols — the shape a byte-pair encoder's pre-split
+    * produces. Same regex runs in DuckDB's regexp_extract_all.
+    */
+  val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   // -- t1: token statistics ------------------------------------------------
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     val tk = tokens(col("text"))
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), tk.as("t"))
+      .select(col("doc_id"), tk.as("t"), trim(col("text")).as("txt"))
       .select(
         col("doc_id"),
         size(col("t")).cast(LongType).as("n_tokens"),
         size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
+        size(regexp_extract_all(col("txt"), lit(bpeish), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"),
         round(
           aggregate(transform(col("t"), t => length(t).cast("double")),
             lit(0.0), (acc, v) => acc + v) / size(col("t")), 4)
@@ -108,10 +116,17 @@ object TextAnalysis {
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    // Karp-Rabin rolling hash folded over per-token hashes
+    // (base 31 mod 2^31-1) — the incremental form a streaming
+    // fingerprinter maintains; here the whole-document value.
+    val roll = aggregate(
+      transform(tokens(col("text")), t => hash60(t)),
+      lit(0L), (acc, h) => (acc * 31L + h) % 2147483647L)
     Tables.load(s, dir, "documents").select(
       col("doc_id"),
       md5(norm).as("fp"),
-      hash60(norm).as("fp60"))
+      hash60(norm).as("fp60"),
+      roll.as("fp_roll"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -127,9 +142,12 @@ object TextAnalysis {
       """SELECT doc_id,
         |CAST(len(t) AS BIGINT) AS n_tokens,
         |CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |CAST(len(regexp_extract_all(txt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |  AS n_bpe_tokens,
         |round(list_sum(list_transform(t, x -> CAST(strlen(x) AS DOUBLE))) / len(t), 4)
         |  AS avg_token_len
-        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+        |      trim(text) AS txt FROM documents)""".stripMargin,
     "t2_quality" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, diversity,
          |round(0.6 * diversity + 0.4 * (1.0 - abs(stop_ratio - 0.4)), 4) AS quality
@@ -156,7 +174,13 @@ object TextAnalysis {
     },
     "t4_fingerprint" ->
       """SELECT doc_id, md5(n) AS fp,
-        |CAST(('0x' || substr(md5(n), 1, 15)) AS BIGINT) AS fp60
-        |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+        |CAST(('0x' || substr(md5(n), 1, 15)) AS BIGINT) AS fp60,
+        |list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 2147483647) AS fp_roll
+        |FROM (SELECT doc_id, text,
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
         |      FROM documents)""".stripMargin)
 }

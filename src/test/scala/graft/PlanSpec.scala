@@ -1,0 +1,73 @@
+package graft
+
+import graft.queries.{Extended, Relational}
+import graft.llm.{Dedup, Similarity}
+
+/** Physical-plan assertions — the 100 TB posture checks (SURVEY §4.2):
+  * filters and projections must reach the parquet scan, small join
+  * sides must broadcast, aggregates must partial-aggregate, and
+  * nothing may plan a cartesian product.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q1: predicate pushdown and column pruning reach the scan") {
+    val f = formatted(Relational.q1FilterProject(spark, sfDir))
+    assert(f.contains("PushedFilters"), f)
+    assert(f.contains("l_returnflag"), "filter not pushed")
+    // pruned read schema: only the 5 referenced columns, not all 11
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_suppkey"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q12: dimension side broadcasts; no cartesian product") {
+    val p = plan(Relational.q12Join(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q28: star join broadcasts all three dims") {
+    val p = plan(Extended.q28StarJoin(spark, sfDir))
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      "expected >=3 broadcast joins in the star shape")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q6: aggregate is partial (map-side combine before shuffle)") {
+    val p = plan(Relational.q6GroupCount(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(p.split("HashAggregate").length >= 3, "no two-phase aggregate")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // codegen'd operators carry the "*(stageId)" marker in simpleString
+    val p = plan(Relational.q4CastRange(spark, sfDir))
+    assert(p.contains("*(1) Filter") && p.contains("*(1) Project"), p)
+  }
+
+  test("LSH candidates: equi-join/bucket shuffle only, no cartesian") {
+    val p = plan(Dedup.minhashCandidates(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("embed dup pairs: hash join on the cell key, no cartesian") {
+    val p = plan(Similarity.embedDupPairs(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("knn brute: query side is the broadcast side") {
+    val p = plan(Similarity.knnBrute(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected broadcast nested loop with tiny broadcast query set: " + p)
+  }
+}
