@@ -157,7 +157,57 @@ object Extended {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
 
+  /** q30 — as-of join (operator Spark lacks natively; SURVEY §2.4
+    * extension note): for each event, the latest order (by order date)
+    * of the same key. Implemented the scale-safe way: tag and UNION
+    * both inputs, one window pass carries the last-seen order value
+    * forward — ONE shuffle on the key, no join explosion, no per-row
+    * range probe. (A join+filter+rank form would shuffle |events|×
+    * |orders per key| rows.) Ties on (key, date) are pre-collapsed to
+    * max(o_orderkey) so the match is unique and engine-independent.
+    */
+  def q30AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("ok"))
+      .select(col("o_custkey").as("k"),
+        unix_timestamp(col("o_orderdate")).as("tt"),
+        lit(0).as("side"), col("ok"), lit(null).cast(LongType).as("event_id"))
+    val e = t(s, dir, "events")
+      .select(col("user_id").as("k"), unix_timestamp(col("ts")).as("tt"),
+        lit(1).as("side"), lit(null).cast(LongType).as("ok"), col("event_id"))
+    val w = Window.partitionBy("k").orderBy(col("tt"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    o.union(e)
+      .withColumn("last_order", last(col("ok"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("last_order"))
+  }
+
+  /** q31 — interpolated percentiles per group (median, p90). */
+  def q31Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+
+  /** q32 — multi-distinct aggregate (Expand-based plan): distinct
+    * customers and distinct ship-modes... here distinct parts and
+    * suppliers per return flag.
+    */
+  def q32MultiDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_asof_join"      -> q30AsofJoin _,
+    "q31_percentiles"    -> q31Percentiles _,
+    "q32_multi_distinct" -> q32MultiDistinct _,
     "q16_semi_join"      -> q16SemiJoin _,
     "q17_anti_join"      -> q17AntiJoin _,
     "q18_window_running" -> q18WindowRunning _,
@@ -174,6 +224,21 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "q30_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.ok AS last_order
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q31_percentiles" ->
+      """SELECT o_orderstatus,
+        |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q32_multi_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q16_semi_join" ->
       """SELECT c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
