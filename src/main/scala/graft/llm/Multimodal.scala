@@ -85,6 +85,35 @@ object Multimodal {
     }
   }
 
+  /** STUB resize kernel: clamps decoded geometry to a bounding box
+    * preserving aspect ratio (the arithmetic is real; the pixel
+    * resample would live in the codec call).
+    */
+  def stubResize(f: MediaFeatures, maxSide: Int): MediaFeatures = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+    f.copy(width = math.max(1, (f.width * scale).toInt),
+      height = math.max(1, (f.height * scale).toInt))
+  }
+
+  /** STUB frame sampler: deterministic every-k-th frame selection for
+    * video rows (images/audio pass through with their single frame).
+    */
+  def stubSampleFrames(f: MediaFeatures, everyK: Int): Seq[Int] =
+    if (f.kind == "video") (0 until f.n_frames by math.max(1, everyK)).toSeq
+    else Seq(0)
+
+  /** Resize + frame-sample over the decoded features, per-partition
+    * batched like [[decodeFeatures]].
+    */
+  def processedFeatures(s: SparkSession, dir: String, maxSide: Int = 32,
+      everyK: Int = 5): Dataset[(MediaFeatures, Seq[Int])] = {
+    import s.implicits._
+    decodeFeatures(s, dir).mapPartitions(_.map { f =>
+      val r = stubResize(f, maxSide)
+      (r, stubSampleFrames(r, everyK))
+    })
+  }
+
   /** m1 — metadata + stub features as a relational query (oracle-
     * checkable: byte length, md5 checksum, and the stub geometry are
     * all deterministic arithmetic over the payload).
