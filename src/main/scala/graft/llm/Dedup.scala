@@ -172,11 +172,39 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  // -- d5: SimHash near-dup pairs ------------------------------------------
+  /** Near-dup pairs by SimHash hamming distance <= 3, found without an
+    * O(n²) compare: the 32-bit signature splits into 4 8-bit bands; by
+    * pigeonhole any pair within hamming 3 shares at least one exact
+    * band, so candidates come from equal-(band, byte) buckets — one
+    * shuffle keyed by the band byte — then the exact hamming filter
+    * (bit_count of xor) keeps true matches.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(s, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_byte")
+    banded
+      .groupBy("band_idx", "band_byte")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col.doc_id").as("doc_a"), col("col.simhash").as("sig_a"),
+        explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("o"))
+      .select(col("doc_a"), col("o.doc_id").as("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("o.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"  -> exactDedup _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d3_jaccard_verify" -> jaccardVerify _,
-    "d4_simhash"      -> simhash _)
+    "d4_simhash"      -> simhash _,
+    "d5_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)))
 
   /** Shared oracle CTEs (DuckDB lists are 1-based; generate_series is
     * inclusive — shingle i spans t[i..i+2] for i in 1..len-2, matching
@@ -221,6 +249,27 @@ object Dedup {
          |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
          |            JOIN sh sb ON doc_b = sb.doc_id)
          |WHERE jaccard >= 0.8""".stripMargin,
+    "d5_simhash_pairs" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM tk),
+        |bsum AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+        |  GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        |  FROM bsum GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, b AS band_idx,
+        |  (simhash >> (b * 8)) & 255 AS band_byte
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+        |FROM banded x JOIN banded y
+        |  ON x.band_idx = y.band_idx AND x.band_byte = y.band_byte
+        |  AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
     "d4_simhash" ->
       """WITH tk AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),

@@ -109,6 +109,38 @@ object TextAnalysis {
     scored.select(col("doc_id"), pred.as("pred_lang"))
   }
 
+  // -- t5: char-n-gram language ID ----------------------------------------
+  /** Character-bigram language ID: score each language by how many of
+    * its profile bigrams appear among the document's distinct char
+    * bigrams; arg-max with the same fixed-order tie-break as [[langId]].
+    * (On real corpora the profiles are the top-k bigrams per language
+    * from a labeled sample.)
+    */
+  val ngramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "de", "en", "ie", "er"),
+    "en" -> Seq("th", "he", "in", "er", "an", "re"),
+    "es" -> Seq("de", "la", "os", "en", "ar", "el"),
+    "fr" -> Seq("le", "es", "de", "on", "ou", "nt"),
+    "zh" -> Seq("zh", "sh", "ng", "xi", "qi", "ao"))
+
+  def langIdNgram(s: SparkSession, dir: String): DataFrame = {
+    // dynamic-position substring is only reachable via the SQL lambda
+    val grams = expr(
+      "array_distinct(transform(sequence(1, char_length(txt) - 1), i -> substring(txt, i, 2)))")
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("txt"))
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id") +: ngramProfiles.map { case (l, ps) =>
+        size(array_intersect(col("g"), array(ps.map(lit): _*)))
+          .cast(LongType).as(s"s_$l")
+      }: _*)
+    val best = ngramProfiles.map(p => col(s"s_${p._1}")).reduce(greatest(_, _))
+    val pred = ngramProfiles.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("pred_lang"))
+  }
+
   // -- t4: fingerprint -----------------------------------------------------
   /** Canonical-form fingerprint: lowercase, collapse runs of
     * whitespace, md5 → 128-bit hex + 60-bit long. The long form is
@@ -133,7 +165,8 @@ object TextAnalysis {
     "t1_token_stats" -> tokenStats _,
     "t2_quality"     -> qualityScore _,
     "t3_lang_id"     -> langId _,
-    "t4_fingerprint" -> fingerprint _)
+    "t4_fingerprint" -> fingerprint _,
+    "t5_lang_ngram"  -> langIdNgram _)
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -171,6 +204,23 @@ object TextAnalysis {
          |  $scores
          |  FROM (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
          |        FROM documents))""".stripMargin
+    },
+    "t5_lang_ngram" -> {
+      val scores = ngramProfiles.map { case (l, ps) =>
+        val lst = ps.map(p => s"'$p'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(g, $lst)) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val gr = "greatest(" + ngramProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+      val cases = ngramProfiles.map { case (l, _) =>
+        s"WHEN s_$l = $gr AND $gr > 0 THEN '$l'"
+      }.mkString("\n  ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $scores
+         |  FROM (SELECT doc_id, list_distinct(list_transform(
+         |          generate_series(1, strlen(txt) - 1),
+         |          i -> substr(txt, CAST(i AS INTEGER), 2))) AS g
+         |        FROM (SELECT doc_id, lower(trim(text)) AS txt FROM documents)))""".stripMargin
     },
     "t4_fingerprint" ->
       """SELECT doc_id, md5(n) AS fp,
