@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB posture: bucketing for
+  * shuffle-free co-located joins, and salting for skewed keys.
+  */
+object Partitioning {
+
+  /** Writes a table bucketed (and sorted) by the join key. Two tables
+    * bucketed the same way join with ZERO exchange — the join becomes
+    * a per-bucket sort-merge, the layout every repeatedly-joined
+    * 100 TB fact table should have.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a stale location without catalog metadata (e.g. from a previous
+    // JVM) blocks managed-table creation — clear it
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** True iff the physical plan of `df` contains no SHUFFLE exchange —
+    * the assertion that a bucketed join is actually co-located.
+    * (BroadcastExchange is not a shuffle and doesn't count.)
+    */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange")
+
+  /** Salted join for skewed keys: the skewed (large) side gets a
+    * deterministic salt in [0, salts) derived from a high-cardinality
+    * disambiguator column; the small side is exploded ×salts so every
+    * (key, salt) bucket still matches. Turns one hot key's single
+    * reducer into `salts` reducers at the cost of replicating the
+    * small side. (AQE's skew-join split handles moderate skew
+    * automatically; salting is the explicit form for extreme keys.)
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      disambiguator: String, salts: Int): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(col(disambiguator)), lit(salts)).cast("int"))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+}
