@@ -204,7 +204,33 @@ object Extended {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n"))
 
+  /** q33 — GROUPING SETS with grouping() markers (only reachable via
+    * the SQL front-end; rollup/cube are q21/q22). One Expand + one
+    * aggregate — same scale shape as rollup.
+    */
+  def q33GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+             grouping(o_orderstatus) AS g_status,
+             grouping(o_orderpriority) AS g_prio,
+             COUNT(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+
+  /** q34 — ordered string aggregation: deterministic comma-joined
+    * distinct sets per group (collect_set is unordered; array_sort
+    * fixes the output before joining, matching string_agg ORDER BY).
+    */
+  def q34StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+        .as("prios"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_grouping_sets"  -> q33GroupingSets _,
+    "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
     "q31_percentiles"    -> q31Percentiles _,
     "q32_multi_distinct" -> q32MultiDistinct _,
@@ -224,6 +250,16 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "q33_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |COUNT(*) AS n FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q34_string_agg" ->
+      """SELECT o_orderstatus,
+        |string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+        |FROM orders GROUP BY 1""".stripMargin,
     "q30_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
         |  FROM orders GROUP BY 1, 2)
