@@ -228,7 +228,31 @@ object Extended {
       .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
         .as("prios"))
 
+  /** q35 — sketch aggregates, the 100 TB forms of q32/q31: HLL++
+    * approximate distinct (fixed memory per group vs an exact
+    * distinct's shuffle of every key) and approximate percentiles
+    * (GK-sketch). Sketch internals are engine-specific → rows-only
+    * driver check, exactness is bounded by rsd/accuracy params.
+    */
+  def q35ApproxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("nd_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"))
+
+  /** q36 — stratified sample (`sampleBy`): per-stratum Bernoulli
+    * fractions, the skew-aware form of P12's uniform sample.
+    * RNG is partitioning-dependent → rows-only check.
+    */
+  def q36StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").stat.sampleBy("o_orderstatus",
+      Map("O" -> 0.1, "F" -> 0.05, "P" -> 0.5), 777L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_approx_stats"   -> q35ApproxStats _,
+    "q36_stratified"     -> q36StratifiedSample _,
     "q33_grouping_sets"  -> q33GroupingSets _,
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,

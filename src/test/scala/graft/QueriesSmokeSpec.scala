@@ -10,7 +10,8 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every queries entry has an oracle or is a declared rows-only check") {
-    val rowsOnly = Set("q11_sample") // RNG-dependent by design
+    // RNG-dependent / sketch-internal by design
+    val rowsOnly = Set("q11_sample", "q35_approx_stats", "q36_stratified")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
