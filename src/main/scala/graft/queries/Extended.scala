@@ -168,15 +168,20 @@ object Extended {
     */
   def q30AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max("o_orderkey").as("ok"))
       .select(col("o_custkey").as("k"),
         unix_timestamp(col("o_orderdate")).as("tt"),
-        lit(0).as("side"), col("ok"), lit(null).cast(LongType).as("event_id"))
+        lit(0).as("side"), col("o_orderkey").as("ok"),
+        lit(null).cast(LongType).as("event_id"))
     val e = t(s, dir, "events")
       .select(col("user_id").as("k"), unix_timestamp(col("ts")).as("tt"),
         lit(1).as("side"), lit(null).cast(LongType).as("ok"), col("event_id"))
-    val w = Window.partitionBy("k").orderBy(col("tt"), col("side"), col("event_id"))
+    // The ordering does the (key, date) tie-collapse: among orders with
+    // equal tt the largest o_orderkey sorts last, so the running
+    // last(ok) IS max(ok) of the latest date — no pre-aggregate, and
+    // the whole as-of is exactly ONE shuffle (the window partitioning;
+    // PlanSpec asserts this).
+    val w = Window.partitionBy("k")
+      .orderBy(col("tt"), col("side"), col("ok"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     o.union(e)
       .withColumn("last_order", last(col("ok"), ignoreNulls = true).over(w))

@@ -65,6 +65,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q30 as-of join is a single shuffle (union + one window)") {
+    val p = plan(Extended.q30AsofJoin(spark, sfDir))
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1, s"expected exactly 1 shuffle, plan:\n$p")
+    assert(!p.contains("Join"), "as-of must not plan a join")
+  }
+
   test("knn brute: query side is the broadcast side") {
     val p = plan(Similarity.knnBrute(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"),
