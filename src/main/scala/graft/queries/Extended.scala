@@ -255,7 +255,29 @@ object Extended {
     t(s, dir, "orders").stat.sampleBy("o_orderstatus",
       Map("O" -> 0.1, "F" -> 0.05, "P" -> 0.5), 777L)
 
+  /** q37 — range (interval) join: orders priced into tier bands
+    * derived from the region table. The band side is tiny → broadcast
+    * nested-loop with the range predicate, which is the right plan for
+    * a small interval table; when bands are arithmetic (as here) the
+    * 100 TB form is a width_bucket-style O(1) compute per row, and for
+    * large interval tables the standard trick is bucketizing intervals
+    * to turn the range predicate into an equi-join prefilter.
+    */
+  def q37RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val tiers = t(s, dir, "region").select(
+      col("r_regionkey").as("tier"),
+      (col("r_regionkey") * 100000.0).as("lo"),
+      ((col("r_regionkey") + 1) * 100000.0).as("hi"))
+    t(s, dir, "orders")
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_range_join"     -> q37RangeJoin _,
     "q35_approx_stats"   -> q35ApproxStats _,
     "q36_stratified"     -> q36StratifiedSample _,
     "q33_grouping_sets"  -> q33GroupingSets _,
@@ -279,6 +301,14 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "q37_range_join" ->
+      """WITH tiers AS (SELECT r_regionkey AS tier,
+        |  r_regionkey * 100000.0 AS lo, (r_regionkey + 1) * 100000.0 AS hi
+        |  FROM region)
+        |SELECT tier, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+        |FROM orders JOIN tiers
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1""".stripMargin,
     "q33_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
