@@ -40,6 +40,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("simhash band blocking is sound: every pair within hamming 3 is found") {
+    val sims = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val truth = for {
+      (a, sa) <- sims.toSeq; (b, sb) <- sims.toSeq if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)
+    val found = Dedup.simhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.foreach(p => assert(found.contains(p), s"missed simhash pair $p"))
+    assert(found.size == truth.size)
+  }
+
   test("knn brute: k results per query, sims sorted desc, self excluded") {
     val rows = Similarity.knnBrute(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))
