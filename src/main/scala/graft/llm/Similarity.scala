@@ -127,11 +127,10 @@ object Similarity {
     * an IVF index would use at scale. Deterministic via fixed seed.
     */
   def kmeansCells(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    import org.apache.spark.ml.feature.{VectorAssembler => _}
-    import org.apache.spark.ml.linalg.Vectors
     import org.apache.spark.ml.clustering.KMeans
-    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
-    val df = emb(s, dir).withColumn("features", toVec(col("v")))
+    // built-in array→vector conversion (codegen-adjacent, no Scala UDF)
+    val df = emb(s, dir).withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("v")))
     val model = new KMeans().setK(k).setSeed(777L).setFeaturesCol("features")
       .fit(df)
     model.transform(df).select(col("vec_id"), col("prediction").as("cell"))
