@@ -19,10 +19,17 @@ object Bench {
     graft.core.Tables.all.foreach(t =>
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
+    // median of 3 runs per query: a single load spike on the box can't
+    // distort the round-over-round comparison
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        spark.catalog.clearCache() // queries that persist subtrees stay cold
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

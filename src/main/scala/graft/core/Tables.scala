@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 /** Parquet star-schema table access (FIXTURES.md §A).
@@ -27,11 +27,19 @@ object Tables {
     // factory here). Convert to a proper microsecond timestamp so
     // downstream ops see TimestampType; oracle queries derive only
     // second-or-coarser values from it, so ns-vs-µs precision never
-    // reaches a compared result.
+    // reaches a compared result. Integer `div` keeps the truncation
+    // exact for any ns value (double division rounds ulp-close cases).
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", nsToMicros(F.col("ts")))
     else df
   }
+
+  /** Long nanoseconds → microsecond timestamp via integer `div`
+    * (IntegralDivide): exact for every representable ns value, where
+    * double division loses ulps past 2^53 (≈ epoch + 104 days in ns).
+    */
+  def nsToMicros(c: Column): Column =
+    F.timestamp_micros(F.call_function("div", c, F.lit(1000L)))
 
   /** Register every table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

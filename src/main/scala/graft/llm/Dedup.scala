@@ -37,6 +37,17 @@ object Dedup {
   val BandSize  = 4
   val NumBands: Int = NumHashes / BandSize
 
+  /** Skew guard for the pair enumerators: buckets larger than this
+    * (boilerplate/templated text) are star-linked — every member pairs
+    * with the bucket's min doc_id only — instead of all-pairs
+    * enumerated. Per-bucket work drops from O(B²) to O(B) while the
+    * duplicate cluster stays connected (union-find over star edges
+    * reaches every member), which is what dedup consumes the pairs
+    * for. Buckets at or under the cap still enumerate exact pairs for
+    * Jaccard verification.
+    */
+  val MaxBucket = 1000
+
   private def hashA(k: Int): Long = 12582917L * k + 7L
   private def hashB(k: Int): Long = 15485863L * k + 11L
 
@@ -90,8 +101,8 @@ object Dedup {
     * higher-order `transform`/`array_min` form evaluates a boxed
     * lambda per shingle per hash — 32× slower at sf0.1.)
     */
-  def signatures(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingleSets(s, dir)
+  def signaturesFrom(shingles: DataFrame): DataFrame = {
+    val hashed = shingles
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), (hash60(col("sh")) % M).as("hv"))
     val mins = (0 until NumHashes).map(k =>
@@ -99,46 +110,75 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesFrom(shingleSets(s, dir))
+
   /** LSH bands: (doc_id, band_idx, band_key) with band_key the
     * comma-joined 4-slice of the signature.
     */
-  def bands(s: SparkSession, dir: String): DataFrame = {
+  def bandsFrom(sigs: DataFrame): DataFrame = {
     val keys = (0 until NumBands).map { b =>
       struct(lit(b).as("band_idx"),
         concat_ws(",", (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*)
           .as("band_key"))
     }
-    signatures(s, dir)
+    sigs
       .select(col("doc_id"), explode(array(keys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
   }
 
-  // -- d2: MinHash LSH candidates -----------------------------------------
-  /** Candidate near-dup pairs: docs sharing any (band, signature)
-    * bucket. One shuffle keyed by the bucket; pairs enumerated from
-    * each bucket's sorted doc list (a self-join would re-execute the
-    * whole signature pipeline for both sides). Bucket sizes are
-    * near-dup cluster sizes — bounded; production adds a bucket-size
-    * cap before pairing to disarm boilerplate-text skew.
+  def bands(s: SparkSession, dir: String): DataFrame =
+    bandsFrom(signaturesFrom(shingleSets(s, dir)))
+
+  /** Enumerates within-bucket pairs from bucketed sorted doc lists,
+    * with the [[MaxBucket]] skew guard: buckets over the cap keep only
+    * the `pos == 0` anchor row, i.e. star edges (min doc_id, other) —
+    * O(B) output per oversized bucket instead of O(B²).
     */
-  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
-    bands(s, dir)
-      .groupBy("band_idx", "band_key")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+  private def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets
       .filter(size(col("ds")) > 1)
       .select(col("ds"), posexplode(col("ds")))
+      .filter(size(col("ds")) <= maxBucket || col("pos") === 0)
       .select(col("pos"), col("col").as("doc_a"),
         explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
+  // -- d2: MinHash LSH candidates -----------------------------------------
+  /** Candidate near-dup pairs: docs sharing any (band, signature)
+    * bucket. One shuffle keyed by the bucket; pairs enumerated from
+    * each bucket's sorted doc list (a self-join would re-execute the
+    * whole signature pipeline for both sides). Buckets over
+    * `maxBucket` (boilerplate skew) are star-linked to their min
+    * doc_id instead of all-pairs enumerated — see [[MaxBucket]].
+    */
+  def minhashCandidatesFrom(shingles: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame =
+    bucketPairs(
+      bandsFrom(signaturesFrom(shingles))
+        .groupBy("band_idx", "band_key")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds")),
+      maxBucket)
+
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatesFrom(shingleSets(s, dir))
+
   // -- d3: exact Jaccard verification of LSH candidates -------------------
   /** LSH candidates filtered by true shingle-set Jaccard >= 0.8 —
     * the verify stage of the standard near-dedup pipeline.
+    *
+    * The shingle subtree feeds the plan three times (signature
+    * pipeline + both sides of the verify join), so it is persisted:
+    * documents are scanned and shingled once, not three times —
+    * at corpus scale that's the difference between one pass over the
+    * text and three. (Spark's CacheManager dedupes by canonicalized
+    * plan, so repeated calls share one cache entry.)
     */
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(s, dir)
-    minhashCandidates(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashCandidatesFrom(sh)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -180,7 +220,8 @@ object Dedup {
     * shuffle keyed by the band byte — then the exact hamming filter
     * (bit_count of xor) keeps true matches.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val sh = simhash(s, dir)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
@@ -191,6 +232,9 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("ds"), posexplode(col("ds")))
+      // same star-link skew guard as minhash: oversized (255 band
+      // bytes are few) buckets keep only the min-doc anchor row
+      .filter(size(col("ds")) <= maxBucket || col("pos") === 0)
       .select(col("col.doc_id").as("doc_a"), col("col.simhash").as("sig_a"),
         explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("o"))
       .select(col("doc_a"), col("o.doc_id").as("doc_b"),
@@ -231,9 +275,13 @@ object Dedup {
        |band AS (SELECT doc_id, k // 4 AS band_idx,
        |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_key
        |  FROM sig GROUP BY doc_id, k // 4),
+       |bsz AS (SELECT band_idx, band_key, COUNT(*) AS n, MIN(doc_id) AS rep
+       |  FROM band GROUP BY band_idx, band_key),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM band x JOIN band y ON x.band_idx = y.band_idx
-       |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
+       |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |  JOIN bsz ON bsz.band_idx = x.band_idx AND bsz.band_key = x.band_key
+       |  WHERE bsz.n <= $MaxBucket OR x.doc_id = bsz.rep)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -263,13 +311,17 @@ object Dedup {
         |  FROM bsum GROUP BY doc_id),
         |banded AS (SELECT doc_id, simhash, b AS band_idx,
         |  (simhash >> (b * 8)) & 255 AS band_byte
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+        |bsz AS (SELECT band_idx, band_byte, COUNT(*) AS n, MIN(doc_id) AS rep
+        |  FROM banded GROUP BY band_idx, band_byte)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  bit_count(xor(x.simhash, y.simhash)) AS hamming
         |FROM banded x JOIN banded y
         |  ON x.band_idx = y.band_idx AND x.band_byte = y.band_byte
         |  AND x.doc_id < y.doc_id
-        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+        |JOIN bsz ON bsz.band_idx = x.band_idx AND bsz.band_byte = x.band_byte
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |  AND (bsz.n <= 1000 OR x.doc_id = bsz.rep)""".stripMargin,
     "d4_simhash" ->
       """WITH tk AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
@@ -280,6 +332,6 @@ object Dedup {
         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
         |  GROUP BY doc_id, j)
         |SELECT doc_id,
-        |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM b GROUP BY doc_id""".stripMargin)
 }

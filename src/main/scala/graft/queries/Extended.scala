@@ -359,9 +359,9 @@ object Extended {
         |    - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS gap_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT event_id, user_id,
-        |SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS UNBOUNDED PRECEDING) AS session_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
     "q21_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

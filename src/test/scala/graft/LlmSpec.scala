@@ -24,6 +24,25 @@ class LlmSpec extends SparkSpec {
     truth.foreach(p => assert(cands.contains(p), s"missed near-dup pair $p"))
   }
 
+  test("skew guard: oversized boilerplate bucket is star-linked, real pairs survive") {
+    import spark.implicits._
+    // 200 byte-identical boilerplate docs (one LSH bucket per band) plus
+    // one genuine near-dup pair with its own distinct shingle set
+    val boiler = (1L to 200L).map(i => (i, Seq("a b c", "b c d", "c d e")))
+    val real   = Seq((1001L, Seq("x y z", "y z w", "z w v")),
+                     (1002L, Seq("x y z", "y z w", "z w v")))
+    val shingles = (boiler ++ real).toDF("doc_id", "shingles")
+    val pairs = Dedup.minhashCandidatesFrom(shingles, maxBucket = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped bucket → star edges from the min doc only: O(B) not O(B²)
+    val starEdges = (2L to 200L).map(i => (1L, i)).toSet
+    assert(pairs.contains((1001L, 1002L)), "non-degenerate pair lost by the guard")
+    assert((pairs - ((1001L, 1002L))) == starEdges,
+      s"expected ${starEdges.size} star edges, got ${pairs.size - 1} other pairs")
+    // the duplicate cluster stays connected: every boiler doc reachable from 1
+    assert(starEdges.map(_._2).toSet == (2L to 200L).toSet)
+  }
+
   test("jaccard verify only keeps pairs above threshold") {
     Dedup.jaccardVerify(spark, sfDir).collect()
       .foreach(r => assert(r.getDouble(2) >= 0.8))
