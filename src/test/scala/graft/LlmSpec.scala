@@ -92,6 +92,50 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("kmeans IVF at default (k=16, nprobe=8): recall >= 0.9 vs brute top-5") {
+    // sf0.01 (500 vectors) so cells are populated enough to be meaningful.
+    // The synthetic embeddings are near-random in cosine (no recoverable
+    // cluster structure — see Similarity.knnIvfKmeans scaladoc), so the
+    // honest operating point for 0.9 recall is nprobe/k = 0.5; the
+    // clustered-corpus test below exercises the sub-linear regime.
+    val dir = "/root/testdata/sf0.01"
+    val truth = Similarity.knnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvfKmeans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(ivf).size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVF default recall $recall vs brute top-5")
+  }
+
+  test("kmeans IVF on a clustered corpus: recall >= 0.9 probing 4 of 16 cells") {
+    // 16 tight clusters in 64-dim — the structure a real embedding corpus
+    // has and the quantizer exists to exploit. Probing 4/16 cells (25% of
+    // the corpus) must still recover >= 0.9 of the brute top-5.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0L until 480L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(_ + 0.15 * rnd.nextGaussian()))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) { d += a(j)*b(j); na += a(j)*a(j); nb += b(j)*b(j) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      (qi, qv) <- vecs.filter(_._1 < 20)
+      (ni, _) <- vecs.filter(p => p._1 != qi)
+        .sortBy(p => (-cos(qv, p._2), p._1)).take(5)
+    } yield (qi, ni)).toSet
+    val df = vecs.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val ivf = Similarity.knnIvfOn(df, k = 16, nprobe = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(ivf).size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVF@nprobe=4/k=16 clustered recall $recall")
+  }
+
   test("kmeans IVF cells: deterministic assignment, k cells max") {
     val cells = Similarity.kmeansCells(spark, sfDir, k = 4).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
