@@ -107,13 +107,14 @@ object Similarity {
     * standard embedding-dedup shape.
     */
   def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
-    // Broadcast the build side: the label-keyed self-join then streams
-    // the probe side without shuffling the (wide) vector arrays. At
-    // 100 TB the build side is the per-cell centroid shard, still
-    // broadcastable; full-corpus × full-corpus would instead bucket
-    // both sides by cell id.
+    // No broadcast hint: a forced full-corpus broadcast is a scale
+    // killer at 100 TB. Left unhinted, AQE picks broadcast while the
+    // table is small and falls back to a cell-keyed sort-merge join
+    // once it isn't — both sides shuffle ONCE on the cell id and each
+    // cell's pairs are enumerated locally (standard embedding-dedup
+    // blocking; never all-pairs).
     val e = emb(s, dir)
-    e.as("a").join(broadcast(e.as("b")),
+    e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(pairCos(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")), 6)

@@ -10,8 +10,9 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every queries entry has an oracle or is a declared rows-only check") {
-    // RNG-dependent / sketch-internal by design
-    val rowsOnly = Set("q11_sample", "q35_approx_stats", "q36_stratified")
+    // RNG-dependent / sketch-internal / KMeans-dependent by design
+    val rowsOnly = Set("q11_sample", "q35_approx_stats", "q36_stratified",
+      "s4_knn_ivf_kmeans")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
