@@ -1,10 +1,11 @@
 package graft.cli
 
+import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.sql.SparkSession
 import graft.core.Session
 import graft.etl.Cleaning
 import graft.io.{Sinks, Sources}
-import graft.ml.{Models, TrainJob}
+import graft.ml.{Evaluate, Models, TrainJob}
 import graft.stats.Statistics
 import graft.viz.VizQueries
 
@@ -18,7 +19,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main viz    <vizData>   <outDir>       // viz notebooks' inputs
   * }}}
   *
-  * `<model>` ∈ lr, dt, rf, gbt, svc, nb. Inputs are header CSV (parity
+  * `<model>` ∈ lr, dt, rf, gbt, svc, nb, mlp. Inputs are header CSV (parity
   * with the reference) or parquet (preferred; detected by extension).
   * Outputs: parity CSVs via [[Sinks]].
   */
@@ -54,6 +55,8 @@ object Main {
       Sinks.tinyCsv(Seq("features", "pValue", "degreesOfFreedom", "statistics"),
         sel.chi.map(c => Seq(c._1, c._2, c._3, c._4)),
         s"$out/chi_square_statistic.csv")
+      corrCsv(sel.corrBefore, s"$out/corr_data_before.csv")
+      corrCsv(sel.corrAfter, s"$out/corr_data_after.csv")
 
     case Seq("train", model, in, out) => train(spark, model, in, out, cv = false)
     case Seq("train", model, in, out, "cv") => train(spark, model, in, out, cv = true)
@@ -66,33 +69,97 @@ object Main {
         s"$out/Number_flights_vs_Weeks", singleFile = true)
       Sinks.csv(VizQueries.distancePerYear(viz),
         s"$out/Distance_vs_Year", singleFile = true)
+      Sinks.csv(VizQueries.flightsPerDelayGroup(viz),
+        s"$out/Number_flights_vs_DelayGroup", singleFile = true)
+      Sinks.csv(VizQueries.airlineDelayGroupCount(viz),
+        s"$out/Airline_DelayGroup_Count", singleFile = true)
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: clean|stats|train|viz ... (see scaladoc)")
   }
 
+  /** Reference output directory per model (`Scripts/3-10_...py` final
+    * `to_csv` blocks).
+    */
+  private val modelDirs = Map(
+    "lr" -> "Logistic_Regression", "dt" -> "Decision_Tree",
+    "rf" -> "Random_Forest", "gbt" -> "Gradient_Boosted_Trees",
+    "svc" -> "Linear_SVC", "nb" -> "Naive_Bayes",
+    "mlp" -> "Multi_Layer_Perceptron")
+
+  /** The gbt file name drops the plural "s" while its directory keeps
+    * it — reference quirk (`Scripts/6_...py:117-119`), preserved.
+    */
+  private def fileBase(model: String): String =
+    if (model == "gbt") "Gradient_Boosted_Tree" else modelDirs(model)
+
+  private def metricRows(best: Seq[(String, Any)], m: Evaluate.Metrics)
+      : Seq[Seq[Any]] =
+    best.map { case (k, v) => Seq[Any](k, v) } ++ Seq(
+      Seq("area_ROC", m.areaRoc), Seq("accuracy", m.accuracy),
+      Seq("tpr", m.tpr), Seq("fpr", m.fpr),
+      Seq("precision", m.precision), Seq("f1_score", m.f1))
+
+  private def bestRows(best: Option[ParamMap]): Seq[(String, Any)] =
+    best.toSeq.flatMap(_.toSeq.sortBy(_.param.name)
+      .map(pp => pp.param.name -> pp.value))
+
+  /** N×N correlation matrix as the reference's pandas dump — numbered
+    * header `0..n-1`, no index column (`pd.DataFrame(r2).to_csv(
+    * index=False)`, `Scripts/2_...py:63,87`).
+    */
+  private def corrCsv(m: org.apache.spark.ml.linalg.Matrix, path: String): Unit =
+    Sinks.tinyCsv((0 until m.numCols).map(_.toString),
+      m.rowIter.toSeq.map(_.toArray.toSeq), path)
+
+  /** The reference's full per-script training surface: every model
+    * trains ×3 feature sets (full / univariate / variance —
+    * `Scripts/3_...py:85-87`) and writes one metric CSV per set.
+    * lr additionally runs the no-grid arm (`reg == 0`,
+    * `Scripts/3_...py:123-125`); mlp sweeps topologies and argmaxes
+    * ROC-AUC (`Scripts/9_...py:83-110`); `cv` switches lr's search to
+    * 10-fold CV (`Scripts/10_...py`).
+    */
   private def train(spark: SparkSession, model: String, in: String,
       out: String, cv: Boolean): Unit = {
-    val cleaned = read(spark, in)
-    val (estimator, grid) = model match {
-      case "lr"  => Models.logisticRegression()
-      case "dt"  => Models.decisionTree()
-      case "rf"  => Models.randomForest()
-      case "gbt" => Models.gbt()
-      case "svc" => Models.linearSvc()
-      case "nb"  => Models.naiveBayes()
-      case m => sys.error(s"unknown model $m (lr|dt|rf|gbt|svc|nb)")
+    val cleaned = read(spark, in).persist()
+    val sets = TrainJob.featureSets(cleaned, Statistics.analyze(cleaned))
+    val setNames = Map("full" -> "Full", "uni" -> "Uni", "var" -> "Var")
+    model match {
+      case "mlp" =>
+        sets.foreach { case (sn, cat, num) =>
+          val (layers, m) = TrainJob.runMlp(cleaned, cat, num)
+          Sinks.tinyCsv(Seq("parameter", "values"),
+            metricRows(Seq("layers" -> layers.mkString("[", ", ", "]")), m),
+            s"$out/${modelDirs("mlp")}/${fileBase("mlp")}_${setNames(sn)}_Data_Metrics.csv")
+        }
+      case _ =>
+        val (estimator, grid) = model match {
+          case "lr"  => Models.logisticRegression()
+          case "dt"  => Models.decisionTree()
+          case "rf"  => Models.randomForest()
+          case "gbt" => Models.gbt()
+          case "svc" => Models.linearSvc()
+          case "nb"  => Models.naiveBayes()
+          case m => sys.error(s"unknown model $m (lr|dt|rf|gbt|svc|nb|mlp)")
+        }
+        val dir = (if (cv) "CV_" else "") + modelDirs(model)
+        val base = (if (cv) "CV_" else "") + fileBase(model)
+        val regTag = if (model == "lr") "Regularization_" else ""
+        sets.foreach { case (sn, cat, num) =>
+          val r = TrainJob.run(cleaned, cat, num, estimator, Some(grid),
+            cvFolds = if (cv) Some(10) else None)
+          Sinks.tinyCsv(Seq("parameter", "values"),
+            metricRows(bestRows(r.best), r.metrics),
+            s"$out/$dir/${base}_$regTag${setNames(sn)}_Data_Metrics.csv")
+          if (model == "lr" && !cv) {
+            val plain = TrainJob.run(cleaned, cat, num, estimator, None)
+            Sinks.tinyCsv(Seq("parameter", "values"),
+              metricRows(Nil, plain.metrics),
+              s"$out/$dir/${base}_${setNames(sn)}_Data_Metrics.csv")
+          }
+        }
     }
-    val (cat, num) = Statistics.catNumCols(cleaned)
-    val r = TrainJob.run(cleaned, cat, num, estimator, Some(grid),
-      cvFolds = if (cv) Some(10) else None)
-    val m = r.metrics
-    Sinks.tinyCsv(Seq("parameter", "values"),
-      Seq(Seq("best_params", r.best.map(_.toString).getOrElse("")),
-        Seq("area_ROC", m.areaRoc), Seq("accuracy", m.accuracy),
-        Seq("tpr", m.tpr), Seq("fpr", m.fpr),
-        Seq("precision", m.precision), Seq("f1_score", m.f1)),
-      s"$out/${model}_metrics.csv")
   }
 }

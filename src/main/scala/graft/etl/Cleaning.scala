@@ -46,10 +46,24 @@ object Cleaning {
   def splitCancelled(df: DataFrame): (DataFrame, DataFrame) =
     (df.filter(col("Cancelled") === true), df.filter(col("Cancelled") === false))
 
-  /** Viz dataset (`:58-61`): cancelled rows ∪ null-free flown rows. */
+  /** BTS departure-delay-group derivation: 15-minute buckets of
+    * DepDelay clamped to [-2, 12]. The raw `DepartureDelayGroups`
+    * column is on the drop list, but the viz notebooks consume a
+    * `DelayGroup` column (viz1 c8, viz2 c1) — the reference produced
+    * those CSVs off-script, so the engine re-derives the standard
+    * bucketing from the retained `DepDelay`. Null delay (cancelled
+    * rows) ⇒ null group.
+    */
+  def delayGroup(depDelay: Column): Column =
+    least(greatest(floor(depDelay / 15), lit(-2)), lit(12)).cast(IntegerType)
+
+  /** Viz dataset (`:58-61`): cancelled rows ∪ null-free flown rows,
+    * plus the derived [[delayGroup]] the viz notebooks read.
+    */
   def vizDataset(df: DataFrame): DataFrame = {
     val (cancelled, flown) = splitCancelled(selectSurvivors(df))
     cancelled.union(flown.na.drop())
+      .withColumn("DelayGroup", delayGroup(col("DepDelay")))
   }
 
   /** P8 binary label (`:68`): 0 iff neither departure nor arrival was

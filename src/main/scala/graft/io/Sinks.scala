@@ -28,9 +28,17 @@ object Sinks {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
 
-  /** S3 tiny-result sink: rows already on the driver → one CSV file. */
+  /** S3 tiny-result sink: rows already on the driver → one CSV file.
+    * Fields containing separators are RFC-4180 quoted (pandas parity —
+    * e.g. the MLP `layers` list value).
+    */
   def tinyCsv(header: Seq[String], rows: Seq[Seq[Any]], path: String): Unit = {
-    val body = (header +: rows.map(_.map(String.valueOf)))
+    def cell(v: Any): String = {
+      val s = String.valueOf(v)
+      if (s.exists("\",\n\r".contains(_))) "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val body = (header.map(cell(_)) +: rows.map(_.map(cell)))
       .map(_.mkString(",")).mkString("", "\n", "\n")
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path), body)

@@ -14,8 +14,11 @@ import org.apache.spark.ml.feature.{OneHotEncoder, StandardScaler, StringIndexer
   */
 object Features {
 
-  def pipelineCreator(categoricalCols: Seq[String], numericalCols: Seq[String],
-      estimator: PipelineStage): Pipeline = {
+  /** The five feature-stage families, estimator-less (shared by
+    * [[pipelineCreator]] and [[featureSize]]).
+    */
+  def featureStages(categoricalCols: Seq[String], numericalCols: Seq[String])
+      : Seq[PipelineStage] = {
     val indexers = categoricalCols.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(c + "_string")
         .setHandleInvalid("skip"))
@@ -28,7 +31,25 @@ object Features {
     val assembleAll = new VectorAssembler()
       .setInputCols((categoricalCols.map(_ + "_encoded") :+ "vector_num_scaled").toArray)
       .setOutputCol("features")
+    indexers ++ encoders ++ Seq(assembleNum, scale, assembleAll)
+  }
+
+  def pipelineCreator(categoricalCols: Seq[String], numericalCols: Seq[String],
+      estimator: PipelineStage): Pipeline =
     new Pipeline().setStages(
-      (indexers ++ encoders ++ Seq(assembleNum, scale, assembleAll, estimator)).toArray)
+      (featureStages(categoricalCols, numericalCols) :+ estimator).toArray)
+
+  /** Assembled `features` dimensionality on `df` — the MLP input-layer
+    * size the reference hard-codes per feature set (827/438/823 at its
+    * data; `Scripts/9_...py:113-115`). One feature-stage fit + a
+    * single-row transform; OHE widths depend on observed cardinality,
+    * so this is data-dependent by design.
+    */
+  def featureSize(df: org.apache.spark.sql.DataFrame,
+      categoricalCols: Seq[String], numericalCols: Seq[String]): Int = {
+    val fitted = new Pipeline()
+      .setStages(featureStages(categoricalCols, numericalCols).toArray).fit(df)
+    fitted.transform(df).select("features").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
   }
 }

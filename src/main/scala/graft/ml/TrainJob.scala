@@ -66,4 +66,25 @@ object TrainJob {
       ("uni", sel.uniCat, sel.uniNum),
       ("var", cat, sel.varNum))
   }
+
+  /** MLP topology sweep (`Scripts/9_...py:83-110`): size the input
+    * layer from the fitted feature pipeline, fit each topology, keep
+    * the ROC-AUC argmax. No grid search — the topology IS the grid.
+    */
+  def runMlp(cleaned: DataFrame, catCols: Seq[String], numCols: Seq[String],
+      labelCol: String = "Delay_Status"): (Array[Int], Evaluate.Metrics) = {
+    val df = cleaned.withColumnRenamed(labelCol, "label")
+      .persist(StorageLevel.MEMORY_ONLY)
+    try {
+      val (train, test) = split(df)
+      val inputSize = Features.featureSize(train, catCols, numCols)
+      Models.mlpTopologies(inputSize)
+        .map { layers =>
+          val m = Features.pipelineCreator(catCols, numCols, Models.mlp(layers))
+            .fit(train)
+          (layers, Evaluate.metrics(m.transform(test)))
+        }
+        .maxBy(_._2.areaRoc)
+    } finally { df.unpersist(); () }
+  }
 }

@@ -114,6 +114,19 @@ object Statistics {
   def analyze(cleanedDf: DataFrame, label: String = "Delay_Status",
       dropCols: Seq[String] = Seq("Origin", "Dest", "Distance", "Quarter", "Diverted"))
       : Selection = {
+    // The |cat| eager StringIndexer fits plus two correlations and
+    // three selector fits each rescan the input — persist it for
+    // library callers that didn't (guarded so an already-cached
+    // caller's StorageLevel is left alone).
+    val ownPersist =
+      cleanedDf.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPersist) cleanedDf.persist()
+    try analyzeOn(cleanedDf, label, dropCols)
+    finally if (ownPersist) { cleanedDf.unpersist(); () }
+  }
+
+  private def analyzeOn(cleanedDf: DataFrame, label: String,
+      dropCols: Seq[String]): Selection = {
     val (cat0, num0) = catNumCols(cleanedDf, label)
     val indexed0 = indexCategoricals(cleanedDf, cat0)
     val corrBefore = correlationMatrix(indexed0,
@@ -129,21 +142,25 @@ object Statistics {
     val withCat = new VectorAssembler()
       .setInputCols(cat.map(_ + "_string").toArray).setOutputCol("vector_assem_cat")
       .transform(df)
+    // Three selector fits + χ² read this frame — cache it once.
     val withNum = new VectorAssembler()
       .setInputCols(num.toArray).setOutputCol("vector_assem_num")
-      .transform(withCat)
+      .transform(withCat).persist()
 
-    val chi = {
-      val r = ChiSquareTest.test(withCat, "vector_assem_cat", label).head
-      val p = r.getAs[Vector]("pValues").toArray
-      val d = r.getSeq[Int](r.fieldIndex("degreesOfFreedom"))
-      val s = r.getAs[Vector]("statistics").toArray
-      cat.indices.map(i => (cat(i), p(i), d(i), s(i)))
-    }
-    Selection(
-      uniCat = univariateSelect(withNum, cat, "vector_assem_cat", "categorical", 3, label),
-      uniNum = univariateSelect(withNum, num, "vector_assem_num", "continuous", 7, label),
-      varNum = varianceTopK(withNum, num),
-      chi = chi, corrBefore = corrBefore, corrAfter = corrAfter)
+    try {
+      val chi = {
+        // withNum carries vector_assem_cat too — run χ² on the cached frame
+        val r = ChiSquareTest.test(withNum, "vector_assem_cat", label).head
+        val p = r.getAs[Vector]("pValues").toArray
+        val d = r.getSeq[Int](r.fieldIndex("degreesOfFreedom"))
+        val s = r.getAs[Vector]("statistics").toArray
+        cat.indices.map(i => (cat(i), p(i), d(i), s(i)))
+      }
+      Selection(
+        uniCat = univariateSelect(withNum, cat, "vector_assem_cat", "categorical", 3, label),
+        uniNum = univariateSelect(withNum, num, "vector_assem_num", "continuous", 7, label),
+        varNum = varianceTopK(withNum, num),
+        chi = chi, corrBefore = corrBefore, corrAfter = corrAfter)
+    } finally { withNum.unpersist(); () }
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import graft.core.Schemas
 import graft.etl.AirlineFixture
 import graft.io.{Sinks, Sources}
@@ -36,6 +36,74 @@ class IoCliSpec extends SparkSpec {
     AirlineFixture.generate(spark, 500).write.parquet(fixture)
     graft.cli.Main.run(spark, Seq("clean", fixture, s"$dir/out"))
     assert(Sources.csvInferred(spark, s"$dir/out/Full_Cleaned_Data").count() > 0)
-    assert(Sources.csvInferred(spark, s"$dir/out/Flight_Data_Visualization").count() > 0)
+    val viz = Sources.csvInferred(spark, s"$dir/out/Flight_Data_Visualization")
+    assert(viz.count() > 0)
+    assert(viz.columns.contains("DelayGroup"))
+  }
+
+  test("cli viz job writes all 5 reference CSVs with notebook column names") {
+    val dir = Files.createTempDirectory("graft_viz").toString
+    val viz = graft.etl.Cleaning.vizDataset(AirlineFixture.generate(spark, 500))
+    viz.write.parquet(s"$dir/viz")
+    graft.cli.Main.run(spark, Seq("viz", s"$dir/viz", s"$dir/out"))
+    // viz1 c2/c4/c6/c8 + viz2 c1 — file name -> columns the notebook reads
+    val expected = Seq(
+      "Distance_vs_Year" -> Seq("Year", "Distance"),
+      "Number_flights_vs_Months" -> Seq("Month", "Number of Flights"),
+      "Number_flights_vs_Weeks" -> Seq("Week", "Number of Flights"),
+      "Number_flights_vs_DelayGroup" -> Seq("DelayGroup", "Number of Flights"),
+      "Airline_DelayGroup_Count" -> Seq("Airline", "DelayGroup", "Number of Flights"))
+    expected.foreach { case (file, cols) =>
+      val df = Sources.csvInferred(spark, s"$dir/out/$file")
+      assert(df.columns.toSeq == cols, file)
+      assert(df.count() > 0, file)
+    }
+  }
+
+  test("cli stats job writes selection lists, chi-square, and both corr matrices") {
+    val dir = Files.createTempDirectory("graft_stats").toString
+    val cleaned = graft.etl.Cleaning.cleaned(AirlineFixture.generate(spark, 500))
+    cleaned.write.parquet(s"$dir/cleaned")
+    graft.cli.Main.run(spark, Seq("stats", s"$dir/cleaned", s"$dir/out"))
+    Seq("univariate_categorical_feature_selection.csv",
+      "univariate_numerical_feature_selection.csv",
+      "variance_feature_selection.csv", "chi_square_statistic.csv")
+      .foreach(f => assert(Files.exists(Paths.get(s"$dir/out/$f")), f))
+    // corr matrices: square, pandas-style numbered header (Scripts/2_...py:63,87)
+    Seq("corr_data_before.csv", "corr_data_after.csv").foreach { f =>
+      val lines = Files.readAllLines(Paths.get(s"$dir/out/$f"))
+      val n = lines.get(0).split(",").length
+      assert(lines.get(0).split(",").head == "0", f)
+      assert(lines.size == n + 1, s"$f: expected $n data rows, got ${lines.size - 1}")
+    }
+  }
+
+  test("cli train lr emits reg + plain metric CSVs for all 3 feature sets") {
+    val dir = Files.createTempDirectory("graft_train").toString
+    val cleaned = graft.etl.Cleaning.cleaned(AirlineFixture.generate(spark, 400))
+    cleaned.write.parquet(s"$dir/cleaned")
+    graft.cli.Main.run(spark, Seq("train", "lr", s"$dir/cleaned", s"$dir/out"))
+    val base = s"$dir/out/Logistic_Regression/Logistic_Regression"
+    Seq("Full", "Uni", "Var").foreach { set =>
+      val reg = Sources.columnList(spark, s"${base}_Regularization_${set}_Data_Metrics.csv")
+      // grid best params (regParam, elasticNetParam) + six metrics
+      assert(reg.size == 8, s"$set reg rows: $reg")
+      val plain = Sources.columnList(spark, s"${base}_${set}_Data_Metrics.csv")
+      assert(plain == Seq("area_ROC", "accuracy", "tpr", "fpr", "precision", "f1_score"),
+        s"$set plain rows: $plain")
+    }
+  }
+
+  test("cli train mlp argmaxes topologies and emits 3 metric CSVs") {
+    val dir = Files.createTempDirectory("graft_mlp").toString
+    val cleaned = graft.etl.Cleaning.cleaned(AirlineFixture.generate(spark, 200))
+    cleaned.write.parquet(s"$dir/cleaned")
+    graft.cli.Main.run(spark, Seq("train", "mlp", s"$dir/cleaned", s"$dir/out"))
+    val base = s"$dir/out/Multi_Layer_Perceptron/Multi_Layer_Perceptron"
+    Seq("Full", "Uni", "Var").foreach { set =>
+      val rows = Sources.columnList(spark, s"${base}_${set}_Data_Metrics.csv")
+      assert(rows.head == "layers", s"$set rows: $rows")
+      assert(rows.size == 7, s"$set rows: $rows")
+    }
   }
 }
