@@ -44,4 +44,53 @@ class ModelFamiliesSpec extends SparkSpec {
         .setLayers(Array(inputSize, 4, 2)).setMaxIter(5), None)
     assert(r.metrics.accuracy > 0.0)
   }
+
+  // -- BASELINE.md degenerate-behavior sentinels ---------------------------
+
+  test("sentinel: LinearSVC under heavy reg collapses to the majority class " +
+      "(TPR = FPR = 1.0, accuracy = majority prior)") {
+    import org.apache.spark.sql.functions._
+    // Label is hash-noise (no feature signal), majority class 0 at ~52%
+    // — the shape of the reference data where heavy regularization
+    // drives the weights to ~0 and the intercept predicts the majority
+    // class everywhere. With the evaluators' metricLabel=0 defaults
+    // (reference parity), an all-0 predictor scores TPR = FPR = 1.0 and
+    // accuracy = precision = P(label=0) (BASELINE.md Linear SVC rows).
+    val shaped = cleaned.withColumn("Delay_Status",
+      when(abs(xxhash64(col("DayofMonth"), col("DepTimeMinute"),
+        col("AirTime"))) % 100 < 52, 0).otherwise(1))
+    val r = TrainJob.run(shaped, cols._1.take(1), cols._2,
+      new LinearSVC().setRegParam(2.0), None)
+    val (_, test) = TrainJob.split(
+      shaped.withColumnRenamed("Delay_Status", "label"))
+    val prior0 = test.filter(col("label") === 0).count().toDouble / test.count()
+    assert(r.metrics.tpr === 1.0, s"tpr ${r.metrics.tpr}")
+    assert(r.metrics.fpr === 1.0, s"fpr ${r.metrics.fpr}")
+    assert(math.abs(r.metrics.accuracy - prior0) < 1e-9,
+      s"acc ${r.metrics.accuracy} vs prior0 $prior0")
+  }
+
+  test("sentinel: DecisionTree best rows identical on full vs univariate sets " +
+      "when the signal feature survives selection") {
+    import org.apache.spark.sql.functions._
+    // Label is a pure function of the 12-valued Month: the tree splits
+    // exactly at a distinct value, reaches purity at depth 1, and the
+    // extra full-set features never enter the model — so the full and
+    // uni cells emit byte-identical best rows (BASELINE.md Decision
+    // Tree Full ≡ Uni note). A continuous-threshold label would NOT
+    // reproduce this: quantile binning leaves impurity and the trees
+    // diverge on noise features.
+    val shaped = cleaned.withColumn("Delay_Status",
+      when(col("Month") <= 6, 1).otherwise(0))
+    val (est, grid) = graft.ml.Models.decisionTree()
+    val uniCat = cols._1.take(1)
+    val uniNum = Seq("Month", "AirTime")
+    val full = TrainJob.run(shaped, cols._1, cols._2, est, Some(grid))
+    val uni = TrainJob.run(shaped, uniCat, uniNum, est, Some(grid))
+    assert(full.best.map(_.toSeq.map(p => p.param.name -> p.value).sortBy(_._1))
+      == uni.best.map(_.toSeq.map(p => p.param.name -> p.value).sortBy(_._1)),
+      s"full ${full.best} vs uni ${uni.best}")
+    assert(full.metrics == uni.metrics,
+      s"full ${full.metrics} vs uni ${uni.metrics}")
+  }
 }
