@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * local[32], NOT the 200 default — at cluster scale this becomes a
   * per-job setting sized to input volume), and the nanos-as-long
   * legacy flag required to scan events.parquet (timestamp[ns]).
+  *
+  * `spark.sql.extensions` installs [[graft.functions.GraftExtensions]]
+  * so every session — including pure-SQL users — has `vec_dot` from
+  * construction, no programmatic register call needed.
   */
 object Session {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
@@ -22,4 +26,5 @@ object Session {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 }

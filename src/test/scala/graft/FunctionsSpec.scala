@@ -1,0 +1,30 @@
+package graft
+
+/** Native-function surface: `vec_dot` must be available from session
+  * construction via the `spark.sql.extensions` installer (no
+  * programmatic register call) and agree between SQL and Column use.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("vec_dot is installed by GraftExtensions at session build time") {
+    // TestSession is built by core.Session.builder, which sets
+    // spark.sql.extensions — pure SQL resolves the function without
+    // any VectorFunctions.register call in this suite.
+    assert(spark.conf.get("spark.sql.extensions")
+      == "graft.functions.GraftExtensions")
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("vec_dot Column API agrees with SQL and handles length mismatch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0, 99.0))).toDF("a", "b")
+    // min-length semantics: the trailing unmatched element contributes 0
+    val viaCol = df.select(
+      graft.functions.VectorFunctions.vecDot(col("a"), col("b"))).head.getDouble(0)
+    assert(viaCol == 11.0)
+  }
+}
