@@ -21,6 +21,7 @@ object SparkEntry {
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
+      graft.llm.Curation.queries ++
       graft.llm.Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
+      graft.llm.Curation.oracleSql ++
       graft.llm.Multimodal.oracleSql
 }

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+
+/** End-to-end corpus curation — the composed pipeline a training-data
+  * build actually runs (SURVEY §4.3 north-star): score → filter →
+  * dedup in one pass. Composes the [[TextAnalysis]] quality/lang
+  * heuristics with the [[Dedup]] canonical fingerprint.
+  *
+  * Scale shape: ONE scan of `documents` computes every per-doc signal
+  * (tokens, stopword/diversity ratios, language scores, canonical
+  * md5) inside a single codegen stage — no UDFs, no repeated scans.
+  * The only shuffle is the dedup window keyed on the 128-bit
+  * fingerprint, and it carries just (fp, doc_id, lang, n_tokens,
+  * quality) — never the text. At 100 TB the filter drops low-quality /
+  * mislabeled docs BEFORE the shuffle, so the exchange volume is the
+  * survivor fraction × ~60 bytes/row.
+  *
+  * The dedup key is the full md5 (not the 60-bit fold): at 1e11 docs a
+  * 60-bit key has birthday collisions (~2^30 docs), which would
+  * silently drop distinct documents; 128 bits keeps the collision
+  * probability negligible.
+  */
+object Curation {
+
+  /** Quality floor and minimum length for the curated set. */
+  val MinQuality = 0.5
+  val MinTokens = 5L
+
+  /** Curated corpus: docs that (a) clear the [[TextAnalysis]] quality
+    * floor, (b) are long enough, (c) have marker-language agreement
+    * with their recorded `lang` (drops mislabeled docs — `und`
+    * predictions never agree), deduplicated on the canonical-form
+    * fingerprint keeping the smallest doc_id.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextAnalysis.tokens(col("text"))
+    val sw = array(TextAnalysis.stopwords.map(lit): _*)
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tk.as("t"), md5(norm).as("fp"))
+      .select(
+        (Seq(col("doc_id"), col("lang"), col("fp"),
+          size(col("t")).cast(LongType).as("n_tokens"),
+          round(size(filter(col("t"), t => array_contains(sw, t)))
+            / size(col("t")).cast("double"), 4).as("stop_ratio"),
+          round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
+            .as("diversity")) ++
+          TextAnalysis.langMarkers.map { case (l, ms) =>
+            size(array_intersect(array_distinct(col("t")), array(ms.map(lit): _*)))
+              .cast(LongType).as(s"s_$l")
+          }): _*)
+      .withColumn("quality",
+        round(lit(0.6) * col("diversity")
+          + lit(0.4) * (lit(1.0) - abs(col("stop_ratio") - lit(0.4))), 4))
+
+    val best = TextAnalysis.langMarkers.map(m => col(s"s_${m._1}"))
+      .reduce(greatest(_, _))
+    val pred = TextAnalysis.langMarkers.foldRight(lit("und")) {
+      case ((l, _), acc) => when(col(s"s_$l") === best && best > 0, lit(l))
+        .otherwise(acc)
+    }
+
+    val kept = scored
+      .withColumn("pred_lang", pred)
+      .filter(col("quality") >= MinQuality && col("n_tokens") >= MinTokens
+        && col("pred_lang") === col("lang"))
+
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    kept
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_curate" -> curate _)
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_curate" -> {
+      val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(list_distinct(t), $lst)) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val gr = "greatest(" +
+        TextAnalysis.langMarkers.map(m => s"s_${m._1}").mkString(", ") + ")"
+      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $gr AND $gr > 0 THEN '$l'"
+      }.mkString("\n  ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    round(len(list_filter(t, x -> list_contains($swList, x))) * 1.0 / len(t), 4)
+         |      AS stop_ratio,
+         |    round(len(list_distinct(t)) * 1.0 / len(t), 4) AS diversity,
+         |    $scores
+         |  FROM (SELECT doc_id, lang, text,
+         |          string_split_regex(trim(text), '\\s+') AS t FROM documents)
+         |), q AS (
+         |  SELECT doc_id, lang, fp, n_tokens,
+         |    round(0.6 * diversity + 0.4 * (1.0 - abs(stop_ratio - 0.4)), 4) AS quality,
+         |    CASE $cases ELSE 'und' END AS pred_lang
+         |  FROM scored
+         |), kept AS (
+         |  SELECT * FROM q
+         |  WHERE quality >= $MinQuality AND n_tokens >= $MinTokens
+         |    AND pred_lang = lang
+         |)
+         |SELECT doc_id, lang, n_tokens, quality FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+         |  FROM kept)
+         |WHERE rk = 1""".stripMargin
+    })
+}

@@ -207,13 +207,33 @@ object Similarity {
         col("rk").cast(LongType).as("rk"))
   }
 
+  // -- s5: int8 embedding quantization ------------------------------------
+  /** Symmetric int8 quantization of every embedding — the storage path
+    * at 100 TB (4 bytes/dim fp32 → 1 byte/dim, plus one fp scale per
+    * vector). Per-vector scale = 127 / max|v_i|; output exploded to
+    * (vec_id, i, q, scale) scalars so the oracle compares exactly.
+    * One narrow projection — no shuffle, stays in codegen; at scale
+    * this runs at write time next to the cell-id column.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val amax = array_max(transform(col("v"), x => abs(x)))
+    e.withColumn("scale", lit(127.0) / greatest(amax, lit(1e-30)))
+      .select(col("vec_id"), col("scale"),
+        posexplode(transform(col("v"), x => round(x * col("scale")).cast("int"))))
+      .select(col("vec_id"), col("pos").cast(LongType).as("i"),
+        col("col").as("q"), round(col("scale"), 6).as("scale"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> knnBrute _,
     "s2_knn_ivf"   -> knnIvf _,
     "s3_embed_dup" -> embedDupPairs _,
     // rows-only by declaration: KMeans cell assignment isn't
     // SQL-reproducible; validated by the LlmSpec recall-vs-brute test
-    "s4_knn_ivf_kmeans" -> ((s: SparkSession, dir: String) => knnIvfKmeans(s, dir)))
+    "s4_knn_ivf_kmeans" -> ((s: SparkSession, dir: String) => knnIvfKmeans(s, dir)),
+    "s5_quantize" -> quantizeInt8 _)
 
   private val cosSql =
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
@@ -249,5 +269,15 @@ object Similarity {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6) AS sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |WHERE sim >= 0.35""".stripMargin)
+         |WHERE sim >= 0.35""".stripMargin,
+    "s5_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+        |          AS scale
+        |      FROM e)
+        |SELECT vec_id, CAST(unnest(generate_series(1, len(v))) - 1 AS BIGINT) AS i,
+        |  CAST(round(unnest(v) * scale) AS INTEGER) AS q,
+        |  round(scale, 6) AS scale
+        |FROM s""".stripMargin)
 }

@@ -154,6 +154,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("curation keeps only quality/length/lang-agreeing docs, deduped on fp") {
+    import graft.llm.Curation
+    val out = Curation.curate(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) >= Curation.MinQuality)   // quality
+      assert(r.getLong(2) >= Curation.MinTokens)      // n_tokens
+    }
+    // dedup invariant: canonical fingerprints of survivors are distinct
+    val ids = out.map(_.getLong(0)).toSet
+    val fps = TextAnalysis.fingerprint(spark, sfDir).collect()
+      .filter(r => ids(r.getLong(0))).map(_.getString(1))
+    assert(fps.length == fps.distinct.length, "duplicate fp survived curation")
+  }
+
+  test("int8 quantization: values bounded, dequantization error within half-step") {
+    val rows = Similarity.quantizeInt8(spark, sfDir).collect()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val (id, i, q, scale) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+      assert(q >= -127 && q <= 127, s"q out of int8 range: $q")
+      // scale is rounded to 6dp in the output → allow that slack too
+      val err = math.abs(q / scale - emb(id)(i.toInt))
+      assert(err <= 0.5 / scale + 1e-4, s"vec $id dim $i err $err")
+    }
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()

@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("c1 curation: one scan, one exchange (fp dedup window), no join") {
+    val p = plan(graft.llm.Curation.curate(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one hash exchange:\n$p")
+    assert(p.split("Scan parquet").length == 2, "documents scanned more than once")
+    assert(!p.contains("Join"), "curation must not plan a join")
+  }
+
+  test("s5 quantize: pure narrow projection, no exchange") {
+    val p = plan(Similarity.quantizeInt8(spark, sfDir))
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+  }
+
   test("q30 as-of join is a single shuffle (union + one window)") {
     val p = plan(Extended.q30AsofJoin(spark, sfDir))
     val shuffles = p.split("Exchange hashpartitioning").length - 1
