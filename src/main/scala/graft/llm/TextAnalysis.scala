@@ -161,12 +161,57 @@ object TextAnalysis {
       roll.as("fp_roll"))
   }
 
+  // -- t6: PII-style redaction --------------------------------------------
+  /** Training-pipeline redaction pass: emails → <EMAIL>, URLs → <URL>,
+    * 6+-digit runs → <NUM> (ids/phones), with a per-doc redaction
+    * count. Order matters (emails before URLs would otherwise leave
+    * the mailto-ish user@host inside URLs untouched — URLs first).
+    * Pure narrow projection; the same PCRE-ish patterns run in DuckDB.
+    */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val numRe = "[0-9]{6,}"
+
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, urlRe, "<URL>")
+    val t2 = regexp_replace(t1, emailRe, "<EMAIL>")
+    val t3 = regexp_replace(t2, numRe, "<NUM>")
+    val hits = size(regexp_extract_all(t0, lit(urlRe), lit(0))) +
+      size(regexp_extract_all(regexp_replace(t0, urlRe, " "), lit(emailRe), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(t0, urlRe, " "), emailRe, " "),
+        lit(numRe), lit(0)))
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"), t3.as("redacted"), hits.cast(LongType).as("n_redactions"))
+  }
+
+  // -- t7: corpus vocabulary ----------------------------------------------
+  /** Vocabulary builder: term frequency (total occurrences) and
+    * document frequency per lowercase token, top 100 by df. The
+    * explode is the one genuinely shuffle-heavy text op — partial
+    * aggregation collapses each partition's counts to its distinct
+    * tokens before the exchange, so the shuffle is O(vocab) per
+    * partition, not O(corpus tokens). Ties broken by token for a
+    * deterministic cut.
+    */
+  def vocabulary(s: SparkSession, dir: String, topK: Int = 100): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), transform(tokens(col("text")), t => lower(t)).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), desc("tf"), col("token"))
+      .limit(topK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> tokenStats _,
     "t2_quality"     -> qualityScore _,
     "t3_lang_id"     -> langId _,
     "t4_fingerprint" -> fingerprint _,
-    "t5_lang_ngram"  -> langIdNgram _)
+    "t5_lang_ngram"  -> langIdNgram _,
+    "t6_redact"      -> redact _,
+    "t7_vocab"       -> ((s: SparkSession, dir: String) => vocabulary(s, dir)))
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -222,6 +267,30 @@ object TextAnalysis {
          |          i -> substr(txt, CAST(i AS INTEGER), 2))) AS g
          |        FROM (SELECT doc_id, lower(trim(text)) AS txt FROM documents)))""".stripMargin
     },
+    "t6_redact" ->
+      s"""SELECT doc_id,
+         |regexp_replace(regexp_replace(regexp_replace(text,
+         |  'https?://[^\\s]+', '<URL>', 'g'),
+         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |  '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+         |CAST(len(regexp_extract_all(text, 'https?://[^\\s]+'))
+         |  + len(regexp_extract_all(regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |  + len(regexp_extract_all(
+         |      regexp_replace(regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+         |      '[0-9]{6,}')) AS BIGINT) AS n_redactions
+         |FROM documents""".stripMargin,
+    "t7_vocab" ->
+      """SELECT token, tf, df FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM (SELECT doc_id,
+        |          lower(unnest(string_split_regex(trim(text), '\s+'))) AS token
+        |        FROM documents)
+        |  GROUP BY token)
+        |ORDER BY df DESC, tf DESC, token
+        |LIMIT 100""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(n) AS fp,
         |CAST(('0x' || substr(md5(n), 1, 15)) AS BIGINT) AS fp60,

@@ -88,6 +88,23 @@ object EventStreams {
       }
   }
 
+  /** Ingest-time exact dedup: drop events whose dedup key was already
+    * seen within the watermark horizon — the streaming twin of the
+    * batch d1 exact dedup, applied where a training pipeline actually
+    * wants it (at ingest, before anything is stored twice).
+    *
+    * `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    * watermark window (vs unbounded `dropDuplicates` state growth on
+    * an infinite stream) — the only shape that survives an unbounded
+    * 100 TB/day feed. The key defaults to event_id; a content feed
+    * would pass the canonical md5 fingerprint column instead.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Sink: append stream to partitioned parquet with checkpointing —
     * the exactly-once file sink a 100 TB ingest would use.
     */

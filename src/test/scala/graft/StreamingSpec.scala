@@ -43,6 +43,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.session_id == 0 && out.head.n_events == 2)
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // same event_id -> dropped
+      Event(2, ts(2), 1, "view", 2.0),
+      Event(2, ts(3), 1, "view", 2.0),  // dropped
+      Event(3, ts(4), 2, "click", 3.0))
+    val q = EventStreams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("readEvents wires a file stream with the batch schema") {
     val df = EventStreams.readEvents(spark, s"$sfDir/events.parquet")
     assert(df.isStreaming)
