@@ -243,12 +243,40 @@ object Dedup {
       .distinct()
   }
 
+  // -- d6: incremental (ingest-time) dedup --------------------------------
+  /** New-batch vs known-corpus dedup — the flow an accumulating
+    * training corpus actually runs per ingest: canonical-fingerprint
+    * anti-join against everything already stored, then within-batch
+    * dedup keeping the smallest doc_id. Here the "new batch" is the
+    * deterministic 20% slice doc_id % 5 = 4.
+    *
+    * Scale shape: both join sides reduce to (fp, doc_id) — the text
+    * never shuffles. At 100 TB the known side is the persisted
+    * fingerprint index, bucketed by fp at write time, so the anti-join
+    * is zero-exchange on the corpus side and the per-ingest cost is
+    * O(batch), not O(corpus).
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(norm).as("fp"))
+    val known = docs.filter(col("doc_id") % 5 =!= 4).select("fp")
+    val fresh = docs.filter(col("doc_id") % 5 === 4)
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    fresh.join(known, Seq("fp"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"  -> exactDedup _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d3_jaccard_verify" -> jaccardVerify _,
     "d4_simhash"      -> simhash _,
-    "d5_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)))
+    "d5_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
+    "d6_incremental"  -> incrementalDedup _)
 
   /** Shared oracle CTEs (DuckDB lists are 1-based; generate_series is
     * inclusive — shingle i spans t[i..i+2] for i in 1..len-2, matching
@@ -287,6 +315,17 @@ object Dedup {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "d6_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |known AS (SELECT fp FROM d WHERE doc_id % 5 <> 4),
+        |fresh AS (SELECT * FROM d WHERE doc_id % 5 = 4)
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |  FROM fresh WHERE fp NOT IN (SELECT fp FROM known))
+        |WHERE rk = 1""".stripMargin,
     "d2_minhash_lsh" -> s"WITH $sigCte SELECT doc_a, doc_b FROM cand",
     "d3_jaccard_verify" ->
       s"""WITH $sigCte
