@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.fnName),
       new ExpressionInfo(classOf[VecDot].getName, VectorFunctions.fnName),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(HashFunctions.fnName),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, HashFunctions.fnName),
+      (children: Seq[Expression]) => Md5Prefix60(children.head)))
   }
 }

@@ -102,6 +102,7 @@ object Dedup {
     * lambda per shingle per hash — 32× slower at sf0.1.)
     */
   def signaturesFrom(shingles: DataFrame): DataFrame = {
+    graft.functions.HashFunctions.register(shingles.sparkSession)
     val hashed = shingles
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), (hash60(col("sh")) % M).as("hv"))
@@ -196,6 +197,7 @@ object Dedup {
     * whole map side stays in codegen.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
     val toks = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),

@@ -26,9 +26,16 @@ object TextAnalysis {
 
   /** Portable 60-bit hash: first 15 hex digits of md5 as a BIGINT.
     * Same value in DuckDB via `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+    *
+    * Backed by the native [[graft.functions.Md5Prefix60]] codegen
+    * Expression (digest bytes → long, no hex-string intermediate) —
+    * the hot path of every MinHash/SimHash query. Callers that build
+    * plans outside a [[graft.core.Session]] must call
+    * `HashFunctions.register(spark)` first (query entry points here
+    * and in [[Dedup]] do).
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    call_function(graft.functions.HashFunctions.fnName, c)
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, and single
     * non-space symbols — the shape a byte-pair encoder's pre-split
@@ -147,6 +154,7 @@ object TextAnalysis {
     * what a 100 TB dedup shuffle would key on (8 bytes vs 32).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     // Karp-Rabin rolling hash folded over per-token hashes
     // (base 31 mod 2^31-1) — the incremental form a streaming

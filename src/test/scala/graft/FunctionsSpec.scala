@@ -18,6 +18,19 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("md5_60 equals the conv(substring(md5)) form it replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq("", "a", "hello world", "ünïcödé ✓", "\t\n spaces ",
+      "0123456789" * 20).toDF("s")
+    val rows = texts.select(
+      graft.llm.TextAnalysis.hash60(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    rows.foreach(r => assert(r.getLong(0) >= 0L))
+  }
+
   test("vec_dot Column API agrees with SQL and handles length mismatch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
