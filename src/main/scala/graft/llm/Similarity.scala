@@ -207,6 +207,55 @@ object Similarity {
         col("rk").cast(LongType).as("rk"))
   }
 
+  // -- s6: random-hyperplane LSH ANN --------------------------------------
+  /** Number of hyperplanes = signature bits; 2^8 = 256 buckets. */
+  val LshPlanes = 8
+  val Dims = 64
+
+  /** Fixed random hyperplanes (seeded, generated once at class init) —
+    * shared verbatim with the oracle SQL as literals, so the bucketing
+    * is exactly reproducible cross-engine.
+    */
+  val planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(777L)
+    Seq.fill(LshPlanes)(Array.fill(Dims)(rnd.nextGaussian()))
+  }
+
+  private def planeCol(p: Array[Double]): Column =
+    array(p.map(x => lit(x)): _*)
+
+  /** Sign-random-projection bucket id: bit i = [v · plane_i >= 0].
+    * Cosine-similar vectors agree on most sign bits (Charikar 2002),
+    * so near-duplicates land in the same bucket with high probability.
+    */
+  def lshBucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeCol(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: the hyperplane bucket replaces s2's pre-labeled
+    * cell — same equi-join probe shape, but the index is computed from
+    * the vectors themselves (the "LSH-bucketed variant" scale path; at
+    * 100 TB the bucket id is a write-time column and multi-probe = OR
+    * over neighbor buckets). Top-3 per query among same-bucket
+    * vectors; fully oracle-checked since the planes are literals.
+    */
+  def knnLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
   // -- s5: int8 embedding quantization ------------------------------------
   /** Symmetric int8 quantization of every embedding — the storage path
     * at 100 TB (4 bytes/dim fp32 → 1 byte/dim, plus one fp scale per
@@ -233,7 +282,8 @@ object Similarity {
     // rows-only by declaration: KMeans cell assignment isn't
     // SQL-reproducible; validated by the LlmSpec recall-vs-brute test
     "s4_knn_ivf_kmeans" -> ((s: SparkSession, dir: String) => knnIvfKmeans(s, dir)),
-    "s5_quantize" -> quantizeInt8 _)
+    "s5_quantize" -> quantizeInt8 _,
+    "s6_knn_lsh" -> ((s: SparkSession, dir: String) => knnLsh(s, dir)))
 
   private val cosSql =
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
@@ -270,6 +320,25 @@ object Similarity {
          |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6) AS sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.35""".stripMargin,
+    "s6_knn_lsh" -> {
+      // the same plane constants as literals — bit-identical arithmetic
+      val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+         |        e.vec_id) AS rk
+         |  FROM b q JOIN b e ON e.bucket = q.bucket
+         |    AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |WHERE rk <= 3""".stripMargin
+    },
     "s5_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

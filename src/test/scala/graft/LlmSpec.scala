@@ -154,6 +154,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("lsh ann: results share the query's hyperplane bucket, ranked desc") {
+    val buckets = Similarity.queries("s6_knn_lsh")(spark, sfDir)
+    val rows = buckets.collect()
+    assert(rows.nonEmpty)
+    // per query: ranks contiguous from 1, sims non-increasing, no self
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"q=$q sims not desc: $sims")
+      assert(!rs.exists(_.getLong(1) == q))
+    }
+  }
+
   test("curation keeps only quality/length/lang-agreeing docs, deduped on fp") {
     import graft.llm.Curation
     val out = Curation.curate(spark, sfDir).collect()
