@@ -28,6 +28,10 @@ object Sinks {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
 
+  /** JSON-lines sink (engine extension). */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** S3 tiny-result sink: rows already on the driver → one CSV file.
     * Fields containing separators are RFC-4180 quoted (pandas parity —
     * e.g. the MLP `layers` list value).

@@ -24,6 +24,15 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines source (engine extension — declared schema, single
+    * pass; inference variant for exploration only).
+    */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def jsonInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** S4 — tiny driver-side list read (the reference's pandas
     * `read_csv(...).iloc[:,0].tolist()` feeding feature lists between
     * jobs): first column of a small CSV as driver values.

@@ -41,6 +41,22 @@ object Partitioning {
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("ShuffleExchange")
 
+  /** Compacted write targeting a file size: partition count =
+    * ceil(optimizer size estimate / targetBytes), floor 1. The cure
+    * for the small-files problem — a filtered 100 TB table naively
+    * written keeps its pre-filter partition count and emits thousands
+    * of KB-scale files that poison every later scan's task scheduling.
+    * Uses the cost-based estimate (no extra job); exact-size needs are
+    * better served by adaptive `spark.sql.files.maxRecordsPerFile`.
+    */
+  def writeCompacted(df: DataFrame, path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / BigInt(targetBytes)).toInt.max(1)
+      .min(df.sparkSession.sparkContext.defaultParallelism * 64)
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Salted join for skewed keys: the skewed (large) side gets a
     * deterministic salt in [0, salts) derived from a high-cardinality
     * disambiguator column; the small side is exploded ×salts so every

@@ -30,6 +30,28 @@ class IoCliSpec extends SparkSpec {
     assert(list == Seq("AirTime", "Month"))
   }
 
+  test("json sink + source round-trip (declared schema and inferred)") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val df = AirlineFixture.generate(spark, 100)
+    Sinks.json(df, s"$dir/out")
+    val back = Sources.json(spark, s"$dir/out", df.schema)
+    assert(back.count() == 100)
+    // JSON reads are always-nullable — compare names and types
+    assert(back.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    assert(Sources.jsonInferred(spark, s"$dir/out").count() == 100)
+  }
+
+  test("writeCompacted collapses a small table to one file") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val df = AirlineFixture.generate(spark, 2000).repartition(16)
+    graft.ops.Partitioning.writeCompacted(df, s"$dir/out")
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
+    assert(spark.read.parquet(s"$dir/out").count() == 2000)
+  }
+
   test("cli clean job writes viz + cleaned parity CSVs") {
     val dir = Files.createTempDirectory("graft_cli").toString
     val fixture = s"$dir/raw"
