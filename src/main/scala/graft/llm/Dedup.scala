@@ -114,6 +114,23 @@ object Dedup {
   def signatures(s: SparkSession, dir: String): DataFrame =
     signaturesFrom(shingleSets(s, dir))
 
+  /** Character-5-gram shingles over case/whitespace-normalized text —
+    * the cross-lingual variant of [[shingleSets]]: word shingles break
+    * on unsegmented scripts and agglutinative morphology; char n-grams
+    * don't care. Docs under 5 chars use the whole text. Same dynamic-
+    * position substring trick as the t5 bigram profile (SQL lambda).
+    */
+  def charShingleSets(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("txt"))
+      .select(col("doc_id"),
+        when(char_length(col("txt")) >= k,
+          expr(s"array_distinct(transform(sequence(1, char_length(txt) - ${k - 1}), " +
+            s"i -> substring(txt, i, $k)))"))
+          .otherwise(array(col("txt"))).as("shingles"))
+
   /** LSH bands: (doc_id, band_idx, band_key) with band_key the
     * comma-joined 4-slice of the signature.
     */
@@ -278,7 +295,11 @@ object Dedup {
     "d3_jaccard_verify" -> jaccardVerify _,
     "d4_simhash"      -> simhash _,
     "d5_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
-    "d6_incremental"  -> incrementalDedup _)
+    "d6_incremental"  -> incrementalDedup _,
+    // d7: the same MinHash+LSH machinery over char-5-gram shingles —
+    // the cross-lingual near-dup path (shingling is the only change)
+    "d7_chargram_lsh" -> ((s: SparkSession, dir: String) =>
+      minhashCandidatesFrom(charShingleSets(s, dir))))
 
   /** Shared oracle CTEs (DuckDB lists are 1-based; generate_series is
     * inclusive — shingle i spans t[i..i+2] for i in 1..len-2, matching
@@ -293,8 +314,18 @@ object Dedup {
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
       |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
 
-  private val sigCte =
-    s"""$shingleCte,
+  /** Char-5-gram variant of the shingle CTE (d7). */
+  private val charShingleCte =
+    """toks AS (SELECT doc_id,
+      |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN strlen(txt) >= 5 THEN list_distinct(list_transform(
+      |    generate_series(1, strlen(txt) - 4),
+      |    i -> substr(txt, CAST(i AS INTEGER), 5)))
+      |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
+
+  private def sigCteFrom(shCte: String) =
+    s"""$shCte,
        |hs AS (SELECT doc_id, list_transform(shingles,
        |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS hv
        |  FROM sh),
@@ -313,7 +344,11 @@ object Dedup {
        |  JOIN bsz ON bsz.band_idx = x.band_idx AND bsz.band_key = x.band_key
        |  WHERE bsz.n <= $MaxBucket OR x.doc_id = bsz.rep)""".stripMargin
 
+  private val sigCte = sigCteFrom(shingleCte)
+
   val oracleSql: Map[String, String] = Map(
+    "d7_chargram_lsh" ->
+      s"WITH ${sigCteFrom(charShingleCte)} SELECT doc_a, doc_b FROM cand",
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,

@@ -276,7 +276,38 @@ object Extended {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** q38 — one-scan data profile: per-column row/non-null/distinct
+    * counts plus min/max, reshaped long (no floating sum — a whole-table
+    * double sum is summation-order-dependent across partitionings; the
+    * profile keeps only order-independent metrics). The ingest-QA op a
+    * training pipeline runs on every batch. Spark computes ALL columns'
+    * metrics in ONE scan (multi-count-distinct plans as a single
+    * Expand + aggregate); the oracle's per-column UNION ALL scans
+    * three times — same result, and exactly the redundancy the
+    * single-pass form avoids at 100 TB.
+    */
+  def q38Profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = t(s, dir, "lineitem")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}_rows"),
+        count(col(c)).as(s"${c}_nn"),
+        count_distinct(col(c)).as(s"${c}_nd"),
+        round(min(col(c)).cast("double"), 4).as(s"${c}_min"),
+        round(max(col(c)).cast("double"), 4).as(s"${c}_max"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}_rows").as("n_rows"), col(s"${c}_nn").as("n_nonnull"),
+        col(s"${c}_nd").as("n_distinct"), col(s"${c}_min").as("min_v"),
+        col(s"${c}_max").as("max_v"))): _*))
+        .as("p"))
+      .select("p.*")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_profile"        -> q38Profile _,
     "q37_range_join"     -> q37RangeJoin _,
     "q35_approx_stats"   -> q35ApproxStats _,
     "q36_stratified"     -> q36StratifiedSample _,
@@ -301,6 +332,15 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "q38_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count($c) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  round(CAST(min($c) AS DOUBLE), 4) AS min_v,
+         |  round(CAST(max($c) AS DOUBLE), 4) AS max_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q37_range_join" ->
       """WITH tiers AS (SELECT r_regionkey AS tier,
         |  r_regionkey * 100000.0 AS lo, (r_regionkey + 1) * 100000.0 AS hi
