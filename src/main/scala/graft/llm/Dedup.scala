@@ -48,6 +48,9 @@ object Dedup {
     */
   val MaxBucket = 1000
 
+  /** Mod-p sampling factor for char-gram signatures (d7). */
+  val CharSampleMod = 4
+
   private def hashA(k: Int): Long = 12582917L * k + 7L
   private def hashB(k: Int): Long = 15485863L * k + 11L
 
@@ -101,35 +104,63 @@ object Dedup {
     * higher-order `transform`/`array_min` form evaluates a boxed
     * lambda per shingle per hash — 32× slower at sf0.1.)
     */
-  def signaturesFrom(shingles: DataFrame): DataFrame = {
+  /** `sampleMod > 1` enables Broder-style mod-p shingle sampling:
+    * only shingles with hv % p == 0 contribute to the signature. The
+    * filter sits AFTER the one md5 but BEFORE the 32 permutations and
+    * the shuffle, so permutation CPU and exchange volume drop ×p.
+    * Hash-based selection is shift-invariant (unlike position
+    * striding), so two near-dup docs keep the same sampled subset —
+    * the standard density fix for char-n-gram shingling, whose
+    * shingle count is per-character, not per-word.
+    */
+  def signaturesFrom(shingles: DataFrame, sampleMod: Int = 1): DataFrame = {
     graft.functions.HashFunctions.register(shingles.sparkSession)
-    val hashed = shingles
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), (hash60(col("sh")) % M).as("hv"))
+    signaturesFromHashed(
+      shingles
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), (hash60(col("sh")) % M).as("hv")),
+      sampleMod)
+  }
+
+  /** Signature aggregation over pre-hashed (doc_id, hv) rows. */
+  def signaturesFromHashed(hashed: DataFrame, sampleMod: Int = 1): DataFrame = {
+    val sampled =
+      if (sampleMod > 1) hashed.filter(col("hv") % sampleMod === 0) else hashed
     val mins = (0 until NumHashes).map(k =>
       min((col("hv") * hashA(k) + hashB(k)) % M).as(s"m$k"))
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sampled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   def signatures(s: SparkSession, dir: String): DataFrame =
     signaturesFrom(shingleSets(s, dir))
 
-  /** Character-5-gram shingles over case/whitespace-normalized text —
-    * the cross-lingual variant of [[shingleSets]]: word shingles break
-    * on unsegmented scripts and agglutinative morphology; char n-grams
-    * don't care. Docs under 5 chars use the whole text. Same dynamic-
-    * position substring trick as the t5 bigram profile (SQL lambda).
+  /** Hashed character-5-gram shingles over case/whitespace-normalized
+    * text, pre-exploded to (doc_id, hv) — the cross-lingual variant of
+    * [[shingleSets]]: word shingles break on unsegmented scripts and
+    * agglutinative morphology; char n-grams don't care.
+    *
+    * Built explode-first so the whole stage is codegen: a higher-order
+    * `transform` lambda building a ~n_chars shingle array per doc is
+    * interpreted per element (boxed call + UTF8String per position —
+    * the dominant cost at char density), while explode(sequence) +
+    * dynamic-position substring + md5_60 all stay inside
+    * WholeStageCodegen. No array_distinct: MinHash of a multiset
+    * equals MinHash of its set (min is idempotent to duplicates).
+    * Docs under k chars get i = 1 only → the whole text, matching the
+    * word form's fallback.
     */
-  def charShingleSets(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+  def charShingleHashes(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.HashFunctions.register(s)
     Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("txt"))
+      .select(col("doc_id"), col("txt"),
+        explode(sequence(lit(1),
+          greatest(char_length(col("txt")) - (k - 1), lit(1)))).as("i"))
       .select(col("doc_id"),
-        when(char_length(col("txt")) >= k,
-          expr(s"array_distinct(transform(sequence(1, char_length(txt) - ${k - 1}), " +
-            s"i -> substring(txt, i, $k)))"))
-          .otherwise(array(col("txt"))).as("shingles"))
+        (hash60(expr(s"substring(txt, i, $k)")) % M).as("hv"))
+  }
 
   /** LSH bands: (doc_id, band_idx, band_key) with band_key the
     * comma-joined 4-slice of the signature.
@@ -172,9 +203,13 @@ object Dedup {
     * doc_id instead of all-pairs enumerated — see [[MaxBucket]].
     */
   def minhashCandidatesFrom(shingles: DataFrame,
+      maxBucket: Int = MaxBucket, sampleMod: Int = 1): DataFrame =
+    candidatesFromSigs(signaturesFrom(shingles, sampleMod), maxBucket)
+
+  def candidatesFromSigs(sigs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame =
     bucketPairs(
-      bandsFrom(signaturesFrom(shingles))
+      bandsFrom(sigs)
         .groupBy("band_idx", "band_key")
         .agg(array_sort(collect_list(col("doc_id"))).as("ds")),
       maxBucket)
@@ -297,9 +332,12 @@ object Dedup {
     "d5_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
     "d6_incremental"  -> incrementalDedup _,
     // d7: the same MinHash+LSH machinery over char-5-gram shingles —
-    // the cross-lingual near-dup path (shingling is the only change)
+    // the cross-lingual near-dup path. Shingle density is per-char
+    // (~10× the word form), so mod-4 sampling keeps the permutation
+    // and shuffle cost at the word-shingle level.
     "d7_chargram_lsh" -> ((s: SparkSession, dir: String) =>
-      minhashCandidatesFrom(charShingleSets(s, dir))))
+      candidatesFromSigs(
+        signaturesFromHashed(charShingleHashes(s, dir), CharSampleMod))))
 
   /** Shared oracle CTEs (DuckDB lists are 1-based; generate_series is
     * inclusive — shingle i spans t[i..i+2] for i in 1..len-2, matching
@@ -324,15 +362,17 @@ object Dedup {
       |    i -> substr(txt, CAST(i AS INTEGER), 5)))
       |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
 
-  private def sigCteFrom(shCte: String) =
+  private def sigCteFrom(shCte: String, sampleMod: Int = 1) =
     s"""$shCte,
-       |hs AS (SELECT doc_id, list_transform(shingles,
-       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS hv
+       |hs AS (SELECT doc_id, list_filter(list_transform(shingles,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647),
+       |  v -> v % $sampleMod = 0) AS hv
        |  FROM sh),
        |sig AS (SELECT doc_id, k,
        |  list_min(list_transform(hv,
        |    v -> (v * (12582917 * k + 7) + (15485863 * k + 11)) % 2147483647)) AS mh
-       |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)),
+       |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)
+       |  WHERE len(hv) > 0),
        |band AS (SELECT doc_id, k // 4 AS band_idx,
        |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_key
        |  FROM sig GROUP BY doc_id, k // 4),
@@ -348,7 +388,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "d7_chargram_lsh" ->
-      s"WITH ${sigCteFrom(charShingleCte)} SELECT doc_a, doc_b FROM cand",
+      s"WITH ${sigCteFrom(charShingleCte, CharSampleMod)} SELECT doc_a, doc_b FROM cand",
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
