@@ -78,8 +78,65 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
 
+  /** Benchmark-contamination scan (the decontamination pass a training
+    * corpus runs before release): corpus docs sharing >= `minShared`
+    * distinct word-8-grams with any benchmark doc. The stand-in
+    * benchmark set is the deterministic slice doc_id % 7 = 0.
+    *
+    * Scale shape: benchmarks are small by nature (thousands of rows vs
+    * the corpus's billions), so the exploded benchmark gram table
+    * BROADCASTS — the corpus side streams through one codegen'd
+    * hash-join probe + partial-aggregated count, no corpus shuffle of
+    * gram strings. 8-grams (not 3) so common phrases don't collide.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8,
+      minShared: Long = 5L): DataFrame = {
+    val t = split(col("txt"), "\\s+")
+    val sz = size(t)
+    val zipped = arrays_zip((1 to n).map(i => slice(t, lit(i), sz - (n - 1))): _*)
+    val grams = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+      .select(col("doc_id"),
+        when(sz >= n,
+          array_distinct(transform(zipped, z =>
+            concat_ws(" ", (0 until n).map(i => z.getField(i.toString)): _*))))
+          .otherwise(array(col("txt"))).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    // rename the benchmark side's columns: bench derives from the same
+    // plan (self-join) — distinct names sidestep attribute ambiguity
+    val bench = grams.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("bench_id"), col("gram").as("bench_gram"))
+    grams.join(broadcast(bench),
+        col("gram") === col("bench_gram") && col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Per-source mixing weights for training-data sampling: doc and
+    * char volume per source, weight ∝ volume^alpha normalized to 1
+    * (temperature-style up-weighting of small sources). The aggregate
+    * is one partial-agg groupBy over |sources| rows; the normalizing
+    * window runs over that tiny frame, not the corpus.
+    */
+  def mixWeights(s: SparkSession, dir: String, alpha: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w_raw", pow(col("n_chars").cast("double"), alpha))
+    bySource
+      .withColumn("weight",
+        round(col("w_raw") / sum(col("w_raw")).over(
+          Window.partitionBy()), 6))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c1_curate" -> curate _)
+    "c1_curate" -> curate _,
+    "c2_decontaminate" -> ((s: SparkSession, dir: String) => decontaminate(s, dir)),
+    "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
     "c1_curate" -> {
@@ -117,5 +174,27 @@ object Curation {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
          |  FROM kept)
          |WHERE rk = 1""".stripMargin
-    })
+    },
+    "c2_decontaminate" -> {
+      val joins = (2 to 8).map(i => s"t[i+${i - 1}]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, trim(text) AS txt,
+         |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |  CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(
+         |    generate_series(1, len(t) - 7),
+         |    i -> t[i] || ' ' || $joins))
+         |  ELSE [txt] END) AS gram FROM toks),
+         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 7 = 0)
+         |SELECT g.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 5""".stripMargin
+    },
+    "c3_mix_weights" ->
+      """SELECT source, n_docs, n_chars,
+        |  round(w_raw / sum(w_raw) OVER (), 6) AS weight
+        |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |        power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
+        |      FROM documents GROUP BY source)""".stripMargin)
 }
