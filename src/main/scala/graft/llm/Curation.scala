@@ -133,10 +133,30 @@ object Curation {
       .select(col("source"), col("n_docs"), col("n_chars"), col("weight"))
   }
 
+  /** Shard packing for training-data export: documents are assigned to
+    * fixed-budget shards (by char volume here; tokens at scale) via a
+    * cumulative sum per source. The window partitions by `source`, so
+    * no global single-partition window — each source packs its own
+    * shard sequence in parallel, which is how a 100 TB export actually
+    * lays out files (per-domain shard sets). The `cum - 1` keeps a doc
+    * that ends exactly on a boundary in the lower shard.
+    */
+  def packShards(s: SparkSession, dir: String, budget: Long = 50000L)
+      : DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - 1).cast("double") / budget).cast(LongType))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curate" -> curate _,
     "c2_decontaminate" -> ((s: SparkSession, dir: String) => decontaminate(s, dir)),
-    "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)))
+    "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)),
+    "c4_pack" -> ((s: SparkSession, dir: String) => packShards(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
     "c1_curate" -> {
@@ -196,5 +216,12 @@ object Curation {
         |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |        power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
-        |      FROM documents GROUP BY source)""".stripMargin)
+        |      FROM documents GROUP BY source)""".stripMargin,
+    "c4_pack" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 50000) AS BIGINT) AS shard
+        |FROM (SELECT doc_id, source, n_chars,
+        |        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM documents)""".stripMargin)
 }

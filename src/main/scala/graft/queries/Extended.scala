@@ -306,7 +306,37 @@ object Extended {
       .select("p.*")
   }
 
+  /** q39 — distribution-drift monitor (population stability index):
+    * compare l_extendedprice's histogram between two batch halves
+    * (orderkey parity as the stand-in batch split). One scan computes
+    * both sides' bin counts (conditional partial aggregates); the
+    * normalizing window runs over the 10-row bin frame. PSI per bin =
+    * (p_new − p_old)·ln(p_new/p_old) with the standard 1e-4 floor so
+    * empty bins stay finite; drift alarms typically fire at Σpsi>0.2.
+    * Fixed literal bin edges keep the bucketing engine-independent.
+    */
+  def q39Psi(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.0001
+    val bin = least(floor(col("l_extendedprice") / 10000), lit(9L)).cast(LongType)
+    val li = t(s, dir, "lineitem")
+      .select(bin.as("bin"), (col("l_orderkey") % 2).cast(LongType).as("side"))
+    val counts = li.groupBy("bin").agg(
+      count(when(col("side") === 0, 1)).as("n_old"),
+      count(when(col("side") === 1, 1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("p_old",
+        greatest(col("n_old") / sum(col("n_old")).over(w), lit(eps)))
+      .withColumn("p_new",
+        greatest(col("n_new") / sum(col("n_new")).over(w), lit(eps)))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        round(col("p_old"), 6).as("p_old"), round(col("p_new"), 6).as("p_new"),
+        round((col("p_new") - col("p_old")) * log(col("p_new") / col("p_old")), 6)
+          .as("psi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_psi"            -> q39Psi _,
     "q38_profile"        -> q38Profile _,
     "q37_range_join"     -> q37RangeJoin _,
     "q35_approx_stats"   -> q35ApproxStats _,
@@ -332,6 +362,19 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "q39_psi" ->
+      """SELECT bin, n_old, n_new,
+        |  round(p_old, 6) AS p_old, round(p_new, 6) AS p_new,
+        |  round((p_new - p_old) * ln(p_new / p_old), 6) AS psi
+        |FROM (
+        |  SELECT bin, n_old, n_new,
+        |    greatest(n_old * 1.0 / sum(n_old) OVER (), 0.0001) AS p_old,
+        |    greatest(n_new * 1.0 / sum(n_new) OVER (), 0.0001) AS p_new
+        |  FROM (
+        |    SELECT CAST(least(floor(l_extendedprice / 10000), 9) AS BIGINT) AS bin,
+        |      CAST(count(*) FILTER (l_orderkey % 2 = 0) AS BIGINT) AS n_old,
+        |      CAST(count(*) FILTER (l_orderkey % 2 = 1) AS BIGINT) AS n_new
+        |    FROM lineitem GROUP BY 1))""".stripMargin,
     "q38_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
       s"""SELECT '$c' AS col_name,
          |  CAST(count(*) AS BIGINT) AS n_rows,
