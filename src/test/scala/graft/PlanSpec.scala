@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
   }
 
+  test("c2 decontaminate: benchmark gram side broadcasts, no cartesian") {
+    val p = plan(graft.llm.Curation.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "corpus side must stream through the broadcast probe, not shuffle")
+  }
+
+  test("d7 char-gram LSH: no cartesian, no nested-loop join") {
+    val p = plan(SparkEntry.queries("d7_chargram_lsh")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q30 as-of join is a single shuffle (union + one window)") {
     val p = plan(Extended.q30AsofJoin(spark, sfDir))
     val shuffles = p.split("Exchange hashpartitioning").length - 1
