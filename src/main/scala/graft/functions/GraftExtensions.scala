@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(HashFunctions.fnName),
       new ExpressionInfo(classOf[Md5Prefix60].getName, HashFunctions.fnName),
       (children: Seq[Expression]) => Md5Prefix60(children.head)))
+    ext.injectFunction(TextFunctions.injection)
   }
 }

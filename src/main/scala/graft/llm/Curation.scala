@@ -91,16 +91,14 @@ object Curation {
     */
   def decontaminate(s: SparkSession, dir: String, n: Int = 8,
       minShared: Long = 5L): DataFrame = {
+    graft.functions.TextFunctions.register(s)
     val t = split(col("txt"), "\\s+")
     val sz = size(t)
-    val zipped = arrays_zip((1 to n).map(i => slice(t, lit(i), sz - (n - 1))): _*)
     val grams = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), trim(col("text")).as("txt"))
       .select(col("doc_id"),
-        when(sz >= n,
-          array_distinct(transform(zipped, z =>
-            concat_ws(" ", (0 until n).map(i => z.getField(i.toString)): _*))))
+        when(sz >= n, graft.functions.TextFunctions.wordNgrams(t, n))
           .otherwise(array(col("txt"))).as("grams"))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     // rename the benchmark side's columns: bench derives from the same

@@ -73,24 +73,19 @@ object Dedup {
     // shingle/md5/minhash work is CPU-bound, so spread it across all
     // cores. (A real 100 TB corpus has thousands of splits and skips
     // this — repartition only when splits < cores.)
-    // Shingles are built by zipping three shifted slices of the token
-    // array rather than per-element element_at lookups: CollapseProject
-    // inlines the split() into every reference, and higher-order
-    // lambdas are interpreted (no subexpression elimination), so an
-    // element-wise form re-runs the regex split per token per shingle
-    // (~7× slower at sf0.1). Slices are row-level — split runs O(1)
-    // times per document.
+    // Shingles come from the native word_ngrams kernel: one virtual
+    // call per doc, dedupe inside, everything in codegen. (The earlier
+    // HOF forms: per-element element_at re-runs the regex split per
+    // token — CollapseProject inlines it — and even the zip-slices
+    // transform pays an interpreted lambda per shingle.)
+    graft.functions.TextFunctions.register(s)
     val t = split(col("txt"), "\\s+")
     val n = size(t)
-    val zipped = arrays_zip(
-      slice(t, lit(1), n - 2), slice(t, lit(2), n - 2), slice(t, lit(3), n - 2))
     Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), trim(col("text")).as("txt"))
       .select(col("doc_id"),
-        when(n >= 3,
-          array_distinct(transform(zipped, z =>
-            concat_ws(" ", z.getField("0"), z.getField("1"), z.getField("2")))))
+        when(n >= 3, graft.functions.TextFunctions.wordNgrams(t, 3))
           .otherwise(array(col("txt"))).as("shingles"))
   }
 

@@ -31,6 +31,31 @@ class FunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) >= 0L))
   }
 
+  test("word_ngrams equals the HOF zip-slices form it replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // all >= 3 tokens: the HOF reference form errors on shorter input
+    // (callers guard with when(size >= n) — so does production code)
+    val texts = Seq("a b c d e", "x y z", "one one one one",
+      "a  b   c d").toDF("text")
+    val t = split(trim(col("text")), "\\s+")
+    val n = size(t)
+    val zipped = arrays_zip(
+      slice(t, lit(1), n - 2), slice(t, lit(2), n - 2), slice(t, lit(3), n - 2))
+    val rows = texts.select(
+      graft.functions.TextFunctions.wordNgrams(t, 3).as("fast"),
+      array_distinct(transform(zipped, z =>
+        concat_ws(" ", z.getField("0"), z.getField("1"), z.getField("2"))))
+        .as("ref")).collect()
+    rows.foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // short input (m < n) yields an empty gram array, no error
+    val short = Seq("hello").toDF("text").select(
+      graft.functions.TextFunctions.wordNgrams(
+        split(trim(col("text")), "\\s+"), 3)).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("vec_dot Column API agrees with SQL and handles length mismatch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
