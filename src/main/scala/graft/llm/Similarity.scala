@@ -126,7 +126,14 @@ object Similarity {
   //    SQL oracle — KMeans cell assignment isn't SQL-reproducible) ---------
   private def fitKmeans(df: DataFrame, k: Int) = {
     import org.apache.spark.ml.clustering.KMeans
-    new KMeans().setK(k).setSeed(777L).setFeaturesCol("features").fit(df)
+    // A coarse quantizer needs cell SHAPES, not converged centroids:
+    // cap Lloyd at 10 iterations (each is a full Spark job). k-means||
+    // init is kept — random init measurably drops recall on this
+    // corpus (spec-tested) and saves nothing: the remaining fit cost
+    // is per-job overhead, which at 100 TB amortizes into the one-off
+    // index build on a sample, not the query path.
+    new KMeans().setK(k).setSeed(777L).setMaxIter(10)
+      .setFeaturesCol("features").fit(df)
   }
 
   private def withFeatures(df: DataFrame): DataFrame =
