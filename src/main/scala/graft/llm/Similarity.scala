@@ -240,17 +240,23 @@ object Similarity {
       when(dot(v, planeCol(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: the hyperplane bucket replaces s2's pre-labeled
-    * cell — same equi-join probe shape, but the index is computed from
-    * the vectors themselves (the "LSH-bucketed variant" scale path; at
-    * 100 TB the bucket id is a write-time column and multi-probe = OR
-    * over neighbor buckets). Top-3 per query among same-bucket
-    * vectors; fully oracle-checked since the planes are literals.
+  /** Multi-probe LSH ANN: the hyperplane bucket replaces s2's
+    * pre-labeled cell — same equi-join probe shape, but the index is
+    * computed from the vectors themselves. Each query probes its own
+    * bucket plus every single-bit-flip neighbor (the sign most likely
+    * to disagree for a cosine-close pair is any ONE hyperplane —
+    * multi-probe recovers those misses without more tables, the
+    * standard LSH recall fix). Probes broadcast: |queries| × (planes+1)
+    * rows; the corpus never shuffles. Top-3 per query; fully
+    * oracle-checked since the planes are literals.
     */
   def knnLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
+    val probeBuckets = explode(array(
+      col("bucket") +: (0 until LshPlanes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i))): _*))
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+      .select(col("vec_id").as("q_id"), probeBuckets.as("q_bucket"),
         col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("q_bucket"))
@@ -333,17 +339,22 @@ object Similarity {
         val lst = p.mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
+      val flips = (0 until LshPlanes).map(i => s"xor(bucket, ${1L << i})")
+        .mkString(", ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id, v,
+         |    unnest([bucket, $flips]) AS q_bucket
+         |  FROM b WHERE vec_id < 20)
          |SELECT q_id, vec_id, sim, rk FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id,
          |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
          |        e.vec_id) AS rk
-         |  FROM b q JOIN b e ON e.bucket = q.bucket
-         |    AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |  FROM q JOIN b e ON e.bucket = q.q_bucket
+         |    AND e.vec_id <> q.vec_id)
          |WHERE rk <= 3""".stripMargin
     },
     "s5_quantize" ->
