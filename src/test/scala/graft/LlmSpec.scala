@@ -198,6 +198,72 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("redaction removes every URL, email, and long digit run") {
+    val rows = TextAnalysis.redact(spark, sfDir).collect()
+    rows.foreach { r =>
+      val red = r.getString(1)
+      assert(!red.matches(".*https?://[^\\s<]+.*"), red)
+      assert(!red.matches(s".*${TextAnalysis.emailRe}.*"), red)
+      assert(!red.matches(s".*${TextAnalysis.numRe}.*"), red)
+      assert(r.getLong(2) >= 0)
+    }
+  }
+
+  test("vocabulary: df <= corpus size, tf >= df, deterministic ordering") {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val rows = TextAnalysis.vocabulary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= nDocs)              // df <= |docs|
+      assert(r.getLong(1) >= r.getLong(2))        // tf >= df
+    }
+    val key = rows.map(r => (-r.getLong(2), -r.getLong(1), r.getString(0)))
+    assert(key.toSeq == key.sortBy(identity).toSeq, "not (df,tf,token)-ordered")
+  }
+
+  test("incremental dedup emits only new-slice docs with unseen fingerprints") {
+    val out = Dedup.incrementalDedup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 5 == 4), "non-new-batch doc emitted")
+    val fps = out.map(_.getString(1))
+    assert(fps.length == fps.distinct.length, "duplicate fp within batch output")
+    val knownFps = TextAnalysis.fingerprint(spark, sfDir).collect()
+      .filter(_.getLong(0) % 5 != 4).map(_.getString(1)).toSet
+    assert(fps.forall(!knownFps(_)), "known fp leaked through the anti-join")
+  }
+
+  test("mix weights sum to 1 and scale with source volume") {
+    import graft.llm.Curation
+    val rows = Curation.mixWeights(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val total = rows.map(_.getDouble(3)).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"weights sum $total")
+    // weight is monotone in n_chars (power with alpha > 0)
+    val byVolume = rows.sortBy(_.getLong(2))
+    assert(byVolume.map(_.getDouble(3)).toSeq ==
+      byVolume.map(_.getDouble(3)).sortBy(identity).toSeq)
+  }
+
+  test("shard packing: per-source shards contiguous, within budget") {
+    import graft.llm.Curation
+    val budget = 50000L
+    val rows = Curation.packShards(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val shards = rs.map(_._4).distinct.sorted
+      assert(shards.toSeq == (0L until shards.length).toSeq,
+        s"$src shards not contiguous: ${shards.toSeq}")
+      rs.groupBy(_._4).foreach { case (shard, docs) =>
+        // cum-based assignment: a shard holds at most budget chars
+        // plus the doc that crossed into it
+        val chars = docs.map(_._3).sum
+        val maxDoc = docs.map(_._3).max
+        assert(chars <= budget + maxDoc,
+          s"$src shard $shard overflows: $chars chars (max doc $maxDoc)")
+      }
+    }
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
