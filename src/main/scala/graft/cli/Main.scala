@@ -32,9 +32,18 @@ object Main {
     finally spark.stop()
   }
 
-  private def read(spark: SparkSession, path: String) =
-    if (path.endsWith(".csv")) Sources.csvInferred(spark, path)
+  /** Format dispatch: a `.csv` path OR a Spark CSV output directory
+    * (part-*.csv files) reads as header CSV — the reference passes CSV
+    * directories between scripts, so `stats` must consume `clean`'s
+    * own output. Everything else reads as parquet.
+    */
+  private def read(spark: SparkSession, path: String) = {
+    val f = new java.io.File(path)
+    val isCsvDir = f.isDirectory && Option(f.listFiles()).exists(
+      _.exists(_.getName.endsWith(".csv")))
+    if (path.endsWith(".csv") || isCsvDir) Sources.csvInferred(spark, path)
     else Sources.parquet(spark, path)
+  }
 
   def run(spark: SparkSession, args: Seq[String]): Unit = args match {
     case Seq("clean", in, out) =>

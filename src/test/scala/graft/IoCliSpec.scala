@@ -100,6 +100,20 @@ class IoCliSpec extends SparkSpec {
     }
   }
 
+  test("cli chain: stats consumes clean's CSV output (inter-script handoff)") {
+    val dir = Files.createTempDirectory("graft_chain").toString
+    AirlineFixture.generate(spark, 400).write.parquet(s"$dir/raw")
+    graft.cli.Main.run(spark, Seq("clean", s"$dir/raw", s"$dir/c"))
+    // the reference passes header CSV between scripts — stats must work
+    // off the inferred-schema read of clean's Full_Cleaned_Data
+    graft.cli.Main.run(spark,
+      Seq("stats", s"$dir/c/Full_Cleaned_Data", s"$dir/s"))
+    val uniNum = Sources.columnList(spark,
+      s"$dir/s/univariate_numerical_feature_selection.csv")
+    assert(uniNum.nonEmpty)
+    assert(Files.exists(Paths.get(s"$dir/s/corr_data_after.csv")))
+  }
+
   test("cli train lr emits reg + plain metric CSVs for all 3 feature sets") {
     val dir = Files.createTempDirectory("graft_train").toString
     val cleaned = graft.etl.Cleaning.cleaned(AirlineFixture.generate(spark, 400))
