@@ -24,6 +24,21 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Fault-tolerant CSV read for raw ingest: malformed rows land in
+    * `_corrupt_record` instead of failing the job (PERMISSIVE mode) —
+    * at 100 TB a handful of broken rows must not kill a multi-hour
+    * scan, and the corrupt column makes them routable to a quarantine
+    * sink. The passed schema gets the corrupt column appended.
+    */
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    spark.read
+      .option("header", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
   /** JSON-lines source (engine extension — declared schema, single
     * pass; inference variant for exploration only).
     */

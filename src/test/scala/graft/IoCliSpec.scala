@@ -30,6 +30,22 @@ class IoCliSpec extends SparkSpec {
     assert(list == Seq("AirTime", "Month"))
   }
 
+  test("permissive csv captures malformed rows instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_perm").toString
+    Files.writeString(Paths.get(s"$dir/in.csv"),
+      "a,b\n1,x\nnot_an_int,y\n3,z\n")
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val df = Sources.csvPermissive(spark, s"$dir/in.csv", schema).cache()
+    assert(df.count() == 3)
+    val bad = df.filter(df("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record")
+      .startsWith("not_an_int"))
+    assert(df.filter(df("_corrupt_record").isNull).count() == 2)
+    df.unpersist()
+  }
+
   test("json sink + source round-trip (declared schema and inferred)") {
     val dir = Files.createTempDirectory("graft_json").toString
     val df = AirlineFixture.generate(spark, 100)
