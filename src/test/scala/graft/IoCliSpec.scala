@@ -128,6 +128,11 @@ class IoCliSpec extends SparkSpec {
       s"$dir/s/univariate_numerical_feature_selection.csv")
     assert(uniNum.nonEmpty)
     assert(Files.exists(Paths.get(s"$dir/s/corr_data_after.csv")))
+    // third hand-off: viz off clean's visualization CSV directory
+    graft.cli.Main.run(spark,
+      Seq("viz", s"$dir/c/Flight_Data_Visualization", s"$dir/v"))
+    val dg = Sources.csvInferred(spark, s"$dir/v/Number_flights_vs_DelayGroup")
+    assert(dg.count() > 0)
   }
 
   test("cli train lr emits reg + plain metric CSVs for all 3 feature sets") {
