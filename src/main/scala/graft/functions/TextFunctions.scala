@@ -66,9 +66,36 @@ case class WordNgrams(child: Expression, n: Int)
 object TextFunctions {
   val fnName = "word_ngrams"
 
-  private def build(children: Seq[Expression]): Expression =
-    WordNgrams(children.head,
-      children(1).eval().asInstanceOf[Number].intValue())
+  /** SQL builder with analysis-time validation: `n` must be a foldable
+    * positive integer. Without the checks a bad call surfaces as an
+    * IndexOutOfBounds / ClassCast at resolution time (or a silent
+    * `[""]` gram for n <= 0) instead of a proper analysis error.
+    */
+  private def build(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.AnalysisException
+    if (children.length != 2)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> s"`$fnName`", "expectedNum" -> "2",
+        "actualNum" -> children.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+    val nExpr = children(1)
+    val n = if (nExpr.foldable) nExpr.eval() else null
+    val nInt = n match {
+      case i: Int => i
+      case i: Long => i.toInt
+      case i: Short => i.toInt
+      case i: Byte => i.toInt
+      case _ =>
+        throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+          "funcName" -> s"`$fnName`", "paramName" -> "`n`",
+          "paramType" -> "\"INT\""))
+    }
+    if (nInt <= 0)
+      throw new AnalysisException("INVALID_PARAMETER_VALUE.LENGTH", Map(
+        "parameter" -> "`n`", "functionName" -> s"`$fnName`",
+        "length" -> nInt.toString))
+    WordNgrams(children.head, nInt)
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

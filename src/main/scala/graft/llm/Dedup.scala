@@ -308,8 +308,13 @@ object Dedup {
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    // Null texts hash to a null fp; Spark's left_anti KEEPS null-key
+    // rows while SQL NOT IN drops them (and empties entirely if any
+    // known fp is null) — filter nulls on BOTH engines so the
+    // semantics agree by construction.
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), md5(norm).as("fp"))
+      .filter(col("fp").isNotNull)
     val known = docs.filter(col("doc_id") % 5 =!= 4).select("fp")
     val fresh = docs.filter(col("doc_id") % 5 === 4)
     val w = Window.partitionBy("fp").orderBy("doc_id")
@@ -347,13 +352,17 @@ object Dedup {
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
       |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
 
-  /** Char-5-gram variant of the shingle CTE (d7). */
+  /** Char-5-gram variant of the shingle CTE (d7). DuckDB `length()`
+    * counts CHARACTERS (like Spark's `char_length`); `strlen` counts
+    * bytes and would diverge on any multi-byte text — exactly the
+    * cross-lingual corpus this operator exists for.
+    */
   private val charShingleCte =
     """toks AS (SELECT doc_id,
       |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt FROM documents),
       |sh AS (SELECT doc_id,
-      |  CASE WHEN strlen(txt) >= 5 THEN list_distinct(list_transform(
-      |    generate_series(1, strlen(txt) - 4),
+      |  CASE WHEN length(txt) >= 5 THEN list_distinct(list_transform(
+      |    generate_series(1, length(txt) - 4),
       |    i -> substr(txt, CAST(i AS INTEGER), 5)))
       |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
 
@@ -390,7 +399,7 @@ object Dedup {
     "d6_incremental" ->
       """WITH d AS (SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |known AS (SELECT fp FROM d WHERE doc_id % 5 <> 4),
         |fresh AS (SELECT * FROM d WHERE doc_id % 5 = 4)
         |SELECT doc_id, fp FROM (

@@ -51,9 +51,14 @@ object Partitioning {
     */
   def writeCompacted(df: DataFrame, path: String,
       targetBytes: Long = 128L << 20): Unit = {
+    // Clamp in BigInt space BEFORE narrowing: when plan stats are
+    // unavailable the estimate is defaultSizeInBytes (Long.MaxValue),
+    // and a naive .toInt truncates that to -1 — collapsing the write
+    // to ONE giant partition, the exact failure this helper prevents.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = (bytes / BigInt(targetBytes)).toInt.max(1)
-      .min(df.sparkSession.sparkContext.defaultParallelism * 64)
+    val maxParts = BigInt(df.sparkSession.sparkContext.defaultParallelism * 64)
+    val parts = ((bytes + targetBytes - 1) / targetBytes)
+      .min(maxParts).max(1).toInt
     df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
