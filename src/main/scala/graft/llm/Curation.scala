@@ -78,38 +78,73 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
 
-  /** Benchmark-contamination scan (the decontamination pass a training
-    * corpus runs before release): corpus docs sharing >= `minShared`
-    * distinct word-8-grams with any benchmark doc. The stand-in
-    * benchmark set is the deterministic slice doc_id % 7 = 0.
-    *
-    * Scale shape: benchmarks are small by nature (thousands of rows vs
-    * the corpus's billions), so the exploded benchmark gram table
-    * BROADCASTS — the corpus side streams through one codegen'd
-    * hash-join probe + partial-aggregated count, no corpus shuffle of
-    * gram strings. 8-grams (not 3) so common phrases don't collide.
+  /** (doc_id, gram) table: distinct word-`n`-grams per doc, whole
+    * trimmed text as the single gram for docs under `n` tokens.
     */
-  def decontaminate(s: SparkSession, dir: String, n: Int = 8,
-      minShared: Long = 5L): DataFrame = {
-    graft.functions.TextFunctions.register(s)
+  private def wordGramTable(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
     val t = split(col("txt"), "\\s+")
     val sz = size(t)
-    val grams = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    docs
       .select(col("doc_id"), trim(col("text")).as("txt"))
       .select(col("doc_id"),
         when(sz >= n, graft.functions.TextFunctions.wordNgrams(t, n))
           .otherwise(array(col("txt"))).as("grams"))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-    // rename the benchmark side's columns: bench derives from the same
-    // plan (self-join) — distinct names sidestep attribute ambiguity
-    val bench = grams.filter(col("doc_id") % 7 === 0)
+  }
+
+  /** Benchmark-contamination scan (the decontamination pass a training
+    * corpus runs before release): corpus docs sharing >= `minShared`
+    * distinct word-`n`-grams with any doc of the SEPARATE `bench`
+    * table — the operator's whole purpose is checking the corpus
+    * against an external eval set, so the benchmark side is a
+    * parameter, not a corpus slice. Both inputs are (doc_id, text)
+    * frames; output is (doc_id, bench_id, n_shared).
+    *
+    * Scale shape: benchmarks are small by nature (thousands of rows vs
+    * the corpus's billions), so AQE broadcasts the exploded benchmark
+    * gram side after observing its ACTUAL runtime size — the corpus
+    * streams through one codegen'd hash-join probe + partial-aggregated
+    * count, no corpus shuffle of gram strings. There is deliberately no
+    * `broadcast()` hint: a hint would be taken on faith even for a
+    * corpus-sized bench input and OOM the executors, while the
+    * unhinted plan degrades gracefully to a shuffle join when the
+    * bench side really is big. 8-grams (not 3) so common phrases
+    * don't collide.
+    *
+    * `excludeSelf` drops gram matches where the two ids are equal —
+    * only meaningful when `bench` is carved out of the corpus itself
+    * (id namespaces coincide); an external benchmark keeps the default
+    * so an accidental id collision can't mask real contamination.
+    */
+  def decontaminateAgainst(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+      minShared: Long = 5L, excludeSelf: Boolean = false): DataFrame = {
+    val grams = wordGramTable(corpus, n)
+    // rename the benchmark side's columns: when bench derives from the
+    // same plan (slice flavor), distinct names sidestep self-join
+    // attribute ambiguity
+    val benchGrams = wordGramTable(bench, n)
       .select(col("doc_id").as("bench_id"), col("gram").as("bench_gram"))
-    grams.join(broadcast(bench),
-        col("gram") === col("bench_gram") && col("doc_id") =!= col("bench_id"))
+    val cond =
+      if (excludeSelf)
+        col("gram") === col("bench_gram") && col("doc_id") =!= col("bench_id")
+      else col("gram") === col("bench_gram")
+    grams.join(benchGrams, cond)
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Self-contained flavor for the oracle harness: the stand-in
+    * benchmark set is the deterministic corpus slice doc_id % 7 = 0.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8,
+      minShared: Long = 5L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    decontaminateAgainst(docs, docs.filter(col("doc_id") % 7 === 0),
+      n, minShared, excludeSelf = true)
   }
 
   /** Per-source mixing weights for training-data sampling: doc and

@@ -324,8 +324,93 @@ object Dedup {
       .select(col("doc_id"), col("fp"))
   }
 
+  // -- d8: dedup cluster resolution ----------------------------------------
+  /** Connected components over a symmetric-closed candidate edge list:
+    * returns (id, cluster_id) with cluster_id = the component's min id.
+    * This is the consumer the [[MaxBucket]] star-link guard presumes —
+    * star edges keep an oversized bucket connected, and the component
+    * min is exactly the doc a union-find would elect.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each pass runs (a) one equi-join of the edge list on current
+    * labels + a min-aggregate (every node takes the min label over its
+    * closed neighborhood), then (b) one self-equi-join `lbl := lbl(lbl)`
+    * (pointer jump) that halves label-chain depth — so convergence is
+    * O(log diameter) passes, and the candidate graph's diameter is
+    * small by construction (star-linked buckets are depth-1 trees).
+    *
+    * Scale shape: the vertex set is only docs that appear in some
+    * candidate pair — orders of magnitude smaller than the corpus —
+    * and each pass shuffles (id, lbl) longs only. `localCheckpoint`
+    * truncates lineage every pass so plan size and scheduling cost
+    * stay O(1) per iteration (the classic iterative-Spark plan-blowup
+    * fix); superseded checkpoint RDDs are reclaimed by Spark's
+    * ContextCleaner once unreferenced. Convergence is detected by the
+    * label-sum fixpoint: min-label propagation only ever decreases
+    * labels, so sum(lbl) is strictly decreasing until converged — one
+    * cheap aggregate action per pass instead of a change-count join.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    // checkpoint the node list first: it re-enters the union below with
+    // fresh attribute ids, keeping every union child's output disjoint
+    // (same-attribute unions trip Catalyst's constraint rewriting)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // symmetric closure + one self-loop per node: the per-pass min over
+    // neighbor labels then covers the CLOSED neighborhood (self
+    // included) with a single join + aggregate, no label-frame union
+    val sym = e.select(col("src").as("src"), col("dst").as("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // empty edge set
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val contracted = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = contracted.as("l")
+        .join(contracted.as("j"), col("l.lbl") === col("j.id"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("j.lbl"), col("l.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** The dedup family's terminal artifact: candidate pairs from BOTH
+    * near-dup detectors (d2 MinHash ∪ d5 SimHash) resolved into
+    * duplicate clusters, with a keep/drop flag — keep the component's
+    * min doc_id, drop the rest. Docs in no candidate pair are
+    * implicitly kept (they'd be |corpus| singleton rows; the keep/drop
+    * list only needs the docs dedup touches).
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashCandidates(s, dir)
+      .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    connectedComponents(edges)
+      .withColumn("keep",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"  -> exactDedup _,
+    "d8_dedup_clusters" -> dedupClusters _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d3_jaccard_verify" -> jaccardVerify _,
     "d4_simhash"      -> simhash _,
@@ -390,7 +475,55 @@ object Dedup {
 
   private val sigCte = sigCteFrom(shingleCte)
 
+  /** d5's SimHash candidate chain with `sim`-prefixed CTE names so it
+    * can share a WITH clause with [[sigCte]] (both define `sh`/`bsz`).
+    */
+  private val simCandCte =
+    """simtk AS (SELECT doc_id,
+      |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |simh AS (SELECT doc_id,
+      |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM simtk),
+      |simbsum AS (SELECT doc_id, j,
+      |  SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM simh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+      |  GROUP BY doc_id, j),
+      |simsh AS (SELECT doc_id,
+      |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+      |  FROM simbsum GROUP BY doc_id),
+      |simbanded AS (SELECT doc_id, simhash, b AS band_idx,
+      |  (simhash >> (b * 8)) & 255 AS band_byte
+      |  FROM simsh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+      |simbsz AS (SELECT band_idx, band_byte, COUNT(*) AS n, MIN(doc_id) AS rep
+      |  FROM simbanded GROUP BY band_idx, band_byte),
+      |simcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM simbanded x JOIN simbanded y
+      |    ON x.band_idx = y.band_idx AND x.band_byte = y.band_byte
+      |    AND x.doc_id < y.doc_id
+      |  JOIN simbsz ON simbsz.band_idx = x.band_idx AND simbsz.band_byte = x.band_byte
+      |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+      |    AND (simbsz.n <= 1000 OR x.doc_id = simbsz.rep))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // d8: connected components as a recursive reachability closure —
+    // r(node, reach) enumerates every node reachable from `node` over
+    // the symmetric edge set (self-edge seeds include singletons), so
+    // min(reach) is the component minimum. Quadratic in component
+    // size, which is fine for an oracle (components are near-dup
+    // clusters, i.e. small); the Spark side is the scalable path.
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$simCandCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |  UNION SELECT doc_a, doc_b FROM simcand
+         |  UNION SELECT doc_b, doc_a FROM simcand),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |r AS (SELECT id AS node, id AS reach FROM nodes
+         |  UNION
+         |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT node AS doc_id, min(reach) AS cluster_id,
+         |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM r GROUP BY node""".stripMargin,
     "d7_chargram_lsh" ->
       s"WITH ${sigCteFrom(charShingleCte, CharSampleMod)} SELECT doc_a, doc_b FROM cand",
     "d1_exact_dedup" ->

@@ -264,6 +264,56 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("cluster resolution: star-linked bucket collapses to its min doc_id") {
+    import spark.implicits._
+    // 5 docs with identical shingle sets land in one LSH bucket; with
+    // maxBucket = 2 the guard emits only star edges (1, i) — union-find
+    // over those stars must still elect one cluster under doc 1
+    val shingles = (1L to 5L).map(i => (i, Seq("a b c", "b c d", "c d e")))
+      .toDF("doc_id", "shingles")
+    val edges = Dedup.minhashCandidatesFrom(shingles, maxBucket = 2)
+    val stars = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stars == (2L to 5L).map(i => (1L, i)).toSet, s"expected stars, got $stars")
+    val clusters = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == (1L to 5L).map(_ -> 1L).toMap)
+  }
+
+  test("connected components: chains, multiple components, singleton-free") {
+    import spark.implicits._
+    // component A: a 6-node chain (stresses pointer jumping — label
+    // must travel 5 hops); component B: a triangle; ids deliberately
+    // unsorted so min-election isn't positional
+    val edges = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
+      (30L, 20L), (20L, 25L), (25L, 30L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (7L to 12L).map(_ -> 7L).toMap ++
+      Seq(20L, 25L, 30L).map(_ -> 20L).toMap
+    assert(got == want)
+    // empty edge set → empty result, no crash
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+  }
+
+  test("decontaminate against an external benchmark table") {
+    import spark.implicits._
+    import graft.llm.Curation
+    val passage = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"prefix $passage suffix tokens here"), // contaminated
+      (101L, "a completely different document about something else entirely" +
+        " with many more words than eight")).toDF("doc_id", "text")
+    val bench = Seq((7L, passage)).toDF("doc_id", "text")
+    val hits = Curation.decontaminateAgainst(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((100L, 7L, 5L)), hits.toSeq.toString)
+    // id collision with an external bench must NOT mask contamination
+    val collidingBench = Seq((100L, passage)).toDF("doc_id", "text")
+    val collided = Curation.decontaminateAgainst(corpus, collidingBench).collect()
+    assert(collided.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 100L)))
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()

@@ -78,11 +78,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
   }
 
-  test("c2 decontaminate: benchmark gram side broadcasts, no cartesian") {
+  test("c2 decontaminate: equi-join (broadcast or shuffle by size), no cartesian") {
+    // no forced broadcast: AQE picks broadcast for a genuinely small
+    // bench side and falls back to a shuffle join for a big one — both
+    // are legitimate shapes, only a cartesian/nested-loop is not
     val p = plan(graft.llm.Curation.decontaminate(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      "corpus side must stream through the broadcast probe, not shuffle")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
   test("d7 char-gram LSH: no cartesian, no nested-loop join") {
