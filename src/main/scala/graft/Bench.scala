@@ -13,12 +13,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
     // absorb session warmup (codegen, scheduler, parquet footer reads)
     // so the first timed query isn't charged for it
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val warmupSec = timed(spark.range(1000000L).selectExpr("sum(id)").collect())
     graft.core.Tables.all.foreach(t =>
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
+    // contamination sentinel: a fixed trivial query (pure CPU, no IO,
+    // post-warmup) whose cost is load-invariant BY THE ENGINE — on a
+    // quiet box it runs in milliseconds, so an inflated value flags the
+    // whole artifact as load-contaminated without needing a rerun
+    val sentinelSec = timed(spark.range(10000000L)
+      .selectExpr("sum(id * 3 % 7)").collect())
     // median of 3 runs per query: a single load spike on the box can't
     // distort the round-over-round comparison
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -34,7 +43,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // warmup_sec/sentinel_sec make a dirty run machine-detectable from
+    // the artifact alone: both are fixed-size engine-only operations
+    // (quiet-box reference ~0.1-0.5 s); a multiple of that means the
+    // box was loaded and the per-query numbers are noise.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"sentinel_sec":$sentinelSec}""")
     spark.stop()
   }
 }

@@ -36,11 +36,20 @@ object Main {
     * (part-*.csv files) reads as header CSV — the reference passes CSV
     * directories between scripts, so `stats` must consume `clean`'s
     * own output. Everything else reads as parquet.
+    *
+    * Directory sniffing goes through the Hadoop `FileSystem` resolved
+    * from the path itself, so `hdfs://`/`s3a://`/`file:` URIs all
+    * dispatch correctly — `java.io.File` would silently misclassify
+    * any object-store CSV directory as parquet.
     */
-  private def read(spark: SparkSession, path: String) = {
-    val f = new java.io.File(path)
-    val isCsvDir = f.isDirectory && Option(f.listFiles()).exists(
-      _.exists(_.getName.endsWith(".csv")))
+  private[graft] def read(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isCsvDir =
+      try fs.getFileStatus(p).isDirectory &&
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.csv")))
+          .exists(_.nonEmpty)
+      catch { case _: java.io.FileNotFoundException => false }
     if (path.endsWith(".csv") || isCsvDir) Sources.csvInferred(spark, path)
     else Sources.parquet(spark, path)
   }

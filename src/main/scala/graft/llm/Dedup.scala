@@ -226,7 +226,13 @@ object Dedup {
   def jaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashCandidatesFrom(sh)
+    // Eager: localCheckpoint materializes the (small, O(candidates))
+    // verified-pair result so the corpus-sized shingle cache can be
+    // RELEASED before returning — a library caller must not keep
+    // paying pinned executor memory after the query completes. The
+    // superseded checkpoint RDD is reclaimed by ContextCleaner when
+    // the returned frame is garbage collected.
+    try minhashCandidatesFrom(sh)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -234,6 +240,8 @@ object Dedup {
           / size(array_union(col("sa.shingles"), col("sb.shingles"))).cast("double"),
           4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+      .localCheckpoint(true)
+    finally sh.unpersist()
   }
 
   // -- d4: SimHash ---------------------------------------------------------

@@ -186,8 +186,13 @@ object Similarity {
     import s.implicits._
     val e = withFeatures(embDf)
     val model = fitKmeans(e, k)
+    // persisted: the assignment feeds BOTH the query/probe subtree and
+    // the corpus side of the cell join — without the cache the KMeans
+    // transform lineage executes twice; released before returning (the
+    // small result is checkpointed below)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     val centDf = cents.toDF("cell", "cv")
@@ -204,7 +209,7 @@ object Similarity {
       .filter(col("cr") <= nprobe)
       .select(col("q_id"), col("cell"), col("qv"), col("qn"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    assigned.join(broadcast(probes), "cell")
+    try assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
@@ -212,6 +217,8 @@ object Similarity {
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("vec_id"), col("sim"),
         col("rk").cast(LongType).as("rk"))
+      .localCheckpoint(true)
+    finally assigned.unpersist()
   }
 
   // -- s6: random-hyperplane LSH ANN --------------------------------------

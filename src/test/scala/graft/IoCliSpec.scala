@@ -22,6 +22,23 @@ class IoCliSpec extends SparkSpec {
     assert(back.columns.toSet == df.columns.toSet)
   }
 
+  test("cli format dispatch resolves CSV dirs through Hadoop FS (file: URI)") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val df = AirlineFixture.generate(spark, 50)
+    Sinks.csv(df, s"$dir/csvout", singleFile = true)
+    df.write.mode("overwrite").parquet(s"$dir/pqout")
+    // an explicit file: URI must dispatch the same as a bare path —
+    // the sniff goes through the path's own FileSystem, not java.io
+    val viaCsv = graft.cli.Main.read(spark, s"file:$dir/csvout")
+    assert(viaCsv.count() == 50 && viaCsv.columns.toSet == df.columns.toSet)
+    val viaParquet = graft.cli.Main.read(spark, s"file:$dir/pqout")
+    assert(viaParquet.count() == 50)
+    // missing path: dispatch must not throw while sniffing (the read
+    // itself will fail later, as it should)
+    try { graft.cli.Main.read(spark, s"file:$dir/nope"); () }
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+  }
+
   test("tinyCsv + columnList round-trip (S3/S4 driver-side path)") {
     val dir = Files.createTempDirectory("graft_tiny").toString
     Sinks.tinyCsv(Seq("selected_features"),

@@ -48,6 +48,16 @@ class LlmSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(2) >= 0.8))
   }
 
+  test("jaccard verify and kmeans IVF release their caches after materializing") {
+    spark.catalog.clearCache()
+    Dedup.jaccardVerify(spark, sfDir)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jaccardVerify left a corpus-sized shingle cache pinned")
+    Similarity.knnIvfKmeans(spark, sfDir)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "knnIvfKmeans left the cell-assignment cache pinned")
+  }
+
   test("simhash of identical texts collide; hamming distance is small for near-dups") {
     val sims = Dedup.simhash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
