@@ -79,21 +79,30 @@ object TextFunctions {
         "actualNum" -> children.length.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
     val nExpr = children(1)
-    val n = if (nExpr.foldable) nExpr.eval() else null
-    val nInt = n match {
+    // INVALID_PARAMETER_VALUE.INTEGER is the closest stock template
+    // ("expects an integer literal, but got <invalidValue>"); the
+    // free-form invalidValue carries the precise constraint since no
+    // built-in class states "positive INT" for an arbitrary parameter.
+    def invalidN(invalidValue: String): Nothing =
+      throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+        "parameter" -> "`n`", "functionName" -> s"`$fnName`",
+        "invalidValue" -> invalidValue))
+    if (!nExpr.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> s"`$fnName`", "paramName" -> "`n`",
+        "paramType" -> "\"INT\""))
+    val nInt = nExpr.eval() match {
+      case null =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
+          "parameter" -> "`n`", "functionName" -> s"`$fnName`"))
       case i: Int => i
-      case i: Long => i.toInt
+      case i: Long if i >= Int.MinValue && i <= Int.MaxValue => i.toInt
+      case i: Long => invalidN(s"$i (out of INT range)")
       case i: Short => i.toInt
       case i: Byte => i.toInt
-      case _ =>
-        throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
-          "funcName" -> s"`$fnName`", "paramName" -> "`n`",
-          "paramType" -> "\"INT\""))
+      case _ => invalidN(nExpr.sql) // typed but non-integral literal
     }
-    if (nInt <= 0)
-      throw new AnalysisException("INVALID_PARAMETER_VALUE.LENGTH", Map(
-        "parameter" -> "`n`", "functionName" -> s"`$fnName`",
-        "length" -> nInt.toString))
+    if (nInt <= 0) invalidN(s"$nInt (must be >= 1)")
     WordNgrams(children.head, nInt)
   }
 

@@ -230,7 +230,7 @@ object TextAnalysis {
         |CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
         |CAST(len(regexp_extract_all(txt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
         |  AS n_bpe_tokens,
-        |round(list_sum(list_transform(t, x -> CAST(strlen(x) AS DOUBLE))) / len(t), 4)
+        |round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t), 4)
         |  AS avg_token_len
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
         |      trim(text) AS txt FROM documents)""".stripMargin,
@@ -271,7 +271,7 @@ object TextAnalysis {
          |FROM (SELECT doc_id,
          |  $scores
          |  FROM (SELECT doc_id, list_distinct(list_transform(
-         |          generate_series(1, strlen(txt) - 1),
+         |          generate_series(1, length(txt) - 1),
          |          i -> substr(txt, CAST(i AS INTEGER), 2))) AS g
          |        FROM (SELECT doc_id, lower(trim(text)) AS txt FROM documents)))""".stripMargin
     },

@@ -56,6 +56,41 @@ class FunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("word_ngrams rejects bad arguments with proper analysis errors") {
+    import org.apache.spark.sql.AnalysisException
+    import spark.implicits._
+    graft.functions.TextFunctions.register(spark)
+    val df = Seq(Seq("a", "b", "c")).toDF("arr")
+    df.createOrReplaceTempView("wn_args")
+    def err(sql: String): AnalysisException =
+      intercept[AnalysisException](spark.sql(sql).collect())
+    // wrong arity
+    assert(err("SELECT word_ngrams(arr) FROM wn_args")
+      .getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    // non-foldable n
+    assert(err("SELECT word_ngrams(arr, size(arr)) FROM wn_args")
+      .getCondition == "NON_FOLDABLE_ARGUMENT")
+    // NULL literal n
+    assert(err("SELECT word_ngrams(arr, CAST(NULL AS INT)) FROM wn_args")
+      .getCondition == "INVALID_PARAMETER_VALUE.NULL")
+    // non-positive n
+    assert(err("SELECT word_ngrams(arr, 0) FROM wn_args")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    assert(err("SELECT word_ngrams(arr, -2) FROM wn_args")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    // LONG literal outside INT range must NOT silently truncate
+    assert(err("SELECT word_ngrams(arr, 4294967299) FROM wn_args")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    // non-integral literal types
+    assert(err("SELECT word_ngrams(arr, 'three') FROM wn_args")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    assert(err("SELECT word_ngrams(arr, 2.5) FROM wn_args")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    // in-range LONG literal still works
+    assert(spark.sql("SELECT word_ngrams(arr, 2L) FROM wn_args")
+      .head.getSeq[String](0) == Seq("a b", "b c"))
+  }
+
   test("vec_dot Column API agrees with SQL and handles length mismatch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

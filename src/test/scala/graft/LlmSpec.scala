@@ -306,6 +306,36 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).collect().isEmpty)
   }
 
+  test("char-gram shingles are character-based on multi-byte text (d7 oracle parity)") {
+    import spark.implicits._
+    // the d7 oracle counts CHARACTERS (DuckDB length/substr); a
+    // byte-counting regression (strlen semantics) diverges on exactly
+    // this corpus — CJK (3 bytes/char) and accented latin (2 bytes)
+    val fixture = Seq(
+      (1L, "Héllo wörld"),
+      (2L, "日本語のテキストです"),
+      (3L, "短い")) // 2 chars < k → whole-text fallback
+    val dir = java.nio.file.Files.createTempDirectory("graft_cjk").toString
+    fixture.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.charShingleHashes(spark, dir, k = 5).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    // reference: char-based 5-grams + the md5-fold hash, in plain Scala
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % Dedup.M
+    }
+    def grams(t: String, k: Int = 5): Seq[String] = {
+      val s = t.trim.replaceAll("\\s+", " ").toLowerCase
+      if (s.length >= k) (0 to s.length - k).map(i => s.substring(i, i + k))
+      else Seq(s)
+    }
+    fixture.foreach { case (id, txt) =>
+      assert(got(id) == grams(txt).map(h60).toSet, s"doc $id ($txt)")
+    }
+  }
+
   test("decontaminate against an external benchmark table") {
     import spark.implicits._
     import graft.llm.Curation

@@ -45,6 +45,36 @@ class ModelFamiliesSpec extends SparkSpec {
     assert(r.metrics.accuracy > 0.0)
   }
 
+  // -- fixture-golden metrics ----------------------------------------------
+  // The fixture is pure-hash-derived and the holdout split is temporal,
+  // so every metric below is exactly reproducible in this pinned
+  // session (local[4], 4 shuffle partitions). Locking the values turns
+  // a silent feature-pipeline drift — a dropped column, a changed
+  // scaler, an indexer reorder — into a test failure; the 1e-3 band
+  // absorbs ulp-level reduction-order noise and nothing else.
+  // (BASELINE.md's real-data metrics are unreachable without the real
+  // data; the fixture's own metrics are the testable surrogate.)
+
+  test("golden: LR metrics on the deterministic fixture") {
+    val m = TrainJob.run(cleaned, cols._1.take(1), cols._2,
+      new LogisticRegression(), None).metrics
+    val want = Seq(0.445215, 0.920502, 0.0, 0.0, 0.0, 0.882399)
+    val got = Seq(m.areaRoc, m.accuracy, m.tpr, m.fpr, m.precision, m.f1)
+    got.zip(want).zip(Seq("roc", "acc", "tpr", "fpr", "prec", "f1")).foreach {
+      case ((g, w), n) => assert(math.abs(g - w) < 1e-3, s"$n drifted: $g vs $w")
+    }
+  }
+
+  test("golden: GBT metrics on the deterministic fixture") {
+    val m = TrainJob.run(cleaned, cols._1.take(1), cols._2,
+      new GBTClassifier().setSeed(777L).setMaxDepth(3).setMaxIter(3), None).metrics
+    val want = Seq(0.352632, 0.912134, 0.0, 0.009091, 0.0, 0.878203)
+    val got = Seq(m.areaRoc, m.accuracy, m.tpr, m.fpr, m.precision, m.f1)
+    got.zip(want).zip(Seq("roc", "acc", "tpr", "fpr", "prec", "f1")).foreach {
+      case ((g, w), n) => assert(math.abs(g - w) < 1e-3, s"$n drifted: $g vs $w")
+    }
+  }
+
   // -- BASELINE.md degenerate-behavior sentinels ---------------------------
 
   test("sentinel: LinearSVC under heavy reg collapses to the majority class " +

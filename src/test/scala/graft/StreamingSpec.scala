@@ -63,6 +63,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream/batch equivalence: windowedCounts agrees with the batch groupBy") {
+    implicit val sc = spark.sqlContext
+    // 60 events over 3 hours, 2 types, repeating users — enough to
+    // populate several windows with mixed content
+    val events = (0 until 60).map { i =>
+      Event(i, ts(i * 7 % 180), i % 5, if (i % 3 == 0) "click" else "view", i * 0.5)
+    }
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.windowedCounts(mem.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wceq").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window.start"), col("event_type"), col("n"),
+          round(col("total"), 6).as("total"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // the same transform on the same rows as a plain batch DataFrame
+      // (withWatermark is a no-op in batch) must produce identical
+      // window/type totals — the unification claim, now tested
+      val streamed = canon(spark.table("wceq"))
+      val batch = canon(EventStreams.windowedCounts(events.toDF(), "1 hour", "1 hour"))
+      assert(streamed == batch, s"stream $streamed\nbatch $batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream/batch equivalence: ingest dedup keeps exactly batch-distinct keys") {
+    implicit val sc = spark.sqlContext
+    val events = (0 until 40).map(i => Event(i % 13, ts(i), i % 4, "e", i.toDouble))
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("ddeq").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamIds = spark.table("ddeq").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batchIds = events.toDF().dropDuplicates("event_id").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamIds == batchIds, s"stream $streamIds vs batch $batchIds")
+      assert(streamIds == streamIds.distinct, "stream emitted a duplicate key")
+    } finally q.stop()
+  }
+
   test("readEvents wires a file stream with the batch schema") {
     val df = EventStreams.readEvents(spark, s"$sfDir/events.parquet")
     assert(df.isStreaming)
