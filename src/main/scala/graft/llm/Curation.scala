@@ -185,8 +185,29 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_chars"), col("shard"))
   }
 
+  /** Token-budget shard packing: same per-source cumulative-sum layout
+    * as [[packShards]], but budgeted in TOKENS — the unit a training
+    * run actually consumes (fixed-token shards give uniform step
+    * costs; char-budgeted shards skew under varying token lengths).
+    * Token counts come from the same whitespace tokenizer as t1, one
+    * codegen projection before the window — the text itself never
+    * enters the shuffle.
+    */
+  def packShardsByTokens(s: SparkSession, dir: String,
+      budget: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - 1).cast("double") / budget).cast(LongType))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curate" -> curate _,
+    "c5_pack_tokens" -> ((s: SparkSession, dir: String) => packShardsByTokens(s, dir)),
     "c2_decontaminate" -> ((s: SparkSession, dir: String) => decontaminate(s, dir)),
     "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)),
     "c4_pack" -> ((s: SparkSession, dir: String) => packShards(s, dir)))
@@ -250,6 +271,16 @@ object Curation {
         |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |        power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
         |      FROM documents GROUP BY source)""".stripMargin,
+    "c5_pack_tokens" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 2000) AS BIGINT) AS shard
+        |FROM (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM (SELECT doc_id, source,
+        |              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |                AS n_tokens
+        |            FROM documents))""".stripMargin,
     "c4_pack" ->
       """SELECT doc_id, source, n_chars,
         |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 50000) AS BIGINT) AS shard

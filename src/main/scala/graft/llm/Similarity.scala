@@ -295,8 +295,57 @@ object Similarity {
         col("col").as("q"), round(col("scale"), 6).as("scale"))
   }
 
+  // -- s7: IVF search over int8-quantized vectors (ADC) --------------------
+  /** Corpus vectors in their stored int8 form plus the dequantized
+    * double view — scale, int8 codes, and dequantized array computed
+    * in one narrow codegen projection (the read path of an index whose
+    * payload is [[quantizeInt8]]'s 1-byte/dim format).
+    */
+  private def dequantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val amax = array_max(transform(col("v"), x => abs(x)))
+    e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("scale", lit(127.0) / greatest(amax, lit(1e-30)))
+      .withColumn("q8",
+        transform(col("v"), x => round(x * col("scale")).cast("int")))
+      .withColumn("dq",
+        transform(col("q8"), q => q.cast("double") / col("scale")))
+      .withColumn("dqn", sqrt(dot(col("dq"), col("dq"))))
+  }
+
+  /** Asymmetric-distance IVF search: the same cell-probed equi-join as
+    * [[knnIvf]], but the CORPUS side is scored from its int8-quantized
+    * form (dequantize-in-expression) while queries stay full
+    * precision — the standard ADC layout, where the index holds 1
+    * byte/dim + one scale and only the handful of query vectors ever
+    * exist at fp precision. At 100 TB this is a 4× scan-volume cut on
+    * the dominant side of the join for <1e-2 cosine error (spec-
+    * bounded); the dequant arithmetic is deterministic doubles, so the
+    * whole path stays DuckDB-oracle-checkable.
+    */
+  def knnIvfInt8(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val e = dequantized(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    e.join(broadcast(q), col("label") === col("q_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("dq")) / (col("qn") * col("dqn")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> knnBrute _,
+    "s7_knn_int8" -> ((s: SparkSession, dir: String) => knnIvfInt8(s, dir)),
     "s2_knn_ivf"   -> knnIvf _,
     "s3_embed_dup" -> embedDupPairs _,
     // rows-only by declaration: KMeans cell assignment isn't
@@ -309,6 +358,29 @@ object Similarity {
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
 
   val oracleSql: Map[String, String] = Map(
+    // s7: same quantize arithmetic as s5 (proved cross-engine there),
+    // then ADC scoring — fp query · dequantized corpus
+    "s7_knn_int8" -> {
+      val adcSim =
+        """round(list_dot_product(q.v, e.dq)
+          |      / (sqrt(list_dot_product(q.v, q.v))
+          |         * sqrt(list_dot_product(e.dq, e.dq))), 6)""".stripMargin
+      s"""WITH raw AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, label, v,
+         |  127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+         |    AS scale FROM raw),
+         |dqt AS (SELECT vec_id, label, v,
+         |  list_transform(v, x -> round(x * scale) / scale) AS dq FROM sc)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    $adcSim AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $adcSim DESC, e.vec_id) AS rk
+         |  FROM dqt q JOIN dqt e ON e.label = q.label
+         |    AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |WHERE rk <= 3""".stripMargin
+    },
     "s1_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings)

@@ -336,6 +336,37 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("int8 ADC search: bounded quantization error, high agreement with fp IVF") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val i8 = Similarity.knnIvfInt8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(i8.nonEmpty)
+    // ADC sim within 1e-2 of the exact fp cosine for every scored pair
+    i8.foreach { case (q, v, sim) =>
+      assert(math.abs(sim - cos(emb(q), emb(v))) < 1e-2, s"pair ($q,$v)")
+    }
+    // top-3 agreement with the fp IVF over the same cells: int8 noise
+    // may flip near-ties but must not reorder the neighborhood
+    val fpTop = Similarity.knnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val i8Top = i8.map(t => (t._1, t._2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = fpTop.keys.toSeq.map { q =>
+      val denom = fpTop(q).size.toDouble
+      fpTop(q).intersect(i8Top.getOrElse(q, Set.empty)).size / denom
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean fp-agreement $mean")
+  }
+
   test("decontaminate against an external benchmark table") {
     import spark.implicits._
     import graft.llm.Curation
