@@ -359,8 +359,12 @@ object Dedup {
     * cheap aggregate action per pass instead of a change-count join.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val e = edges.toDF("src", "dst")
-    // checkpoint the node list first: it re-enters the union below with
+    // materialize the upstream edge pipeline ONCE: both derivations
+    // below (node list, symmetric closure) would otherwise recompute
+    // the full candidate-generation lineage — for the dedup graph
+    // that's two complete LSH passes over the corpus
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    // checkpoint the node list too: it re-enters the union below with
     // fresh attribute ids, keeping every union child's output disjoint
     // (same-attribute unions trip Catalyst's constraint rewriting)
     val nodes = e.select(col("src").as("id"))
@@ -369,11 +373,12 @@ object Dedup {
       .localCheckpoint(true)
     // symmetric closure + one self-loop per node: the per-pass min over
     // neighbor labels then covers the CLOSED neighborhood (self
-    // included) with a single join + aggregate, no label-frame union
+    // included) with a single join + aggregate, no label-frame union.
+    // No distinct: min-aggregation is insensitive to duplicate edges,
+    // and deduplicating would cost a full shuffle of the edge set.
     val sym = e.select(col("src").as("src"), col("dst").as("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -416,9 +421,30 @@ object Dedup {
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
   }
 
+  /** Applies the d8 keep/drop list: the deduplicated corpus itself —
+    * documents minus every non-representative member of a duplicate
+    * cluster — which is what a training run actually reads (the
+    * reference's cleaning stage likewise ends by writing the cleaned
+    * table, `Scripts/1_cs_777_cleaning_data.py:102`). Projects
+    * metadata only; the text column never enters the anti-join.
+    *
+    * Scale shape: the drop side is only the clustered docs' ids
+    * (near-dup fraction of the corpus, orders of magnitude smaller) —
+    * AQE broadcasts it when small and falls back to a hash-partitioned
+    * anti-join keyed on doc_id when it isn't.
+    */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val drops = dedupClusters(s, dir)
+      .filter(col("keep") === 0).select(col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"  -> exactDedup _,
     "d8_dedup_clusters" -> dedupClusters _,
+    "d9_dedup_apply"  -> dedupApply _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d3_jaccard_verify" -> jaccardVerify _,
     "d4_simhash"      -> simhash _,
@@ -532,6 +558,22 @@ object Dedup {
          |SELECT node AS doc_id, min(reach) AS cluster_id,
          |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM r GROUP BY node""".stripMargin,
+    // d9: d8's reachability closure, then the complement — documents
+    // whose id is NOT a dropped (non-minimum) cluster member
+    "d9_dedup_apply" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$simCandCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |  UNION SELECT doc_a, doc_b FROM simcand
+         |  UNION SELECT doc_b, doc_a FROM simcand),
+         |cnodes AS (SELECT DISTINCT a AS id FROM e),
+         |r AS (SELECT id AS node, id AS reach FROM cnodes
+         |  UNION
+         |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |drops AS (SELECT node FROM r GROUP BY node HAVING node <> min(reach))
+         |SELECT doc_id, source, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
     "d7_chargram_lsh" ->
       s"WITH ${sigCteFrom(charShingleCte, CharSampleMod)} SELECT doc_a, doc_b FROM cand",
     "d1_exact_dedup" ->

@@ -343,8 +343,23 @@ object Similarity {
         col("rk").cast(LongType).as("rk"))
   }
 
+  // -- s8: semantic dup clusters over the embedding pair graph -------------
+  /** The embedding-side analogue of d8: [[embedDupPairs]] candidates
+    * resolved into clusters by the same min-label-propagation
+    * connected components ([[Dedup.connectedComponents]]), with the
+    * keep/drop flag electing each cluster's min vec_id. Closes the
+    * semantic-dedup path the same way d8 closes the lexical one — the
+    * pair list becomes an actionable keep list.
+    */
+  def embedClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        embedDupPairs(s, dir).select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0).as("keep"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> knnBrute _,
+    "s8_embed_clusters" -> embedClusters _,
     "s7_knn_int8" -> ((s: SparkSession, dir: String) => knnIvfInt8(s, dir)),
     "s2_knn_ivf"   -> knnIvf _,
     "s3_embed_dup" -> embedDupPairs _,
@@ -412,6 +427,25 @@ object Similarity {
          |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6) AS sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.35""".stripMargin,
+    // s8: s3's pair predicate feeding the same recursive reachability
+    // closure as the d8 oracle — min(reach) is the component minimum
+    "s8_embed_clusters" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT id_a, id_b FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6) AS sim
+         |  FROM e0 a JOIN e0 b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.35),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |r AS (SELECT id AS node, id AS reach FROM nodes
+         |  UNION
+         |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT node AS vec_id, min(reach) AS cluster_id,
+         |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM r GROUP BY node""".stripMargin,
     "s6_knn_lsh" -> {
       // the same plane constants as literals — bit-identical arithmetic
       val bucketSql = planes.zipWithIndex.map { case (p, i) =>

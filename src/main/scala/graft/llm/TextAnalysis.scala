@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 import graft.core.Tables
 
@@ -212,7 +213,39 @@ object TextAnalysis {
       .orderBy(desc("df"), desc("tf"), col("token"))
       .limit(topK)
 
+  // -- t8: per-document TF-IDF keywords ------------------------------------
+  /** Top-`topK` characteristic terms per document by TF-IDF (smoothed
+    * idf = ln((N+1)/(df+1)) + 1, the scikit-learn convention). Two
+    * partial-agg groupBys over the exploded token stream — (doc, term)
+    * counts then per-term document frequency, each collapsing within
+    * partitions before its exchange — and the corpus size joins in as
+    * a broadcast one-row aggregate, never a driver-side collect. The
+    * ranking window orders by the ROUNDED score with a term tiebreak,
+    * so the top-k cut is deterministic across engines and partition
+    * counts.
+    */
+  def tfidf(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => lower(t)).as("t"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk").cast(LongType).as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_tfidf"       -> ((s: SparkSession, dir: String) => tfidf(s, dir)),
     "t1_token_stats" -> tokenStats _,
     "t2_quality"     -> qualityScore _,
     "t3_lang_id"     -> langId _,
@@ -224,6 +257,26 @@ object TextAnalysis {
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // t8: same smoothed-idf arithmetic (ln((N+1)/(df+1)) + 1), ranked
+    // on the rounded score with a term tiebreak for a deterministic cut
+    "t8_tfidf" -> {
+      val score = "round(tfc.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6)"
+      s"""WITH d AS (SELECT doc_id,
+         |  list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, unnest(t) AS term FROM d),
+         |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d)
+         |SELECT doc_id, term, tf, df, tfidf, rk FROM (
+         |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+         |    $score AS tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY tfc.doc_id
+         |      ORDER BY $score DESC, tfc.term) AS rk
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+         |WHERE rk <= 3""".stripMargin
+    },
     "t1_token_stats" ->
       """SELECT doc_id,
         |CAST(len(t) AS BIGINT) AS n_tokens,

@@ -385,6 +385,59 @@ class LlmSpec extends SparkSpec {
     assert(collided.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 100L)))
   }
 
+  test("dedup apply: drops exactly the non-representative cluster members") {
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+    val dropped = clusters.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    val kept = clusters.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture corpus should contain near-dups")
+    assert((dropped & kept).isEmpty)
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val surviving = Dedup.dedupApply(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(surviving == all -- dropped)
+    assert(kept.subsetOf(surviving)) // every cluster keeps its representative
+  }
+
+  test("embed clusters: every near-dup pair lands in one cluster, min elected") {
+    val pairs = Similarity.embedDupPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val lbl = Similarity.embedClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a)._1 == lbl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    lbl.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid, s"cluster $cid label isn't the min id")
+      val keeps = members.filter(_._2._2 == 1).keySet
+      assert(keeps == Set(cid), s"cluster $cid keep flags: $keeps")
+    }
+  }
+
+  test("tfidf: top-3 per doc, scores ranked desc, rare terms beat stopwords") {
+    val rows = TextAnalysis.tfidf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_._6)
+      assert(byRank.map(_._6).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.length <= 3)
+      // scores non-increasing in rank
+      assert(byRank.map(_._5).toSeq == byRank.map(_._5).sortBy(-_).toSeq, s"doc $doc")
+    }
+    rows.foreach { case (_, _, tf, df, tfidf, _) =>
+      assert(tf >= 1 && df >= 1 && df <= nDocs && tfidf > 0)
+    }
+    // a corpus-wide term can't out-rank an equally-frequent rarer term:
+    // spot-check idf monotonicity on the collected (df -> score/tf) pairs
+    val perOcc = rows.groupBy(_._4).view.mapValues(_.head).toMap
+    for ((d1, r1) <- perOcc; (d2, r2) <- perOcc if d1 < d2)
+      assert(r1._5 / r1._3 > r2._5 / r2._3,
+        s"idf(df=$d1) should exceed idf(df=$d2)")
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
