@@ -105,4 +105,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "expected broadcast nested loop with tiny broadcast query set: " + p)
   }
+
+  test("t8 tfidf: hash joins only, corpus size broadcast, partial aggs") {
+    val p = plan(graft.llm.TextAnalysis.tfidf(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the tf-df join keys on term (hash family); the only nested-loop
+    // join is the ONE-ROW corpus-size broadcast
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p)
+    // (doc,term) counts partial-aggregate before their exchange
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
+  test("d9 dedup apply: anti-join, text column never read by the corpus scan") {
+    val df = Dedup.dedupApply(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the surviving-corpus scan must prune to metadata; the drop-list
+    // lineage is checkpointed (CC output), so any `text` in the final
+    // plan would mean the anti-join is carrying document bodies
+    assert(!p.contains("text"), s"text column leaked into the apply plan:\n$p")
+  }
 }
