@@ -26,7 +26,11 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)
+  // startTs must live IN the state: it crosses micro-batch boundaries
+  // with the open session (re-deriving it from lastTs mis-reports the
+  // start of any session spanning two triggers)
+  case class SessionState(sessionId: Long, startTs: Long, lastTs: Long,
+      nEvents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_ms: Long, end_ms: Long)
 
@@ -69,18 +73,19 @@ object EventStreams {
           // Iterators arrive unordered within a trigger; sort this
           // micro-batch (bounded) by event time before folding.
           val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          var st = state.getOption
+            .getOrElse(SessionState(0L, Long.MinValue, Long.MinValue, 0L))
           val closed = Seq.newBuilder[SessionOut]
-          var startMs = if (st.nEvents > 0) st.lastTs else Long.MinValue
           sorted.foreach { e =>
             val t = e.ts.getTime
             if (st.nEvents > 0 && t - st.lastTs > gapMs) {
-              closed += SessionOut(userId, st.sessionId, st.nEvents, startMs, st.lastTs)
-              st = SessionState(st.sessionId + 1, t, 1L)
-              startMs = t
+              closed += SessionOut(userId, st.sessionId, st.nEvents,
+                st.startTs, st.lastTs)
+              st = SessionState(st.sessionId + 1, t, t, 1L)
+            } else if (st.nEvents == 0) {
+              st = SessionState(st.sessionId, t, t, 1L)
             } else {
-              if (st.nEvents == 0) startMs = t
-              st = SessionState(st.sessionId, t, st.nEvents + 1)
+              st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
             }
           }
           state.update(st)

@@ -112,6 +112,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream/batch equivalence: sessionize closed sessions match batch gap-split") {
+    implicit val sc = spark.sqlContext
+    // two users, events split across TWO triggers so session state must
+    // survive the micro-batch boundary: u1's first session is closed by
+    // an event arriving in the second trigger
+    val b1 = Seq(Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0),
+      Event(3, ts(0), 2, "a", 0))
+    val b2 = Seq(Event(4, ts(50), 1, "a", 0), Event(5, ts(60), 1, "a", 0),
+      Event(6, ts(45), 2, "a", 0), Event(7, ts(140), 2, "a", 0))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sseq").outputMode("append")
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("sseq")
+        .select("user_id", "n_events", "start_ms", "end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch reference: the q20-style gap-split windows over the SAME
+      // events, aggregated to sessions, minus each user's final session
+      // (still open in the stream's state, so never emitted)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapS = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+      val sessions = (b1 ++ b2).toDF()
+        .withColumn("is_new", when(gapS.isNull || gapS > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(min(col("ts"))) * 1000).as("start_ms"),
+          (unix_timestamp(max(col("ts"))) * 1000).as("end_ms"))
+      val lastPerUser = sessions.groupBy("user_id")
+        .agg(max(col("session_id")).as("session_id"))
+      val batch = sessions.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+        .select("user_id", "n_events", "start_ms", "end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed\nbatch $batch")
+      assert(streamed.size == 3) // u1 s0 (cross-batch close), u2 s0, u2 s1
+    } finally q.stop()
+  }
+
   test("readEvents wires a file stream with the batch schema") {
     val df = EventStreams.readEvents(spark, s"$sfDir/events.parquet")
     assert(df.isStreaming)
