@@ -244,6 +244,35 @@ object Dedup {
     finally sh.unpersist()
   }
 
+  // -- d10: sketch-based Jaccard estimation ---------------------------------
+  /** Estimated Jaccard for every LSH candidate pair from signature
+    * agreement alone: est = |{k : sig_a[k] = sig_b[k]}| / 32 (the
+    * MinHash estimator — each permutation's minima collide with
+    * probability exactly J).
+    *
+    * This is the verify stage a 100 TB pipeline actually runs: d3's
+    * exact verify re-joins the corpus-sized SHINGLE SETS (a second full
+    * pass over the text), while this joins the 32-long signature table
+    * — ~256 bytes/doc, already materialized by candidate generation —
+    * against the O(candidates) pair list. Text is read once, ever.
+    * The ±1/32 quantization is the standard sketch-accuracy trade; d3
+    * remains the exact path where the corpus is small enough to re-scan.
+    */
+  def jaccardEstimate(s: SparkSession, dir: String): DataFrame = {
+    // one materialization feeds candidate generation AND both join
+    // sides — without it the signature pipeline (scan+shingle+hash)
+    // would execute three times
+    val sigs = signatures(s, dir).localCheckpoint(true)
+    val matches = (0 until NumHashes).map(k =>
+      when(col(s"sa.m$k") === col(s"sb.m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidatesFromSigs(sigs)
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / NumHashes, 4).as("jaccard_est"))
+  }
+
   // -- d4: SimHash ---------------------------------------------------------
   /** 32-bit SimHash over term-frequency-weighted token hashes:
     * bit j is set iff sum over tokens of ±1 (sign of hash bit j) is
@@ -447,6 +476,7 @@ object Dedup {
     "d9_dedup_apply"  -> dedupApply _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d3_jaccard_verify" -> jaccardVerify _,
+    "d10_jaccard_est" -> jaccardEstimate _,
     "d4_simhash"      -> simhash _,
     "d5_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
     "d6_incremental"  -> incrementalDedup _,
@@ -591,6 +621,17 @@ object Dedup {
         |  FROM fresh WHERE fp NOT IN (SELECT fp FROM known))
         |WHERE rk = 1""".stripMargin,
     "d2_minhash_lsh" -> s"WITH $sigCte SELECT doc_a, doc_b FROM cand",
+    // d10: the sig CTE already carries (doc_id, k, mh) in long form —
+    // the estimator is one agreement count per candidate pair
+    "d10_jaccard_est" ->
+      s"""WITH $sigCte
+         |SELECT doc_a, doc_b,
+         |  round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 32.0, 4)
+         |    AS jaccard_est
+         |FROM cand
+         |JOIN sig a ON a.doc_id = doc_a
+         |JOIN sig b ON b.doc_id = doc_b AND b.k = a.k
+         |GROUP BY doc_a, doc_b""".stripMargin,
     "d3_jaccard_verify" ->
       s"""WITH $sigCte
          |SELECT doc_a, doc_b, jaccard FROM (

@@ -385,6 +385,25 @@ class LlmSpec extends SparkSpec {
     assert(collided.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 100L)))
   }
 
+  test("jaccard estimate: exact 1.0 on identical docs, tracks exact jaccard") {
+    val est = Dedup.jaccardEstimate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.jaccardVerify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    spark.catalog.clearCache()
+    assert(est.nonEmpty)
+    est.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // every exact-verified pair (J >= 0.8) is a candidate with a high
+    // estimate: 32 permutations @ J=0.8 put P(est < 0.5) below 1e-4
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"verified pair $pair missing from estimates")
+      assert(est(pair) >= 0.5, s"pair $pair exact=$j est=${est(pair)}")
+    }
+    // identical-text duplicates estimate at exactly 1.0
+    val identicalPairs = exact.filter(_._2 == 1.0).keySet
+    identicalPairs.foreach(p => assert(est(p) == 1.0, s"$p: ${est(p)}"))
+  }
+
   test("dedup apply: drops exactly the non-representative cluster members") {
     val clusters = Dedup.dedupClusters(spark, sfDir).collect()
     val dropped = clusters.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
