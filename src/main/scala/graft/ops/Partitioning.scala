@@ -62,6 +62,18 @@ object Partitioning {
     df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hive-style partitioned layout: one directory per distinct value
+    * of `cols`. The foundation of partition pruning at 100 TB — a
+    * filter on the partition column skips whole directories at
+    * PLANNING time (static pruning), and a join against a filtered
+    * dimension skips them at RUNTIME (dynamic partition pruning) —
+    * either way the pruned data is never listed, opened, or read.
+    * Partition columns must be low-cardinality (date, type, source);
+    * high-cardinality keys belong in [[writeBucketed]] buckets instead.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
   /** Salted join for skewed keys: the skewed (large) side gets a
     * deterministic salt in [0, salts) derived from a high-cardinality
     * disambiguator column; the small side is exploded ×salts so every

@@ -33,6 +33,49 @@ class PartitioningSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("partitioned layout: filters prune partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    Partitioning.writePartitioned(events, dir, "event_type")
+    val types = events.select("event_type").distinct().count()
+    assert(types > 1, "fixture needs multiple event types")
+    val one = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory skip), not
+    // PushedFilters (row-group skip after the file is already opened)
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      plan)
+    val scanned = one.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned == 1, s"expected 1 of $types partitions scanned, got $scanned")
+    assert(one.count() == events.filter(col("event_type") === "click").count())
+  }
+
+  test("dynamic partition pruning fires on a filtered-dimension join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    Partitioning.writePartitioned(events, dir, "event_type")
+    val fact = spark.read.parquet(dir)
+    val dim = events.select("event_type").distinct()
+      .withColumn("kind",
+        when(col("event_type").isin("click", "view"), "interactive")
+          .otherwise("passive"))
+    val q = fact.join(dim.filter(col("kind") === "interactive"), "event_type")
+    // the partition filter on the fact scan must be the RUNTIME
+    // dynamicpruning subquery fed by the dim side's filter — whole
+    // directories skipped per the dimension predicate, at 100 TB the
+    // difference between scanning two event types and all of them
+    assert(q.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() ==
+      events.filter(col("event_type").isin("click", "view")).count())
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
