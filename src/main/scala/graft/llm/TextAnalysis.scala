@@ -87,6 +87,45 @@ object TextAnalysis {
           + lit(0.4) * (lit(1.0) - abs(col("stop_ratio") - lit(0.4))), 4))
   }
 
+  // -- t9: rule-based quality filtering (Gopher-style) ---------------------
+  /** The published heuristic rule battery (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 — public): mean word length in [3, 10],
+    * bullet-led line fraction ≤ 0.9, #-symbol-to-word ratio ≤ 0.1,
+    * ellipsis-to-word ratio ≤ 0.3, duplicate-line fraction ≤ 0.3.
+    * Emits each metric plus the composite pass flag, so downstream
+    * curation can re-weight individual rules without re-scanning.
+    * One narrow projection, no shuffle — string counts via
+    * length-difference (no regex), line metrics via split + HOFs.
+    */
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    val nWords = size(col("t")).cast("double")
+    val hashes = (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+      .cast("double")
+    val ellipses = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("double")
+    val bulletLed = size(filter(col("lines"), l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•")))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), tk.as("t"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+        round(aggregate(transform(col("t"), x => length(x).cast("double")),
+          lit(0.0), (acc, v) => acc + v) / nWords, 4).as("mean_word_len"),
+        round(bulletLed / size(col("lines")).cast("double"), 4)
+          .as("bullet_frac"),
+        round(hashes / nWords, 4).as("hash_ratio"),
+        round(ellipses / nWords, 4).as("ellipsis_ratio"),
+        round(lit(1.0) - size(array_distinct(col("lines")))
+          / size(col("lines")).cast("double"), 4).as("dup_line_frac"))
+      .withColumn("pass",
+        (col("mean_word_len").between(3.0, 10.0) &&
+          col("bullet_frac") <= 0.9 && col("hash_ratio") <= 0.1 &&
+          col("ellipsis_ratio") <= 0.3 && col("dup_line_frac") <= 0.3)
+          .cast("int"))
+  }
+
   // -- t3: language ID -----------------------------------------------------
   /** Marker-token language ID (n-gram-free heuristic): score each
     * language by |tokens ∩ markers| and take the arg-max, ties broken
@@ -252,7 +291,8 @@ object TextAnalysis {
     "t4_fingerprint" -> fingerprint _,
     "t5_lang_ngram"  -> langIdNgram _,
     "t6_redact"      -> redact _,
-    "t7_vocab"       -> ((s: SparkSession, dir: String) => vocabulary(s, dir)))
+    "t7_vocab"       -> ((s: SparkSession, dir: String) => vocabulary(s, dir)),
+    "t9_quality_rules" -> qualityRules _)
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -277,6 +317,30 @@ object TextAnalysis {
          |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
          |WHERE rk <= 3""".stripMargin
     },
+    // t9: same rule arithmetic; aliases resolved via a subquery so the
+    // composite flag reads the rounded metrics it is defined over
+    "t9_quality_rules" ->
+      """SELECT doc_id, mean_word_len, bullet_frac, hash_ratio,
+        |  ellipsis_ratio, dup_line_frac,
+        |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AND bullet_frac <= 0.9
+        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.3
+        |    AND dup_line_frac <= 0.3 AS INTEGER) AS pass
+        |FROM (SELECT doc_id,
+        |  round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+        |    / len(t), 4) AS mean_word_len,
+        |  round(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+        |    OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+        |    * 1.0 / len(lines), 4) AS bullet_frac,
+        |  round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(t), 4)
+        |    AS hash_ratio,
+        |  round(((length(text) - length(replace(text, '...', ''))) / 3)
+        |    * 1.0 / len(t), 4) AS ellipsis_ratio,
+        |  round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
+        |    AS dup_line_frac
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(trim(text), '\s+') AS t,
+        |          string_split(text, chr(10)) AS lines
+        |        FROM documents))""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |CAST(len(t) AS BIGINT) AS n_tokens,

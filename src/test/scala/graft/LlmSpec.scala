@@ -457,6 +457,28 @@ class LlmSpec extends SparkSpec {
         s"idf(df=$d1) should exceed idf(df=$d2)")
   }
 
+  test("quality rules: each Gopher rule flags its own violation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rules").toString
+    val docs = Seq(
+      (1L, "a normal paragraph of sensible prose that any filter should keep fine"),
+      (2L, "### ## # lots # of # hashes # here #"), // hash_ratio > 0.1
+      (3L, "- one\n- two\n- three\n- four"), // bullet_frac 1.0 > 0.9
+      (4L, "same line\nsame line\nsame line\nunique"), // dup_line_frac 0.5
+      (5L, "wait... for... it... more... dots..."), // ellipsis_ratio 1.0
+      (6L, "supercalifragilisticexpialidocious anotherextraordinarilylongword"),
+      (7L, "aa bb cc")) // mean_word_len 2 < 3
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.qualityRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(6) == 1, s"clean doc failed: ${got(1L)}")
+    Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach(i =>
+      assert(got(i).getInt(6) == 0, s"doc $i should fail: ${got(i)}"))
+    assert(got(4L).getDouble(5) == 0.5) // 2 distinct of 4 lines
+    assert(got(5L).getDouble(4) == 1.0) // one ellipsis per word
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
