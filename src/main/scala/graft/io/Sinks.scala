@@ -28,6 +28,10 @@ object Sinks {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
 
+  /** ORC sink (engine extension — columnar interchange). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** JSON-lines sink (engine extension). */
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

@@ -39,6 +39,13 @@ object Sources {
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
 
+  /** ORC source (engine extension): Spark's other native columnar
+    * format — same predicate-pushdown/column-pruning path as parquet,
+    * so interchange with ORC-based warehouses costs no scan posture.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines source (engine extension — declared schema, single
     * pass; inference variant for exploration only).
     */

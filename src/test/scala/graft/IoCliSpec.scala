@@ -75,6 +75,22 @@ class IoCliSpec extends SparkSpec {
     assert(Sources.jsonInferred(spark, s"$dir/out").count() == 100)
   }
 
+  test("orc sink + source round-trip keeps schema and pushes filters down") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = AirlineFixture.generate(spark, 100)
+    Sinks.orc(df, s"$dir/out")
+    val back = Sources.orc(spark, s"$dir/out")
+    assert(back.count() == 100)
+    assert(back.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    // ORC must keep the same scan posture as parquet: predicate reaches
+    // the reader as a pushed filter
+    val filtered = back.filter(back("Year") === 2018)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("Year"), plan)
+    assert(filtered.count() == df.filter(df("Year") === 2018).count())
+  }
+
   test("writeCompacted collapses a small table to one file") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val df = AirlineFixture.generate(spark, 2000).repartition(16)
