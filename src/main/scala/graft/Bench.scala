@@ -31,7 +31,13 @@ object Bench {
     // median of 3 runs per query: a single load spike on the box can't
     // distort the round-over-round comparison
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: regex over query names, for targeted measurement of
+    // one operator while iterating (the driver passes no args = full run)
+    val selected = args.headOption match {
+      case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
+      case None     => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         spark.catalog.clearCache() // queries that persist subtrees stay cold
         val t0 = System.nanoTime()

@@ -119,16 +119,27 @@ object Curation {
     */
   def decontaminateAgainst(corpus: DataFrame, bench: DataFrame, n: Int = 8,
       minShared: Long = 5L, excludeSelf: Boolean = false): DataFrame = {
+    graft.functions.HashFunctions.register(corpus.sparkSession)
+    // join on the 60-bit content hash of each gram, not the gram
+    // string: an 8-gram averages ~60 bytes while its hash is 8 — the
+    // broadcast (or any shuffle fallback) shrinks ~8×, raising the
+    // corpus size at which the bench side still fits in memory, and
+    // the join's probe compares longs instead of strings. Both engines
+    // hash with the same md5-prefix, so oracle parity holds by
+    // construction; a cross-gram collision would need ~2^30 distinct
+    // grams per doc pair (60-bit space) to matter.
     val grams = wordGramTable(corpus, n)
+      .select(col("doc_id"), TextAnalysis.hash60(col("gram")).as("gram_h"))
     // rename the benchmark side's columns: when bench derives from the
     // same plan (slice flavor), distinct names sidestep self-join
     // attribute ambiguity
     val benchGrams = wordGramTable(bench, n)
-      .select(col("doc_id").as("bench_id"), col("gram").as("bench_gram"))
+      .select(col("doc_id").as("bench_id"),
+        TextAnalysis.hash60(col("gram")).as("bench_gram_h"))
     val cond =
       if (excludeSelf)
-        col("gram") === col("bench_gram") && col("doc_id") =!= col("bench_id")
-      else col("gram") === col("bench_gram")
+        col("gram_h") === col("bench_gram_h") && col("doc_id") =!= col("bench_id")
+      else col("gram_h") === col("bench_gram_h")
     grams.join(benchGrams, cond)
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -258,9 +269,11 @@ object Curation {
          |    generate_series(1, len(t) - 7),
          |    i -> t[i] || ' ' || $joins))
          |  ELSE [txt] END) AS gram FROM toks),
-         |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 7 = 0)
-         |SELECT g.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
+         |gh AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h FROM g),
+         |b AS (SELECT doc_id AS bench_id, gram_h FROM gh WHERE doc_id % 7 = 0)
+         |SELECT gh.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM gh JOIN b ON gh.gram_h = b.gram_h AND gh.doc_id <> b.bench_id
          |GROUP BY 1, 2
          |HAVING count(*) >= 5""".stripMargin
     },
