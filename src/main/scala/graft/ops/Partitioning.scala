@@ -74,6 +74,34 @@ object Partitioning {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Range-clustered, sorted-within-file parquet layout — the
+    * data-skipping write. `repartitionByRange` gives each output file
+    * a disjoint key range, and the within-partition sort tightens
+    * every parquet row group's min/max footer stats; a later range
+    * filter then prunes whole row groups (and effectively whole files)
+    * inside the reader instead of scanning them. On an unsorted layout
+    * the same filter touches every row group because each one's
+    * [min, max] spans the whole domain. This is the layout for the
+    * one-or-two columns a 100 TB table is most often range-filtered on
+    * (event time, score thresholds).
+    */
+  def writeSorted(df: DataFrame, path: String, numFiles: Int,
+      cols: String*): Unit =
+    df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Rows the parquet reader actually decoded for `df`'s scan (the
+    * scan operator's numOutputRows after row-group/page pruning) —
+    * the observable that proves a data-skipping layout works.
+    */
+  def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case s if s.nodeName.contains("Scan") => s.metrics.get("numOutputRows")
+    }.flatten.map(_.value).sum
+  }
+
   /** Salted join for skewed keys: the skewed (large) side gets a
     * deterministic salt in [0, salts) derived from a high-cardinality
     * disambiguator column; the small side is exploded ×salts so every

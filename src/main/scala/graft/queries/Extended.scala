@@ -335,7 +335,37 @@ object Extended {
           .as("psi"))
   }
 
+  /** q40 — event-time interval join (stream-stream join run in batch
+    * mode): clicks attributed to same-user views in the preceding 30
+    * minutes. The plan is [[graft.streaming.EventStreams
+    * .clickAttribution]] verbatim — stream/batch unification means ONE
+    * implementation serves both, and the batch run is what the oracle
+    * checks. Scale: the join keys on user_id (high cardinality), so
+    * both sides hash-partition by user and the range predicate
+    * evaluates within each partition; no broadcast of a
+    * corpus-proportional side.
+    */
+  def q40IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.clickAttribution(t(s, dir, "events"))
+
+  /** q41 — unpivot (wide → long melt) + per-metric aggregate: the
+    * reshape every metrics pipeline needs when columns become metric
+    * rows. Spark's native `unpivot` is a zero-shuffle Expand (each
+    * input row emits one row per value column inside the scan stage);
+    * the only exchange is the final small aggregate.
+    */
+  def q41Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"), round(avg(col("val")), 4).as("avg_val"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_interval_join"  -> q40IntervalJoin _,
+    "q41_unpivot"        -> q41Unpivot _,
     "q39_psi"            -> q39Psi _,
     "q38_profile"        -> q38Profile _,
     "q37_range_join"     -> q37RangeJoin _,
@@ -483,5 +513,16 @@ object Extended {
     "q29_time_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |event_type, COUNT(*) AS n, round(SUM(value), 4) AS v
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q40_interval_join" ->
+      """SELECT v.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE""".stripMargin,
+    "q41_unpivot" ->
+      """SELECT l_returnflag, metric, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(AVG(val), 4) AS avg_val
+        |FROM (UNPIVOT lineitem ON l_quantity, l_discount, l_tax
+        |      INTO NAME metric VALUE val)
+        |GROUP BY 1, 2""".stripMargin)
 }

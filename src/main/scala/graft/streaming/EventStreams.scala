@@ -110,6 +110,35 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: every click paired with each view by
+    * the same user in the preceding `within` interval (click-to-view
+    * attribution). Both sides carry watermarks and the join predicate
+    * is an event-time range — exactly the two ingredients Structured
+    * Streaming needs to bound join state: a buffered view is evictable
+    * once the click-side watermark passes `view_ts + within`, so state
+    * is O(events per window), independent of stream length. An
+    * equality-only stream-stream join would buffer forever.
+    *
+    * Runs unchanged on the batch `events` table (watermarks are no-ops
+    * in batch), which is how the q40 oracle checks it.
+    */
+  def clickAttribution(events: DataFrame, within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("click_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** Sink: append stream to partitioned parquet with checkpointing —
     * the exactly-once file sink a 100 TB ingest would use.
     */

@@ -76,6 +76,41 @@ class PartitioningSpec extends SparkSpec {
       events.filter(col("event_type").isin("click", "view")).count())
   }
 
+  test("sorted layout: range filter decodes fewer rows than unsorted") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sort").toString
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    Partitioning.writeSorted(l, s"$base/sorted", 4, "l_quantity")
+    l.repartition(4).write.parquet(s"$base/unsorted")
+    // each sorted file owns a disjoint quantity range (the layout
+    // property that makes row-group stats selective)
+    val ranges = new java.io.File(s"$base/sorted").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("l_quantity"), max("l_quantity")).head
+        (r.getDouble(0), r.getDouble(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB, ranges.toSeq)
+      case _ =>
+    }
+    // and the reader proves it: a pushed range predicate decodes a
+    // fraction of the table on the sorted layout, everything on the
+    // unsorted one (every row group's [min,max] spans the domain)
+    val cut = l.stat.approxQuantile("l_quantity", Array(0.1), 0.01).head
+    def filtered(p: String) =
+      spark.read.parquet(p).filter(col("l_quantity") <= cut)
+    val plan = filtered(s"$base/sorted").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"), plan)
+    val sortedRows = Partitioning.scannedRows(filtered(s"$base/sorted"))
+    val unsortedRows = Partitioning.scannedRows(filtered(s"$base/unsorted"))
+    val total = l.count()
+    assert(unsortedRows == total, s"unsorted decoded $unsortedRows of $total")
+    assert(sortedRows <= total / 2,
+      s"sorted layout decoded $sortedRows of $total — row-group stats not pruning")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")

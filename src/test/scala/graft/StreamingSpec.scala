@@ -43,6 +43,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.session_id == 0 && out.head.n_events == 2)
   }
 
+  test("stream-stream interval join attributes clicks to in-window views only") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val data = Seq(
+      Event(10, ts(0), 1, "view", 0),   // view, then click 20min later: match
+      Event(11, ts(20), 1, "click", 0),
+      Event(12, ts(100), 1, "click", 0), // 100min after the view: no match
+      Event(13, ts(0), 2, "view", 0),    // other user's view: no match
+      Event(14, ts(5), 3, "click", 0))   // click with no view: no match
+    mem.addData(data: _*)
+    val q = EventStreams.clickAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("user_id", "click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 11L, 10L)), got)
+      // stream/batch unification: the same plan over the same rows as a
+      // batch frame returns the same pairs
+      val batch = EventStreams.clickAttribution(data.toDF())
+        .select("user_id", "click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == got, batch)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
