@@ -126,6 +126,45 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  // -- t10: n-gram repetition signals --------------------------------------
+  /** The Gopher repetition rules t9 leaves out (Rae et al. 2021 §A1.1,
+    * token-count variant): per doc and gram size n ∈ {2, 3}, the share
+    * of grams claimed by the single most frequent gram (`top_share` —
+    * templated/boilerplate text scores high) and the fraction of gram
+    * occurrences whose gram appears more than once (`dup_frac`).
+    * Output is long-format (one row per doc × n) so downstream
+    * filtering can threshold each gram size independently.
+    *
+    * Scale shape: gram enumeration is explode(sequence) + element_at —
+    * all codegen, no interpreted lambda — and both aggregations are
+    * partial-agg group-bys keyed by doc (the (doc, n, gram) count
+    * collapses map-side before its shuffle). Docs with fewer than n
+    * tokens have no n-grams and contribute no row for that n, by
+    * construction. The word_ngrams kernel is NOT used here: it dedupes
+    * shingles internally (right for MinHash), while repetition
+    * counting needs the multiset.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    def gramRows(n: Int) = toks
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc_id"), lit(n).as("n"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(col("t"), col("i") + j)): _*)
+          .as("gram"))
+    gramRows(2).union(gramRows(3))
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("c")).as("n_grams"),
+        round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .cast("double") / sum(col("c")), 4).as("dup_frac"))
+  }
+
   // -- t3: language ID -----------------------------------------------------
   /** Marker-token language ID (n-gram-free heuristic): score each
     * language by |tokens ∩ markers| and take the arg-max, ties broken
@@ -292,7 +331,8 @@ object TextAnalysis {
     "t5_lang_ngram"  -> langIdNgram _,
     "t6_redact"      -> redact _,
     "t7_vocab"       -> ((s: SparkSession, dir: String) => vocabulary(s, dir)),
-    "t9_quality_rules" -> qualityRules _)
+    "t9_quality_rules" -> qualityRules _,
+    "t10_repetition"   -> repetitionStats _)
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -317,6 +357,30 @@ object TextAnalysis {
          |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
          |WHERE rk <= 3""".stripMargin
     },
+    // t10: same multiset gram counts; DuckDB lists are 1-based like the
+    // Spark sequence, so gram i spans t[i..i+n-1] in both engines
+    "t10_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS n, t,
+        |    unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, t,
+        |    unnest(generate_series(1, len(t) - 2)) AS i
+        |  FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT doc_id, n,
+        |  CASE WHEN n = 2 THEN t[i] || ' ' || t[i+1]
+        |       ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS gram
+        |  FROM g),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3)
+        |SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  round(MAX(c) * 1.0 / SUM(c), 4) AS top_share,
+        |  round(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 4)
+        |    AS dup_frac
+        |FROM c GROUP BY 1, 2""".stripMargin,
     // t9: same rule arithmetic; aliases resolved via a subquery so the
     // composite flag reads the rounded metrics it is defined over
     "t9_quality_rules" ->

@@ -479,6 +479,29 @@ class LlmSpec extends SparkSpec {
     assert(got(5L).getDouble(4) == 1.0) // one ellipsis per word
   }
 
+  test("repetition stats: templated text scores high, varied text low") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (1L, "buy now buy now buy now buy now"),      // one 2-gram dominates
+      (2L, "the quick brown fox jumps over dogs"),  // all grams unique
+      (3L, "ab"))                                    // 1 token: no grams
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.repetitionStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    // doc 1, n=2: grams = [buy now]*4 ++ [now buy]*3 → top 4/7, all dup
+    assert(got((1L, 2)).getLong(2) == 7)
+    assert(got((1L, 2)).getDouble(3) == math.rint(4.0 / 7 * 1e4) / 1e4)
+    assert(got((1L, 2)).getDouble(4) == 1.0)
+    // doc 2: every gram unique at both sizes
+    assert(got((2L, 2)).getDouble(3) == math.rint(1.0 / 6 * 1e4) / 1e4)
+    assert(got((2L, 2)).getDouble(4) == 0.0)
+    assert(got((2L, 3)).getDouble(4) == 0.0)
+    // doc 3 emits no rows (no 2-grams exist)
+    assert(!got.keySet.exists(_._1 == 3L))
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()

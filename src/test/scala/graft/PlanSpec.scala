@@ -117,6 +117,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"), p)
   }
 
+  test("q40 interval join: equi-join on user with range predicate, no cartesian") {
+    val p = plan(graft.queries.Extended.q40IntervalJoin(spark, sfDir))
+    // the user_id equality must be the join key (hash-partitionable at
+    // any scale); the time range rides along as a join condition — a
+    // cartesian or nested-loop plan would mean Spark lost the equi-key
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("d9 dedup apply: anti-join, text column never read by the corpus scan") {
     val df = Dedup.dedupApply(spark, sfDir)
     val p = plan(df)
