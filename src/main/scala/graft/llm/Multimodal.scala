@@ -127,8 +127,25 @@ object Multimodal {
         col("n_frames").cast(LongType), col("checksum"))
   }
 
+  /** m2 — the full decode → resize → frame-sample pipeline as a
+    * relational query: post-resize geometry and sampled-frame count
+    * per media row. Every kernel is the documented stub, so the whole
+    * chain is deterministic arithmetic the oracle replays; the frame
+    * list itself stays out of the projection (count only) to keep the
+    * result hashable.
+    */
+  def mediaProcess(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    processedFeatures(s, dir)
+      .map { case (f, frames) =>
+        (f.media_id, f.kind, f.width.toLong, f.height.toLong,
+          frames.size.toLong) }
+      .toDF("media_id", "kind", "width", "height", "n_sampled")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_binary_meta" -> binaryMeta _)
+    "m1_binary_meta" -> binaryMeta _,
+    "m2_media_process" -> mediaProcess _)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -138,5 +155,24 @@ object Multimodal {
         |16 + (strlen(text) // 64) % 64 AS height,
         |CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 30 ELSE 1 END AS n_frames,
         |md5(text) AS checksum
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // m2: stub-resize clamps to a 32px bounding box preserving aspect
+    // (floor() mirrors Scala's positive-value .toInt truncation —
+    // DuckDB's bare double→int CAST rounds and would diverge);
+    // every-5th-frame sampling counts ceil(n_frames / 5) per video
+    "m2_media_process" ->
+      """WITH base AS (SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  16 + strlen(text) % 64 AS w,
+        |  16 + (strlen(text) // 64) % 64 AS h,
+        |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 30 ELSE 1 END AS nf
+        |  FROM documents)
+        |SELECT media_id, kind,
+        |  CAST(GREATEST(1, FLOOR(w * LEAST(1.0, 32.0 / GREATEST(w, h))))
+        |    AS BIGINT) AS width,
+        |  CAST(GREATEST(1, FLOOR(h * LEAST(1.0, 32.0 / GREATEST(w, h))))
+        |    AS BIGINT) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN (nf + 4) // 5 ELSE 1 END
+        |    AS BIGINT) AS n_sampled
+        |FROM base""".stripMargin)
 }
