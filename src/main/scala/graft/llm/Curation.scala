@@ -158,6 +158,26 @@ object Curation {
       n, minShared, excludeSelf = true)
   }
 
+  /** Applies the c2 contamination scan: the corpus minus every doc
+    * flagged as sharing >= `minShared` 8-grams with the benchmark —
+    * the releasable-corpus terminal artifact (c2's pair list is the
+    * audit trail; this is what a training run reads). Projects
+    * metadata only: the text column feeds the gram scan but never
+    * enters the anti-join or the output.
+    *
+    * Scale shape: the drop side is distinct contaminated doc_ids — the
+    * contamination fraction of the corpus, tiny by nature — so AQE
+    * broadcasts it; the corpus side stays an unshuffled scan.
+    */
+  def decontaminateApply(s: SparkSession, dir: String, n: Int = 8,
+      minShared: Long = 5L): DataFrame = {
+    val contaminated = decontaminate(s, dir, n, minShared)
+      .select(col("doc_id")).distinct()
+    Tables.load(s, dir, "documents")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** Per-source mixing weights for training-data sampling: doc and
     * char volume per source, weight ∝ volume^alpha normalized to 1
     * (temperature-style up-weighting of small sources). The aggregate
@@ -220,8 +240,31 @@ object Curation {
     "c1_curate" -> curate _,
     "c5_pack_tokens" -> ((s: SparkSession, dir: String) => packShardsByTokens(s, dir)),
     "c2_decontaminate" -> ((s: SparkSession, dir: String) => decontaminate(s, dir)),
+    "c6_decontaminate_apply" ->
+      ((s: SparkSession, dir: String) => decontaminateApply(s, dir)),
     "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)),
     "c4_pack" -> ((s: SparkSession, dir: String) => packShards(s, dir)))
+
+  /** Shared c2/c6 oracle chain: gram explode → 60-bit hash → bench
+    * slice join → `hits` (doc_id, bench_id, n_shared).
+    */
+  private val decontCte: String = {
+    val joins = (2 to 8).map(i => s"t[i+${i - 1}]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, trim(text) AS txt,
+       |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |g AS (SELECT doc_id, unnest(
+       |  CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(
+       |    generate_series(1, len(t) - 7),
+       |    i -> t[i] || ' ' || $joins))
+       |  ELSE [txt] END) AS gram FROM toks),
+       |gh AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h FROM g),
+       |b AS (SELECT doc_id AS bench_id, gram_h FROM gh WHERE doc_id % 7 = 0),
+       |hits AS (SELECT gh.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM gh JOIN b ON gh.gram_h = b.gram_h AND gh.doc_id <> b.bench_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 5)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "c1_curate" -> {
@@ -260,23 +303,14 @@ object Curation {
          |  FROM kept)
          |WHERE rk = 1""".stripMargin
     },
-    "c2_decontaminate" -> {
-      val joins = (2 to 8).map(i => s"t[i+${i - 1}]").mkString(" || ' ' || ")
-      s"""WITH toks AS (SELECT doc_id, trim(text) AS txt,
-         |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         |g AS (SELECT doc_id, unnest(
-         |  CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(
-         |    generate_series(1, len(t) - 7),
-         |    i -> t[i] || ' ' || $joins))
-         |  ELSE [txt] END) AS gram FROM toks),
-         |gh AS (SELECT doc_id,
-         |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h FROM g),
-         |b AS (SELECT doc_id AS bench_id, gram_h FROM gh WHERE doc_id % 7 = 0)
-         |SELECT gh.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM gh JOIN b ON gh.gram_h = b.gram_h AND gh.doc_id <> b.bench_id
-         |GROUP BY 1, 2
-         |HAVING count(*) >= 5""".stripMargin
-    },
+    "c2_decontaminate" ->
+      s"""WITH $decontCte
+         |SELECT doc_id, bench_id, n_shared FROM hits""".stripMargin,
+    // c6: the complement — corpus minus the distinct contaminated ids
+    "c6_decontaminate_apply" ->
+      s"""WITH $decontCte
+         |SELECT doc_id, source, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)""".stripMargin,
     "c3_mix_weights" ->
       """SELECT source, n_docs, n_chars,
         |  round(w_raw / sum(w_raw) OVER (), 6) AS weight

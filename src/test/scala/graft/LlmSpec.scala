@@ -479,6 +479,24 @@ class LlmSpec extends SparkSpec {
     assert(got(5L).getDouble(4) == 1.0) // one ellipsis per word
   }
 
+  test("decontaminate apply: drops exactly the flagged docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dapply").toString
+    // 12 tokens → 5 distinct 8-grams, all shared with the bench doc
+    // (doc_id % 7 == 0): exactly the minShared=5 threshold
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    Seq(
+      (0L, base, "web", "en", 72L),            // the benchmark doc itself
+      (1L, base + " extra", "web", "en", 78L), // shares 5 grams: dropped
+      (2L, "one two three four five six seven eight nine ten eleven twelve",
+        "web", "en", 60L))                     // disjoint grams: kept
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.llm.Curation.decontaminateApply(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L), kept)
+  }
+
   test("repetition stats: templated text scores high, varied text low") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
