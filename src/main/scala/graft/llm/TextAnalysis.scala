@@ -145,17 +145,24 @@ object TextAnalysis {
     * counting needs the multiset.
     */
   def repetitionStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(s, dir, "documents")
+    // ONE scan for both gram sizes: explode n ∈ {2, 3} first, then the
+    // position sequence — two stacked Generates over a single pass of
+    // the text (a union of per-n branches would read the corpus twice)
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-    def gramRows(n: Int) = toks
-      .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
-      .select(col("doc_id"), lit(n).as("n"),
-        concat_ws(" ",
-          (0 until n).map(j => element_at(col("t"), col("i") + j)): _*)
-          .as("gram"))
-    gramRows(2).union(gramRows(3))
+        explode(array(lit(2), lit(3))).as("n"))
+      .filter(size(col("t")) >= col("n"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(1), size(col("t")) - col("n") + 1)).as("i"))
+      .select(col("doc_id"), col("n"),
+        when(col("n") === 2, concat_ws(" ",
+          element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1)))
+        .otherwise(concat_ws(" ",
+          element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2))).as("gram"))
       .groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n")
