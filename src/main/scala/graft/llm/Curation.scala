@@ -197,6 +197,33 @@ object Curation {
       .select(col("source"), col("n_docs"), col("n_chars"), col("weight"))
   }
 
+  /** Deterministic weighted sampling by content hash: doc kept iff
+    * hash60("sample:" + doc_id) mod `denom` < source_weight × denom,
+    * with per-source rates from [[mixWeights]] (temperature-style:
+    * small sources keep a larger fraction). Hash-bucket selection is
+    * the reproducible form of weighted sampling a training pipeline
+    * needs — the same doc set survives any partitioning, any engine,
+    * any rerun (RNG `sample()` is partitioning-dependent, which is why
+    * q11 is rows-only while this is fully oracle-checked). The salt
+    * prefix decorrelates this selection from any other doc_id-hash use.
+    *
+    * Scale shape: the weight side is |sources| rows (broadcast); the
+    * filter is a scan-side codegen projection — the corpus never
+    * shuffles and the text column is never read.
+    */
+  def weightedSample(s: SparkSession, dir: String, alpha: Double = 0.7,
+      denom: Int = 10000): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val w = mixWeights(s, dir, alpha).select(col("source"), col("weight"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(w, "source")
+      .filter(TextAnalysis.hash60(
+          concat(lit("sample:"), col("doc_id").cast("string"))) % denom
+        < col("weight") * denom)
+      .select(col("doc_id"), col("source"), col("weight"))
+  }
+
   /** Shard packing for training-data export: documents are assigned to
     * fixed-budget shards (by char volume here; tokens at scale) via a
     * cumulative sum per source. The window partitions by `source`, so
@@ -243,6 +270,8 @@ object Curation {
     "c6_decontaminate_apply" ->
       ((s: SparkSession, dir: String) => decontaminateApply(s, dir)),
     "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)),
+    "c7_weighted_sample" ->
+      ((s: SparkSession, dir: String) => weightedSample(s, dir)),
     "c4_pack" -> ((s: SparkSession, dir: String) => packShards(s, dir)))
 
   /** Shared c2/c6 oracle chain: gram explode → 60-bit hash → bench
@@ -318,6 +347,17 @@ object Curation {
         |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |        power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
         |      FROM documents GROUP BY source)""".stripMargin,
+    // c7: identical weight arithmetic to c3, identical md5-prefix hash
+    // to the Spark kernel — selection agrees by construction
+    "c7_weighted_sample" ->
+      """WITH w AS (SELECT source,
+        |  round(w_raw / sum(w_raw) OVER (), 6) AS weight
+        |  FROM (SELECT source, power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
+        |        FROM documents GROUP BY source))
+        |SELECT d.doc_id, d.source, w.weight
+        |FROM documents d JOIN w USING (source)
+        |WHERE CAST(('0x' || substr(md5('sample:' || d.doc_id), 1, 15)) AS BIGINT)
+        |  % 10000 < w.weight * 10000""".stripMargin,
     "c5_pack_tokens" ->
       """SELECT doc_id, source, n_tokens,
         |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 2000) AS BIGINT) AS shard
