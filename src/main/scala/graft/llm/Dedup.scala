@@ -387,6 +387,22 @@ object Dedup {
     * labels, so sum(lbl) is strictly decreasing until converged — one
     * cheap aggregate action per pass instead of a change-count join.
     */
+  /** The cached RDD behind a `localCheckpoint`ed frame, for explicit
+    * release. Superseded checkpoints are otherwise freed only when the
+    * driver GC collects the Dataset and ContextCleaner notices — on a
+    * large heap that lag lets an iterative loop pile up dead label
+    * snapshots in block-manager memory, evicting live cache. Only call
+    * on checkpoints the returned plan no longer references: the
+    * lineage is truncated, so freed blocks are NOT recomputable.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(false))
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // materialize the upstream edge pipeline ONCE: both derivations
     // below (node list, symmetric closure) would otherwise recompute
@@ -428,10 +444,19 @@ object Dedup {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // the superseded snapshot is dead the moment `next` materializes;
+      // release its blocks NOW instead of at the next full GC — N
+      // iterations would otherwise hold N label snapshots (plus e/sym)
+      // in block-manager memory, evicting useful cache under load
+      releaseCheckpoint(labels)
       labels = next
       iter += 1
     }
     sym.unpersist()
+    // e/nodes only feed the loop; the result plan reads the final label
+    // checkpoint alone, so their blocks are safe to free here too
+    releaseCheckpoint(e)
+    releaseCheckpoint(nodes)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

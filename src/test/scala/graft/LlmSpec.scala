@@ -479,6 +479,19 @@ class LlmSpec extends SparkSpec {
     assert(got(5L).getDouble(4) == 1.0) // one ellipsis per word
   }
 
+  test("connected components: superseded checkpoints released, result-only cache") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+    assert(labels.count() == 6)
+    // every per-pass label snapshot, the edge/node checkpoints, and the
+    // symmetric-closure persist must be gone; only the final label
+    // checkpoint (which the returned plan reads) may remain cached
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1, s"lingering cached RDDs: $after")
+  }
+
   test("decontaminate apply: drops exactly the flagged docs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dapply").toString
