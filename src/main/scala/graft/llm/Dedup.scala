@@ -261,16 +261,20 @@ object Dedup {
   def jaccardEstimate(s: SparkSession, dir: String): DataFrame = {
     // one materialization feeds candidate generation AND both join
     // sides — without it the signature pipeline (scan+shingle+hash)
-    // would execute three times
+    // would execute three times. The O(candidates) result is then
+    // checkpointed eagerly so the corpus-sized signature cache can be
+    // RELEASED before returning (same hygiene as [[jaccardVerify]]).
     val sigs = signatures(s, dir).localCheckpoint(true)
     val matches = (0 until NumHashes).map(k =>
       when(col(s"sa.m$k") === col(s"sb.m$k"), 1).otherwise(0))
       .reduce(_ + _)
-    candidatesFromSigs(sigs)
+    try candidatesFromSigs(sigs)
       .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(matches.cast("double") / NumHashes, 4).as("jaccard_est"))
+      .localCheckpoint(true)
+    finally releaseCheckpoint(sigs)
   }
 
   // -- d4: SimHash ---------------------------------------------------------
