@@ -236,7 +236,7 @@ object Similarity {
   }
 
   private def planeCol(p: Array[Double]): Column =
-    array(p.map(x => lit(x)): _*)
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(x => lit(x))): _*)
 
   /** Sign-random-projection bucket id: bit i = [v · plane_i >= 0].
     * Cosine-similar vectors agree on most sign bits (Charikar 2002),

@@ -49,7 +49,7 @@ object Features {
       categoricalCols: Seq[String], numericalCols: Seq[String]): Int = {
     val fitted = new Pipeline()
       .setStages(featureStages(categoricalCols, numericalCols).toArray).fit(df)
-    fitted.transform(df).select("features").head
+    fitted.transform(df).select("features").head()
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
   }
 }

@@ -44,7 +44,7 @@ object Statistics {
     val assembled = new VectorAssembler()
       .setInputCols(cols.toArray).setOutputCol(vecCol)
       .setHandleInvalid("skip").transform(df)
-    Correlation.corr(assembled, vecCol).head.getAs[Matrix](0)
+    Correlation.corr(assembled, vecCol).head().getAs[Matrix](0)
   }
 
   /** M6: χ² independence of each indexed categorical vs the label
@@ -55,7 +55,7 @@ object Statistics {
     val assembled = new VectorAssembler()
       .setInputCols(catCols.map(_ + "_string").toArray)
       .setOutputCol("vector_assem_cat").transform(df)
-    val r = ChiSquareTest.test(assembled, "vector_assem_cat", label).head
+    val r = ChiSquareTest.test(assembled, "vector_assem_cat", label).head()
     val p = r.getAs[Vector]("pValues").toArray
     val d = r.getSeq[Int](r.fieldIndex("degreesOfFreedom"))
     val s = r.getAs[Vector]("statistics").toArray
@@ -87,7 +87,7 @@ object Statistics {
       vecCol: String = "vector_assem_num", keep: Int = 6): Seq[String] = {
     val kth = df
       .select(Summarizer.metrics("variance").summary(col(vecCol)).as("s"))
-      .select("s.variance").head.getAs[Vector](0)
+      .select("s.variance").head().getAs[Vector](0)
       .toArray.sorted(Ordering[Double].reverse)(keep - 1)
     // Spark 4's selector keeps variance strictly > threshold; the
     // reference (Spark 3.3) observably kept the k-th feature itself
@@ -150,7 +150,7 @@ object Statistics {
     try {
       val chi = {
         // withNum carries vector_assem_cat too — run χ² on the cached frame
-        val r = ChiSquareTest.test(withNum, "vector_assem_cat", label).head
+        val r = ChiSquareTest.test(withNum, "vector_assem_cat", label).head()
         val p = r.getAs[Vector]("pValues").toArray
         val d = r.getSeq[Int](r.fieldIndex("degreesOfFreedom"))
         val s = r.getAs[Vector]("statistics").toArray
