@@ -71,6 +71,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join drops pairs behind the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.clickAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attr_late").outputMode("append")
+      .start()
+    try {
+      // batch 1 advances the event-time watermark to ts(205) - 1h
+      mem.addData(Event(1, ts(200), 9, "view", 0),
+        Event(2, ts(205), 9, "click", 0))
+      q.processAllAvailable()
+      // batch 2: a perfectly matching pair, but entirely BEHIND the
+      // watermark — the join must drop it rather than buffer forever
+      // (this is the state-eviction contract the 100 TB posture rests
+      // on: without it the view buffer grows with stream length)
+      mem.addData(Event(3, ts(0), 1, "view", 0),
+        Event(4, ts(10), 1, "click", 0))
+      q.processAllAvailable()
+      val got = spark.table("attr_late")
+        .select("user_id", "click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((9L, 2L, 1L)), got)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
