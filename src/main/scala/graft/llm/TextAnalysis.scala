@@ -55,9 +55,13 @@ object TextAnalysis {
         size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
         size(regexp_extract_all(col("txt"), lit(bpeish), lit(0)))
           .cast(LongType).as("n_bpe_tokens"),
-        round(
-          aggregate(transform(col("t"), t => length(t).cast("double")),
-            lit(0.0), (acc, v) => acc + v) / size(col("t")), 4)
+        // sum of token lengths == chars left after removing ALL
+        // whitespace (tokens partition the non-space chars), so the
+        // mean needs no per-token lambda: higher-order aggregate/
+        // transform evaluate interpreted per element, while
+        // regexp_replace + char_length stay in whole-stage codegen
+        round(char_length(regexp_replace(col("txt"), "\\s+", ""))
+          .cast("double") / size(col("t")), 4)
           .as("avg_token_len"))
   }
 
@@ -111,8 +115,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"), tk.as("t"),
         split(col("text"), "\n").as("lines"))
       .select(col("doc_id"),
-        round(aggregate(transform(col("t"), x => length(x).cast("double")),
-          lit(0.0), (acc, v) => acc + v) / nWords, 4).as("mean_word_len"),
+        // same codegen identity as t1: Σ len(word) = chars after
+        // stripping all whitespace — no interpreted per-token lambda
+        round(char_length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / nWords, 4).as("mean_word_len"),
         round(bulletLed / size(col("lines")).cast("double"), 4)
           .as("bullet_frac"),
         round(hashes / nWords, 4).as("hash_ratio"),
