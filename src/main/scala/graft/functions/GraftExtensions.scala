@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Prefix60].getName, HashFunctions.fnName),
       (children: Seq[Expression]) => Md5Prefix60(children.head)))
     ext.injectFunction(TextFunctions.injection)
+    ext.injectFunction(SetFunctions.injection)
   }
 }

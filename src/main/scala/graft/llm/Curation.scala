@@ -38,8 +38,8 @@ object Curation {
     * fingerprint keeping the smallest doc_id.
     */
   def curate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SetFunctions.register(s)
     val tk = TextAnalysis.tokens(col("text"))
-    val sw = array(TextAnalysis.stopwords.map(lit): _*)
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
     val scored = Tables.load(s, dir, "documents")
@@ -47,7 +47,10 @@ object Curation {
       .select(
         (Seq(col("doc_id"), col("lang"), col("fp"),
           size(col("t")).cast(LongType).as("n_tokens"),
-          round(size(filter(col("t"), t => array_contains(sw, t)))
+          // native count_in_set: hash probe per token in codegen (the
+          // filter-lambda form pays interpreted eval × linear scans)
+          round(graft.functions.SetFunctions
+            .countInSet(col("t"), TextAnalysis.stopwords)
             / size(col("t")).cast("double"), 4).as("stop_ratio"),
           round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
             .as("diversity")) ++

@@ -75,14 +75,17 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
 
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SetFunctions.register(s)
     val tk = tokens(col("text"))
-    val sw = array(stopwords.map(lit): _*)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), tk.as("t"))
       .select(
         col("doc_id"),
         size(col("t")).cast(LongType).as("n_tokens"),
-        round(size(filter(col("t"), t => array_contains(sw, t)))
+        // native count_in_set kernel: one hash probe per token inside
+        // codegen, vs an interpreted filter lambda × linear
+        // array_contains scan per token
+        round(graft.functions.SetFunctions.countInSet(col("t"), stopwords)
           / size(col("t")).cast("double"), 4).as("stop_ratio"),
         round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
           .as("diversity"))

@@ -100,4 +100,34 @@ class FunctionsSpec extends SparkSpec {
       graft.functions.VectorFunctions.vecDot(col("a"), col("b"))).head.getDouble(0)
     assert(viaCol == 11.0)
   }
+
+  test("count_in_set equals the filter+array_contains HOF form it replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sw = Seq("the", "a", "of")
+    val swArr = array(sw.map(lit): _*)
+    val rows = Seq(
+      Seq("the", "cat", "the", "a"), // multiplicity: 'the' counts twice
+      Seq("dog", "fish"),
+      Seq.empty[String],
+      Seq("of", "of", "of"))
+      .toDF("t")
+      .select(
+        graft.functions.SetFunctions.countInSet(col("t"), sw).as("fast"),
+        size(filter(col("t"), x => array_contains(swArr, x))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(3, 0, 0, 3))
+    // null array -> null result (both forms)
+    val nr = Seq((1, null.asInstanceOf[Seq[String]])).toDF("i", "t")
+      .select(graft.functions.SetFunctions.countInSet(col("t"), sw)).head
+    assert(nr.isNullAt(0))
+    // SQL path via GraftExtensions; non-foldable set is an analysis error
+    assert(spark.sql("SELECT count_in_set(array('x', 'y', 'x'), array('x')) AS c")
+      .head.getInt(0) == 2)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT count_in_set(t, t) FROM VALUES (array('x')) AS v(t)")
+        .collect())
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT")
+  }
 }
