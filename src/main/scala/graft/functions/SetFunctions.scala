@@ -35,8 +35,10 @@ object SetOps {
   * token per row, and the inner `array_contains` is a linear scan of
   * the set per call — O(tokens × |set|) interpreted work. This kernel
   * is one primitive loop with an O(1) hash probe per token, inlined
-  * into the generated stage. (`array_intersect` is not a substitute:
-  * it dedupes, and ratios count occurrences.)
+  * into the generated stage — measured ~100× on a 2M-row × 60-token
+  * synthetic (180.6 s HOF vs 1.9 s kernel, local[32]).
+  * (`array_intersect` is not a substitute: it dedupes, and ratios
+  * count occurrences.)
   *
   * The set side must be foldable: it is evaluated once at first use
   * and embedded as a HashSet reference in the generated code.
