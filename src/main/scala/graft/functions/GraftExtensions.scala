@@ -12,10 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(VectorFunctions.fnName),
-      new ExpressionInfo(classOf[VecDot].getName, VectorFunctions.fnName),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    VectorFunctions.injectAll(ext)
     ext.injectFunction((
       FunctionIdentifier(HashFunctions.fnName),
       new ExpressionInfo(classOf[Md5Prefix60].getName, HashFunctions.fnName),

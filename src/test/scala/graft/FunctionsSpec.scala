@@ -101,6 +101,31 @@ class FunctionsSpec extends SparkSpec {
     assert(viaCol == 11.0)
   }
 
+  test("vec_div and vec_quant_int8 equal the transform-lambda forms they replace") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // negative halves are where a naive math.round would diverge from
+    // Spark's HALF_UP round: round(-2.5) must be -3, not -2
+    val vecs = Seq(
+      (Seq(0.5, -0.5, 2.5, -2.5, 0.0, 1.2499999999999998, -126.9, 127.0), 1.0),
+      (Seq(0.013, -0.77, 0.501, -0.4999999999999999), 93.7),
+      (Seq.empty[Double], 3.0))
+      .toDF("v", "s")
+    val rows = vecs.select(
+      graft.functions.VectorFunctions.vecQuantInt8(col("v"), col("s")).as("qf"),
+      transform(col("v"), x => round(x * col("s")).cast("int")).as("qr"),
+      graft.functions.VectorFunctions.vecDiv(col("v"), col("s")).as("df"),
+      transform(col("v"), x => x / col("s")).as("dr"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), r.toString)
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3), r.toString)
+    }
+    // SQL path via GraftExtensions
+    assert(spark.sql("SELECT vec_quant_int8(array(-2.5D, 2.5D), 1.0D) AS q")
+      .head.getSeq[Int](0) == Seq(-3, 3))
+  }
+
   test("count_in_set equals the filter+array_contains HOF form it replaces") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
