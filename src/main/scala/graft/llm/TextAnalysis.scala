@@ -300,8 +300,9 @@ object TextAnalysis {
     */
   def vocabulary(s: SparkSession, dir: String, topK: Int = 100): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), transform(tokens(col("text")), t => lower(t)).as("t"))
-      .select(col("doc_id"), explode(col("t")).as("token"))
+      // lowercase the STRING once, then split: identical tokens, and
+      // the per-token lower() lambda (interpreted per element) is gone
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
       .orderBy(desc("df"), desc("tf"), col("token"))
@@ -319,9 +320,10 @@ object TextAnalysis {
     * counts.
     */
   def tfidf(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    // string-level lower before split (see vocabulary): same tokens,
+    // no interpreted per-token lambda
     val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        transform(tokens(col("text")), t => lower(t)).as("t"))
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
     val tf = docs
       .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
