@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Prefix60].getName, HashFunctions.fnName),
       (children: Seq[Expression]) => Md5Prefix60(children.head)))
     ext.injectFunction(TextFunctions.injection)
+    ext.injectFunction(TextFunctions.charInjection)
     ext.injectFunction(SetFunctions.injection)
   }
 }

@@ -34,6 +34,52 @@ object TextOps {
   }
 }
 
+/** Character-level sibling of [[TextOps.wordNgrams]]: distinct char
+  * n-grams in first-occurrence order, char-based (not byte-based) so
+  * multi-byte text grams correctly — `substringSQL` mirrors SQL
+  * `substring`/DuckDB `substr` semantics exactly.
+  */
+object CharTextOps {
+  def charNgrams(txt: UTF8String, n: Int): ArrayData = {
+    val m = txt.numChars()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 1
+    while (i <= m - n + 1) {
+      out.add(txt.substringSQL(i, n))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]]
+      .asInstanceOf[Array[Any]])
+  }
+}
+
+/** `char_ngrams(string, n) -> array<string>` — distinct character
+  * n-grams in one codegen loop. Replaces the SQL-lambda form
+  * `array_distinct(transform(sequence(1, char_length(s)-n+1),
+  * i -> substring(s, i, n)))`, which evaluates an interpreted lambda
+  * per CHARACTER of the corpus (the densest element count of any text
+  * path). Texts shorter than `n` chars yield an empty array (the
+  * sequence form's reversed-range artifact on sub-n texts is not
+  * reproduced — it disagreed with the DuckDB generate_series
+  * semantics anyway).
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    CharTextOps.charNgrams(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharTextOps.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** `word_ngrams(array<string>, n) -> array<string>` — native codegen
   * Expression building the distinct space-joined word n-grams the
   * MinHash shingling and decontamination stages consume.
@@ -71,11 +117,12 @@ object TextFunctions {
     * IndexOutOfBounds / ClassCast at resolution time (or a silent
     * `[""]` gram for n <= 0) instead of a proper analysis error.
     */
-  private def build(children: Seq[Expression]): Expression = {
+  private def buildWith(name: String, mk: (Expression, Int) => Expression)(
+      children: Seq[Expression]): Expression = {
     import org.apache.spark.sql.AnalysisException
     if (children.length != 2)
       throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
-        "functionName" -> s"`$fnName`", "expectedNum" -> "2",
+        "functionName" -> s"`$name`", "expectedNum" -> "2",
         "actualNum" -> children.length.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
     val nExpr = children(1)
@@ -85,16 +132,16 @@ object TextFunctions {
     // built-in class states "positive INT" for an arbitrary parameter.
     def invalidN(invalidValue: String): Nothing =
       throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
-        "parameter" -> "`n`", "functionName" -> s"`$fnName`",
+        "parameter" -> "`n`", "functionName" -> s"`$name`",
         "invalidValue" -> invalidValue))
     if (!nExpr.foldable)
       throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
-        "funcName" -> s"`$fnName`", "paramName" -> "`n`",
+        "funcName" -> s"`$name`", "paramName" -> "`n`",
         "paramType" -> "\"INT\""))
     val nInt = nExpr.eval() match {
       case null =>
         throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
-          "parameter" -> "`n`", "functionName" -> s"`$fnName`"))
+          "parameter" -> "`n`", "functionName" -> s"`$name`"))
       case i: Int => i
       case i: Long if i >= Int.MinValue && i <= Int.MaxValue => i.toInt
       case i: Long => invalidN(s"$i (out of INT range)")
@@ -103,16 +150,22 @@ object TextFunctions {
       case _ => invalidN(nExpr.sql) // typed but non-integral literal
     }
     if (nInt <= 0) invalidN(s"$nInt (must be >= 1)")
-    WordNgrams(children.head, nInt)
+    mk(children.head, nInt)
   }
+
+  private def build(children: Seq[Expression]): Expression =
+    buildWith(fnName, WordNgrams.apply)(children)
+
+  val charFnName = "char_ngrams"
+
+  private def buildChar(children: Seq[Expression]): Expression =
+    buildWith(charFnName, CharNgrams.apply)(children)
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(fnName))) {
-      registry.registerFunction(
-        FunctionIdentifier(fnName),
-        new ExpressionInfo(classOf[WordNgrams].getName, fnName),
-        build _)
+    Seq(injection, charInjection).foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
     }
   }
 
@@ -121,7 +174,16 @@ object TextFunctions {
       new ExpressionInfo(classOf[WordNgrams].getName, fnName),
       build _)
 
+  def charInjection: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(charFnName),
+      new ExpressionInfo(classOf[CharNgrams].getName, charFnName),
+      buildChar _)
+
   /** Column-API entry (n must be a literal). */
   def wordNgrams(tokens: Column, n: Int): Column =
     call_function(fnName, tokens, lit(n))
+
+  /** Column-API entry: distinct char n-grams of a string column. */
+  def charNgrams(text: Column, n: Int): Column =
+    call_function(charFnName, text, lit(n))
 }

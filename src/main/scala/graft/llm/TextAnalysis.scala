@@ -226,9 +226,11 @@ object TextAnalysis {
     "zh" -> Seq("zh", "sh", "ng", "xi", "qi", "ao"))
 
   def langIdNgram(s: SparkSession, dir: String): DataFrame = {
-    // dynamic-position substring is only reachable via the SQL lambda
-    val grams = expr(
-      "array_distinct(transform(sequence(1, char_length(txt) - 1), i -> substring(txt, i, 2)))")
+    graft.functions.TextFunctions.register(s)
+    // native char_ngrams kernel: one codegen loop per doc — the SQL
+    // lambda form it replaces interpreted one call per CHARACTER of
+    // the corpus, the densest element count of any text path
+    val grams = graft.functions.TextFunctions.charNgrams(col("txt"), 2)
     val scored = Tables.load(s, dir, "documents")
       .select(col("doc_id"), lower(trim(col("text"))).as("txt"))
       .select(col("doc_id"), grams.as("g"))

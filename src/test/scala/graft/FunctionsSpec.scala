@@ -101,6 +101,31 @@ class FunctionsSpec extends SparkSpec {
     assert(viaCol == 11.0)
   }
 
+  test("char_ngrams equals the sequence+substring SQL-lambda form it replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // multi-byte text included: the kernel must gram by CHAR, not byte
+    val texts = Seq("hello", "ab", "aaaa", "héllo wörld", "中文字符串", "xy")
+      .toDF("txt")
+    val rows = texts.select(
+      graft.functions.TextFunctions.charNgrams(col("txt"), 2).as("fast"),
+      expr("array_distinct(transform(sequence(1, char_length(txt) - 1)," +
+        " i -> substring(txt, i, 2)))").as("ref"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // sub-n text: empty grams (matches DuckDB generate_series(1, 0))
+    assert(Seq("x").toDF("txt")
+      .select(graft.functions.TextFunctions.charNgrams(col("txt"), 2))
+      .head.getSeq[String](0).isEmpty)
+    // SQL path + the shared n validation
+    assert(spark.sql("SELECT char_ngrams('abc', 2) AS g")
+      .head.getSeq[String](0) == Seq("ab", "bc"))
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT char_ngrams('abc', 0)"))
+    assert(e.getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+  }
+
   test("vec_div and vec_quant_int8 equal the transform-lambda forms they replace") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
