@@ -11,9 +11,12 @@ import graft.core.Tables
   * document fingerprinting — all over the `documents` table.
   *
   * Everything here is a narrow projection over a single scan: no
-  * shuffle, no UDF (built-in `functions._` + higher-order array
-  * lambdas only, so the whole stage stays inside Catalyst/codegen and
-  * scales linearly with input splits at 100 TB).
+  * shuffle, no UDF — built-in `functions._` plus the native codegen
+  * kernels (count_in_set, char_ngrams, md5_60), so the hot loops stay
+  * inside whole-stage codegen and scale linearly with input splits at
+  * 100 TB. (Interpreted higher-order lambdas survive only where the
+  * element count is per-line or the fold is inherently sequential —
+  * t9's bullet check, t4's rolling hash.)
   *
   * Cross-engine determinism: every hash is derived from `md5()` hex
   * output (identical in Spark and DuckDB); every double is produced by
