@@ -14,10 +14,14 @@ import java.sql.Timestamp
   *  - Watermarks bound state: the windowed aggregate keeps only
   *    windows newer than (max event time - watermark), so state size
   *    is O(active windows × keys), independent of stream length.
-  *  - Sessionization uses `flatMapGroupsWithState` with a processing-
-  *    time timeout — the canonical bounded-state custom-state pattern;
-  *    state per key is one open session, emitted and dropped on gap
-  *    expiry.
+  *  - Sessionization uses `flatMapGroupsWithState` with an EVENT-time
+  *    timeout — the canonical bounded-state custom-state pattern: state
+  *    per key is one open session, and once the watermark passes
+  *    `lastTs + gap` (no event can extend the session any more — later
+  *    arrivals below the watermark are dropped as late) the open
+  *    session is emitted and its state evicted. Without the timeout an
+  *    idle user's state would live forever and their last session would
+  *    never be emitted.
   *  - All transforms below also run unchanged on a batch DataFrame
   *    (stream/batch unification), which is how the spec tests them.
   */
@@ -61,35 +65,70 @@ object EventStreams {
 
   /** Custom-state sessionization: a >30-minute event-time gap closes
     * the user's session. Emits one row per closed session.
+    *
+    * Streaming input gets a watermark + `EventTimeTimeout` set to
+    * `lastTs + gapMs`: when the watermark passes that point the open
+    * session is provably closed (any event that could extend it would
+    * be behind the watermark, hence dropped), so it is emitted and the
+    * key's state removed — state size is O(users active within the
+    * watermark horizon), not O(all users ever seen). A returning user
+    * after eviction restarts at session_id 0; durable session identity
+    * is (user_id, start_ms), which is unique regardless.
+    *
+    * Batch input (how the spec's equivalence tests run it) keeps
+    * `NoTimeout`: timeouts never fire in batch execution, and batch
+    * plans eliminate the watermark node so the event-time timeout API
+    * is unavailable there — semantics are identical either way.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
-      : Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // Iterators arrive unordered within a trigger; sort this
-          // micro-batch (bounded) by event time before folding.
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption
-            .getOrElse(SessionState(0L, Long.MinValue, Long.MinValue, 0L))
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.nEvents > 0 && t - st.lastTs > gapMs) {
-              closed += SessionOut(userId, st.sessionId, st.nEvents,
-                st.startTs, st.lastTs)
-              st = SessionState(st.sessionId + 1, t, t, 1L)
-            } else if (st.nEvents == 0) {
-              st = SessionState(st.sessionId, t, t, 1L)
-            } else {
-              st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+          if (streaming && state.hasTimedOut) {
+            // Watermark passed lastTs + gap: emit the open session and
+            // evict — this is the state bound.
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, st.sessionId, st.nEvents, st.startTs, st.lastTs))
+          } else {
+            // Iterators arrive unordered within a trigger; sort this
+            // micro-batch (bounded) by event time before folding.
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption
+              .getOrElse(SessionState(0L, Long.MinValue, Long.MinValue, 0L))
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.nEvents > 0 && t - st.lastTs > gapMs) {
+                closed += SessionOut(userId, st.sessionId, st.nEvents,
+                  st.startTs, st.lastTs)
+                st = SessionState(st.sessionId + 1, t, t, 1L)
+              } else if (st.nEvents == 0) {
+                st = SessionState(st.sessionId, t, t, 1L)
+              } else {
+                st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+              }
             }
+            state.update(st)
+            if (streaming) {
+              // Must be strictly ahead of the current watermark (the
+              // API rejects a timestamp at/behind it, which can happen
+              // when this batch's events barely outrun the watermark).
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          state.update(st)
-          closed.result().iterator
       }
   }
 

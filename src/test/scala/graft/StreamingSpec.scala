@@ -210,6 +210,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize emits and evicts an idle session once the watermark passes its gap") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("ssto").outputMode("append")
+      .start()
+    try {
+      // u1 sends two events, then goes idle forever — under NoTimeout
+      // this session would never be emitted and its state never freed
+      mem.addData(Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0))
+      q.processAllAvailable()
+      assert(spark.table("ssto").count() == 0) // still open, nothing closed
+      // another user's traffic advances the watermark (max event time
+      // minus 1h) past u1's lastTs + 30min gap: ts(200) -> wm ts(140)
+      mem.addData(Event(3, ts(200), 2, "a", 0))
+      q.processAllAvailable()
+      // next trigger processes timeouts against the advanced watermark
+      mem.addData(Event(4, ts(210), 2, "a", 0))
+      q.processAllAvailable()
+      val got = spark.table("ssto")
+        .select("user_id", "n_events", "start_ms", "end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // u1's idle session emitted by timeout; u2's session is live (its
+      // own timeout is ahead of the watermark) so nothing else appears
+      assert(got == Set((1L, 2L, ts(0).getTime, ts(10).getTime)), got)
+    } finally q.stop()
+  }
+
+  test("checkpointed parquet sink recovers exactly-once across a stop/restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ck = s"$base/ck"
+    def start() = EventStreams.writeParquet(
+      EventStreams.readEvents(spark, srcDir), outDir, ck).start()
+    // run 1: first batch of files flows through to the sink
+    (0 until 20).map(i => Event(i, ts(i), i % 3, "e", i)).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // new files land while the query is DOWN; the restarted query must
+    // pick up exactly these from the checkpointed offset — re-emitting
+    // none of run 1's output and losing none of the new files
+    (20 until 35).map(i => Event(i, ts(i), i % 3, "e", i)).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 35L).toSeq, s"expected 0..34 exactly once, got $ids")
+  }
+
   test("readEvents wires a file stream with the batch schema") {
     val df = EventStreams.readEvents(spark, s"$sfDir/events.parquet")
     assert(df.isStreaming)
