@@ -227,44 +227,99 @@ object Curation {
       .select(col("doc_id"), col("source"), col("weight"))
   }
 
-  /** Shard packing for training-data export: documents are assigned to
-    * fixed-budget shards (by char volume here; tokens at scale) via a
-    * cumulative sum per source. The window partitions by `source`, so
-    * no global single-partition window — each source packs its own
-    * shard sequence in parallel, which is how a 100 TB export actually
-    * lays out files (per-domain shard sets). The `cum - 1` keeps a doc
-    * that ends exactly on a boundary in the lower shard.
+  /** Buckets per source for the hierarchical pack cumsum — the
+    * intra-source parallelism of the packers.
     */
-  def packShards(s: SparkSession, dir: String, budget: Long = 50000L)
-      : DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("cum", sum(col("n_chars")).over(w))
-      .withColumn("shard",
-        floor((col("cum") - 1).cast("double") / budget).cast(LongType))
-      .select(col("doc_id"), col("source"), col("n_chars"), col("shard"))
+  val PackBuckets = 32
+
+  /** Two-pass hierarchical per-source cumulative sum over
+    * (doc_id, source, `sizeCol`) rows, returning the same frame plus a
+    * `shard` column — identical output to a flat
+    * `Window.partitionBy("source")` cumsum, WITHOUT its scale flaw: a
+    * flat per-source window sorts each source's entire data in ONE
+    * task, and a real corpus has a dominant source (web crawl), i.e. a
+    * single reducer processing most of the corpus.
+    *
+    * Pass 1 cumsums within (source, bucket), where
+    * bucket = (doc_id - min_id) / width is monotone in doc_id — so
+    * (bucket, doc_id) order IS doc_id order and each source spreads
+    * over [[PackBuckets]] parallel sort tasks. Pass 2 adds each
+    * bucket's starting offset, computed by a partial-agg groupBy down
+    * to |sources|×buckets rows, a running-total window over that tiny
+    * frame only, and a broadcast join back. The id span feeding the
+    * bucket width is itself a broadcast one-row aggregate — nothing
+    * collects to the driver.
+    *
+    * The size projection is consumed by both passes (the cumsum window
+    * and the totals aggregate), so the narrow scan runs twice; at real
+    * scale the input is the already-materialized doc manifest (and the
+    * token counts come from t1's stats artifact), so both passes read
+    * a skinny metadata table, never the text.
+    */
+  private def hierarchicalPack(sized: DataFrame, sizeCol: String,
+      budget: Long): DataFrame = {
+    // Column `/` is double division — floor + cast keep the bucket a
+    // LONG, so there are at most PackBuckets+1 buckets per source (a
+    // fractional bucket key would degenerate to one bucket per doc,
+    // making the "tiny" offsets frame corpus-sized)
+    val span = sized.agg(min(col("doc_id")).as("min_id"),
+      (floor((max(col("doc_id")) - min(col("doc_id"))) / PackBuckets) + 1)
+        .cast(LongType).as("width"))
+    val bucketed = sized.crossJoin(broadcast(span))
+      .withColumn("bucket",
+        floor((col("doc_id") - col("min_id")) / col("width")).cast(LongType))
+      .select(col("doc_id"), col("source"), col(sizeCol), col("bucket"))
+    val wIn = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    // running offset of preceding buckets, over the tiny totals frame
+    val wOff = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("source", "bucket")
+      .agg(sum(col(sizeCol)).as("tot"))
+      .withColumn("offset", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("source").as("o_source"), col("bucket").as("o_bucket"),
+        col("offset"))
+    bucketed
+      .withColumn("cum_in", sum(col(sizeCol)).over(wIn))
+      .join(broadcast(offsets), col("source") === col("o_source")
+        && col("bucket") === col("o_bucket"))
+      .withColumn("shard", floor((col("cum_in") + col("offset") - 1)
+        .cast("double") / budget).cast(LongType))
+      .select(col("doc_id"), col("source"), col(sizeCol), col("shard"))
   }
 
-  /** Token-budget shard packing: same per-source cumulative-sum layout
-    * as [[packShards]], but budgeted in TOKENS — the unit a training
-    * run actually consumes (fixed-token shards give uniform step
-    * costs; char-budgeted shards skew under varying token lengths).
-    * Token counts come from the same whitespace tokenizer as t1, one
-    * codegen projection before the window — the text itself never
-    * enters the shuffle.
+  /** Shard packing for training-data export: documents are assigned to
+    * fixed-budget shards (by char volume here; tokens in [[packShardsByTokens]])
+    * via the [[hierarchicalPack]] per-source cumulative sum — each
+    * source packs its own shard sequence, in parallel WITHIN the
+    * source, which is how a 100 TB export actually lays out files
+    * (per-domain shard sets). The `cum - 1` keeps a doc that ends
+    * exactly on a boundary in the lower shard.
+    */
+  def packShards(s: SparkSession, dir: String, budget: Long = 50000L)
+      : DataFrame =
+    hierarchicalPack(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "n_chars", budget)
+
+  /** Token-budget shard packing: same hierarchical per-source layout
+    * as [[packShards]], but budgeted in BPE-ish TOKENS — the unit a
+    * training run actually consumes (fixed-token shards give uniform
+    * step costs; char budgets skew under varying token lengths, and
+    * whitespace tokens undercount the symbol-dense text a byte-pair
+    * encoder splits apart). The count is t1's `n_bpe_tokens`
+    * pre-tokenizer, one codegen projection before the window — the
+    * text itself never enters a shuffle.
     */
   def packShardsByTokens(s: SparkSession, dir: String,
-      budget: Long = 2000L): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("shard",
-        floor((col("cum") - 1).cast("double") / budget).cast(LongType))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
-  }
+      budget: Long = 2000L): DataFrame =
+    hierarchicalPack(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(trim(col("text")),
+            lit(TextAnalysis.bpeish), lit(0)))
+            .cast(LongType).as("n_bpe_tokens")),
+      "n_bpe_tokens", budget)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curate" -> curate _,
@@ -361,15 +416,19 @@ object Curation {
         |FROM documents d JOIN w USING (source)
         |WHERE CAST(('0x' || substr(md5('sample:' || d.doc_id), 1, 15)) AS BIGINT)
         |  % 10000 < w.weight * 10000""".stripMargin,
+    // the oracle's flat per-source window and Spark's hierarchical
+    // two-pass cumsum must produce identical sums — that equality is
+    // exactly what the hash check proves
     "c5_pack_tokens" ->
-      """SELECT doc_id, source, n_tokens,
+      """SELECT doc_id, source, n_bpe_tokens,
         |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 2000) AS BIGINT) AS shard
-        |FROM (SELECT doc_id, source, n_tokens,
-        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |FROM (SELECT doc_id, source, n_bpe_tokens,
+        |        sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM (SELECT doc_id, source,
-        |              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |                AS n_tokens
+        |              CAST(len(regexp_extract_all(trim(text),
+        |                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |                AS n_bpe_tokens
         |            FROM documents))""".stripMargin,
     "c4_pack" ->
       """SELECT doc_id, source, n_chars,

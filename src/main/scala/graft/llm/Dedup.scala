@@ -437,9 +437,13 @@ object Dedup {
     var converged = prevSum == null // empty edge set
     var iter = 0
     while (!converged && iter < maxIter) {
+      // materialized once: both sides of the pointer-jump self-join
+      // below read it, so without the checkpoint the contraction
+      // join+agg would execute twice per pass
       val contracted = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src")).agg(min(col("lbl")).as("lbl"))
         .select(col("src").as("id"), col("lbl"))
+        .localCheckpoint(true)
       val next = contracted.as("l")
         .join(contracted.as("j"), col("l.lbl") === col("j.id"), "left")
         .select(col("l.id").as("id"),
@@ -448,10 +452,11 @@ object Dedup {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      // the superseded snapshot is dead the moment `next` materializes;
-      // release its blocks NOW instead of at the next full GC — N
-      // iterations would otherwise hold N label snapshots (plus e/sym)
-      // in block-manager memory, evicting useful cache under load
+      // the superseded snapshots are dead the moment `next`
+      // materializes; release their blocks NOW instead of at the next
+      // full GC — N iterations would otherwise hold N label snapshots
+      // (plus e/sym) in block-manager memory, evicting useful cache
+      releaseCheckpoint(contracted)
       releaseCheckpoint(labels)
       labels = next
       iter += 1
@@ -464,16 +469,22 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** The dedup family's terminal artifact: candidate pairs from BOTH
-    * near-dup detectors (d2 MinHash ∪ d5 SimHash) resolved into
-    * duplicate clusters, with a keep/drop flag — keep the component's
-    * min doc_id, drop the rest. Docs in no candidate pair are
-    * implicitly kept (they'd be |corpus| singleton rows; the keep/drop
-    * list only needs the docs dedup touches).
+  /** The dedup family's terminal artifact: candidate pairs from ALL
+    * THREE near-dup detectors (d2 word MinHash ∪ d5 SimHash ∪ d7
+    * char-gram MinHash) resolved into duplicate clusters, with a
+    * keep/drop flag — keep the component's min doc_id, drop the rest.
+    * The d7 edges are what make the resolution cross-lingual: a CJK
+    * near-dup pair produces no word-shingle or token-hash overlap
+    * (both see one giant "word"), so without them it would survive
+    * [[dedupApply]]. Docs in no candidate pair are implicitly kept
+    * (they'd be |corpus| singleton rows; the keep/drop list only needs
+    * the docs dedup touches).
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val edges = minhashCandidates(s, dir)
       .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .union(candidatesFromSigs(
+        signaturesFromHashed(charShingleHashes(s, dir), CharSampleMod)))
     connectedComponents(edges)
       .withColumn("keep",
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
@@ -533,40 +544,48 @@ object Dedup {
   /** Char-5-gram variant of the shingle CTE (d7). DuckDB `length()`
     * counts CHARACTERS (like Spark's `char_length`); `strlen` counts
     * bytes and would diverge on any multi-byte text — exactly the
-    * cross-lingual corpus this operator exists for.
+    * cross-lingual corpus this operator exists for. `p` prefixes the
+    * CTE names so the chain can share a WITH clause with the word
+    * chain (both define `toks`/`sh`) in the d8/d9 oracles.
     */
-  private val charShingleCte =
-    """toks AS (SELECT doc_id,
-      |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN length(txt) >= 5 THEN list_distinct(list_transform(
-      |    generate_series(1, length(txt) - 4),
-      |    i -> substr(txt, CAST(i AS INTEGER), 5)))
-      |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
+  private def charShingleCte(p: String = "") =
+    s"""${p}toks AS (SELECT doc_id,
+       |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS txt FROM documents),
+       |${p}sh AS (SELECT doc_id,
+       |  CASE WHEN length(txt) >= 5 THEN list_distinct(list_transform(
+       |    generate_series(1, length(txt) - 4),
+       |    i -> substr(txt, CAST(i AS INTEGER), 5)))
+       |  ELSE [txt] END AS shingles FROM ${p}toks)""".stripMargin
 
-  private def sigCteFrom(shCte: String, sampleMod: Int = 1) =
+  private def sigCteFrom(shCte: String, sampleMod: Int = 1, p: String = "") =
     s"""$shCte,
-       |hs AS (SELECT doc_id, list_filter(list_transform(shingles,
+       |${p}hs AS (SELECT doc_id, list_filter(list_transform(shingles,
        |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647),
        |  v -> v % $sampleMod = 0) AS hv
-       |  FROM sh),
-       |sig AS (SELECT doc_id, k,
+       |  FROM ${p}sh),
+       |${p}sig AS (SELECT doc_id, k,
        |  list_min(list_transform(hv,
        |    v -> (v * (12582917 * k + 7) + (15485863 * k + 11)) % 2147483647)) AS mh
-       |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)
+       |  FROM ${p}hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)
        |  WHERE len(hv) > 0),
-       |band AS (SELECT doc_id, k // 4 AS band_idx,
+       |${p}band AS (SELECT doc_id, k // 4 AS band_idx,
        |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_key
-       |  FROM sig GROUP BY doc_id, k // 4),
-       |bsz AS (SELECT band_idx, band_key, COUNT(*) AS n, MIN(doc_id) AS rep
-       |  FROM band GROUP BY band_idx, band_key),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM band x JOIN band y ON x.band_idx = y.band_idx
+       |  FROM ${p}sig GROUP BY doc_id, k // 4),
+       |${p}bsz AS (SELECT band_idx, band_key, COUNT(*) AS n, MIN(doc_id) AS rep
+       |  FROM ${p}band GROUP BY band_idx, band_key),
+       |${p}cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ${p}band x JOIN ${p}band y ON x.band_idx = y.band_idx
        |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-       |  JOIN bsz ON bsz.band_idx = x.band_idx AND bsz.band_key = x.band_key
-       |  WHERE bsz.n <= $MaxBucket OR x.doc_id = bsz.rep)""".stripMargin
+       |  JOIN ${p}bsz ON ${p}bsz.band_idx = x.band_idx AND ${p}bsz.band_key = x.band_key
+       |  WHERE ${p}bsz.n <= $MaxBucket OR x.doc_id = ${p}bsz.rep)""".stripMargin
 
   private val sigCte = sigCteFrom(shingleCte)
+
+  /** d7's char-gram candidate chain with `cg`-prefixed names, for the
+    * d8/d9 WITH clauses.
+    */
+  private val cgCandCte =
+    sigCteFrom(charShingleCte("cg"), CharSampleMod, "cg")
 
   /** d5's SimHash candidate chain with `sim`-prefixed CTE names so it
     * can share a WITH clause with [[sigCte]] (both define `sh`/`bsz`).
@@ -606,10 +625,13 @@ object Dedup {
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $sigCte,
          |$simCandCte,
+         |$cgCandCte,
          |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
          |  UNION SELECT doc_b, doc_a FROM cand
          |  UNION SELECT doc_a, doc_b FROM simcand
-         |  UNION SELECT doc_b, doc_a FROM simcand),
+         |  UNION SELECT doc_b, doc_a FROM simcand
+         |  UNION SELECT doc_a, doc_b FROM cgcand
+         |  UNION SELECT doc_b, doc_a FROM cgcand),
          |nodes AS (SELECT DISTINCT a AS id FROM e),
          |r AS (SELECT id AS node, id AS reach FROM nodes
          |  UNION
@@ -622,10 +644,13 @@ object Dedup {
     "d9_dedup_apply" ->
       s"""WITH RECURSIVE $sigCte,
          |$simCandCte,
+         |$cgCandCte,
          |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
          |  UNION SELECT doc_b, doc_a FROM cand
          |  UNION SELECT doc_a, doc_b FROM simcand
-         |  UNION SELECT doc_b, doc_a FROM simcand),
+         |  UNION SELECT doc_b, doc_a FROM simcand
+         |  UNION SELECT doc_a, doc_b FROM cgcand
+         |  UNION SELECT doc_b, doc_a FROM cgcand),
          |cnodes AS (SELECT DISTINCT a AS id FROM e),
          |r AS (SELECT id AS node, id AS reach FROM cnodes
          |  UNION
@@ -634,7 +659,7 @@ object Dedup {
          |SELECT doc_id, source, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
     "d7_chargram_lsh" ->
-      s"WITH ${sigCteFrom(charShingleCte, CharSampleMod)} SELECT doc_a, doc_b FROM cand",
+      s"WITH ${sigCteFrom(charShingleCte(), CharSampleMod)} SELECT doc_a, doc_b FROM cand",
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,

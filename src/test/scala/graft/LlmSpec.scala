@@ -274,6 +274,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical pack equals the flat per-source cumsum exactly") {
+    import graft.llm.Curation
+    import org.apache.spark.sql.expressions.Window
+    // the two-pass (source,bucket) cumsum + offset add must reproduce
+    // the flat single-window-per-source assignment bit for bit
+    val got = Curation.packShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val flat = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - 1).cast("double") / 50000L).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("shard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == flat)
+  }
+
   test("cluster resolution: star-linked bucket collapses to its min doc_id") {
     import spark.implicits._
     // 5 docs with identical shingle sets land in one LSH bucket; with
@@ -477,6 +496,42 @@ class LlmSpec extends SparkSpec {
       assert(got(i).getInt(6) == 0, s"doc $i should fail: ${got(i)}"))
     assert(got(4L).getDouble(5) == 0.5) // 2 distinct of 4 lines
     assert(got(5L).getDouble(4) == 1.0) // one ellipsis per word
+  }
+
+  test("cross-lingual near-dups resolve into one cluster via char-gram edges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cjkdedup").toString
+    // unsegmented CJK: the whole doc is ONE whitespace token, so the
+    // word-shingle and token-simhash detectors are structurally blind
+    // to this pair — only the char-5-gram path can link them
+    val base = "日本語の自然言語処理は分かち書きがないため単語分割が難しい。" * 6
+    Seq(
+      (1L, base + "終"), // near-dup pair: one char differs in ~190
+      (2L, base + "了"),
+      (3L, "a completely different english document with plenty of words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.minhashCandidates(spark, dir).collect().isEmpty,
+      "word MinHash should not see the CJK pair")
+    assert(Dedup.simhashPairs(spark, dir).collect().isEmpty,
+      "token SimHash should not see the CJK pair")
+    val clusters = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(clusters.map(t => (t._1, t._2)).toSet == Set((1L, 1L), (2L, 1L)),
+      clusters.mkString(","))
+    val keep = clusters.map(t => t._1 -> t._3).toMap
+    assert(keep == Map(1L -> 1, 2L -> 0)) // min doc_id elected, dup dropped
+    // and the terminal artifact actually drops the CJK duplicate
+    val surviving = Dedup.dedupApply(spark,
+      { // dedupApply projects source/lang/n_chars: rewrite with metadata
+        Seq((1L, base + "終", "web", "ja", 190L), (2L, base + "了", "web", "ja", 190L),
+          (3L, "a completely different english document with plenty of words here",
+            "web", "en", 65L))
+          .toDF("doc_id", "text", "source", "lang", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }).collect().map(_.getLong(0)).toSet
+    assert(surviving == Set(1L, 3L), surviving)
   }
 
   test("connected components: superseded checkpoints released, result-only cache") {

@@ -126,6 +126,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("c4 pack: cumsum window partitioned by (source, bucket), offsets broadcast") {
+    val p = plan(graft.llm.Curation.packShards(spark, sfDir))
+    // the corpus-sized window must NOT partition by source alone — that
+    // is one task per source, i.e. a single reducer sorting a dominant
+    // source's entire data; the bucketed spec gives PackBuckets-way
+    // parallelism within each source
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(l => l.contains("source") && l.contains("bucket")),
+      s"no (source,bucket)-partitioned window:\n$p")
+    // the bucket key must be integral: a double key degenerates to one
+    // bucket per doc and a corpus-sized offsets frame
+    assert(!winLines.exists(_.contains("normalizenanandzero")),
+      s"fractional bucket key:\n$p")
+    // per-bucket offsets rejoin as a broadcast; the only nested-loop
+    // joins are the ONE-ROW id-span broadcast (t8's corpus-size
+    // pattern), which appears once under each of the two passes
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d9 dedup apply: anti-join, text column never read by the corpus scan") {
     val df = Dedup.dedupApply(spark, sfDir)
     val p = plan(df)
