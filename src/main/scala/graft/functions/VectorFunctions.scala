@@ -20,35 +20,68 @@ object VectorOps {
     s
   }
 
+  private def anyNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** Element-wise divide by a scalar — the exact `x / s` op of the
     * HOF lambda it replaces (NOT multiply-by-reciprocal, which differs
-    * in the last ulp).
+    * in the last ulp). Null elements propagate as null, matching the
+    * `transform` lambda: the functions are registered session-wide for
+    * arbitrary SQL, so a nullable-element array is a legal input even
+    * though the in-repo embedding pipelines never produce one (the
+    * null scan costs one branch per element on the common path).
     */
   def div(a: ArrayData, s: Double): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Double](n)
-    var i = 0
-    while (i < n) { out(i) = a.getDouble(i) / s; i += 1 }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    if (anyNull(a)) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (a.isNullAt(i)) null else a.getDouble(i) / s
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = a.getDouble(i) / s; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
   }
 
-  /** round(x * s) per element as int, HALF_UP away from zero —
+  /** `round(x * s)` per element as int, HALF_UP away from zero,
     * matching Spark's `round()` (BigDecimal HALF_UP) and DuckDB's
-    * `round()` exactly: for |x*s| bounded by the int8 quantization
-    * range, the only double at a rounding boundary is the exactly
-    * representable x.5 itself, so the float form cannot diverge from
-    * the decimal form.
+    * `round()` exactly. No `v + 0.5` trick: at v = nextDown(0.5) the
+    * ADDITION itself rounds to 1.0 and floor would misround to 1.
+    * Instead compare the fractional part `v - floor(v)` (for v >= 0;
+    * mirrored with ceil for v < 0) against 0.5 — that subtraction is
+    * exact in binary floating point (the fraction is a low-order bit
+    * suffix of v, always representable), so no intermediate rounding
+    * exists to diverge. Null elements propagate as null, like [[div]].
     */
   def scaleRoundInt(a: ArrayData, s: Double): ArrayData = {
+    def roundHalfUp(v: Double): Int =
+      (if (v >= 0) { val f = math.floor(v); if (v - f >= 0.5) f + 1 else f }
+       else { val c = math.ceil(v); if (c - v >= 0.5) c - 1 else c }).toInt
     val n = a.numElements()
-    val out = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      val v = a.getDouble(i) * s
-      out(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
-      i += 1
+    if (anyNull(a)) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (a.isNullAt(i)) null else roundHalfUp(a.getDouble(i) * s)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = roundHalfUp(a.getDouble(i) * s); i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -91,14 +124,19 @@ case class VecDot(left: Expression, right: Expression)
 /** `vec_div(array<double>, double) -> array<double>` — element-wise
   * division by a scalar in one codegen loop: the normalize (`x/‖v‖`)
   * and int8-dequantize (`q/scale`) steps of the embedding paths,
-  * replacing a `transform` lambda interpreted per element.
+  * replacing a `transform` lambda interpreted per element. Element
+  * nulls propagate (lambda parity), so the output's containsNull
+  * mirrors the input's.
   */
 case class VecDiv(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes
     with Serializable {
 
   override def inputTypes = Seq(ArrayType(DoubleType), DoubleType)
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, cn) => ArrayType(DoubleType, containsNull = cn)
+    case _ => ArrayType(DoubleType)
+  }
   override def prettyName: String = "vec_div"
 
   override protected def nullSafeEval(a: Any, s: Any): Any =
@@ -116,14 +154,19 @@ case class VecDiv(left: Expression, right: Expression)
   * quantization write-path kernel: round(x × scale) per element with
   * Spark/DuckDB `round()` semantics, one primitive loop instead of an
   * interpreted `transform(round(x*s))` lambda per dimension. At
-  * 100 TB this runs once per stored embedding dimension.
+  * 100 TB this runs once per stored embedding dimension. Element
+  * nulls propagate (lambda parity); output containsNull mirrors the
+  * input's.
   */
 case class VecQuantInt8(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes
     with Serializable {
 
   override def inputTypes = Seq(ArrayType(DoubleType), DoubleType)
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, cn) => ArrayType(IntegerType, containsNull = cn)
+    case _ => ArrayType(IntegerType)
+  }
   override def prettyName: String = "vec_quant_int8"
 
   override protected def nullSafeEval(a: Any, s: Any): Any =

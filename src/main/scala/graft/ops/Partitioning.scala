@@ -94,12 +94,31 @@ object Partitioning {
   /** Rows the parquet reader actually decoded for `df`'s scan (the
     * scan operator's numOutputRows after row-group/page pruning) —
     * the observable that proves a data-skipping layout works.
+    *
+    * AQE-wrapped plans are unwrapped: `AdaptiveSparkPlanExec` is a
+    * LEAF node to `collect`, so a naive traversal over a query with an
+    * exchange/subquery finds no Scan and would silently report 0 —
+    * falsely satisfying any `scanned <= bound` assertion. Throws if no
+    * scan with the metric exists at all, for the same reason.
     */
   def scannedRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.collect()
-    df.queryExecution.executedPlan.collect {
-      case s if s.nodeName.contains("Scan") => s.metrics.get("numOutputRows")
-    }.flatten.map(_.value).sum
+    def scanMetrics(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => scanMetrics(a.executedPlan)
+      // materialized AQE stages are leaves too; the scan lives inside
+      case q: QueryStageExec => scanMetrics(q.plan)
+      case _ =>
+        val here =
+          if (p.nodeName.contains("Scan"))
+            p.metrics.get("numOutputRows").map(_.value).toSeq
+          else Seq.empty
+        here ++ p.children.flatMap(scanMetrics)
+    }
+    val found = scanMetrics(df.queryExecution.executedPlan)
+    require(found.nonEmpty, "no Scan node with a numOutputRows metric found")
+    found.sum
   }
 
   /** Salted join for skewed keys: the skewed (large) side gets a

@@ -149,6 +149,25 @@ class FunctionsSpec extends SparkSpec {
     // SQL path via GraftExtensions
     assert(spark.sql("SELECT vec_quant_int8(array(-2.5D, 2.5D), 1.0D) AS q")
       .head.getSeq[Int](0) == Seq(-3, 3))
+    // pathological boundary: nextDown(0.5) — a naive floor(v + 0.5)
+    // rounds UP here because the addition itself rounds to exactly 1.0,
+    // while BigDecimal HALF_UP (Spark round) and DuckDB yield 0
+    val nd = Math.nextDown(0.5)
+    assert(spark.sql(s"SELECT vec_quant_int8(array(${nd}D, ${-nd}D), 1.0D) AS q")
+      .head.getSeq[Int](0) == Seq(0, 0))
+  }
+
+  test("vec_div / vec_quant_int8 propagate null elements like the lambdas") {
+    // registered session-wide: arbitrary SQL can feed nullable-element
+    // arrays even though the embedding pipelines never do
+    val r = spark.sql(
+      """SELECT vec_div(array(2.0D, NULL, 8.0D), 2.0D) AS d,
+        |       vec_quant_int8(array(2.5D, NULL), 1.0D) AS q,
+        |       transform(array(2.0D, NULL, 8.0D), x -> x / 2.0D) AS dl""".stripMargin)
+      .head
+    assert(r.getSeq[Any](0) == Seq(1.0, null, 4.0))
+    assert(r.getSeq[Any](1) == Seq(3, null))
+    assert(r.getSeq[Any](0) == r.getSeq[Any](2)) // lambda parity
   }
 
   test("count_in_set equals the filter+array_contains HOF form it replaces") {

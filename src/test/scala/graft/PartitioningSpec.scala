@@ -111,6 +111,18 @@ class PartitioningSpec extends SparkSpec {
       s"sorted layout decoded $sortedRows of $total — row-group stats not pruning")
   }
 
+  test("scannedRows sees through an AQE-wrapped plan") {
+    // a groupBy forces an exchange, so the executed plan is an
+    // AdaptiveSparkPlanExec LEAF — a naive collect over it finds no
+    // Scan node and would silently report 0 decoded rows
+    val agg = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+    assert(agg.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+    val rows = Partitioning.scannedRows(agg)
+    assert(rows == spark.read.parquet(s"$sfDir/lineitem.parquet").count(),
+      s"AQE scan metric lost: $rows")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
