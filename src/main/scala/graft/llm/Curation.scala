@@ -37,12 +37,12 @@ object Curation {
     * predictions never agree), deduplicated on the canonical-form
     * fingerprint keeping the smallest doc_id.
     */
-  def curate(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.SetFunctions.register(s)
+  def curateOf(docs: DataFrame): DataFrame = {
+    graft.functions.SetFunctions.register(docs.sparkSession)
     val tk = TextAnalysis.tokens(col("text"))
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
-    val scored = Tables.load(s, dir, "documents")
+    val scored = docs
       .select(col("doc_id"), col("lang"), tk.as("t"), md5(norm).as("fp"))
       .select(
         (Seq(col("doc_id"), col("lang"), col("fp"),
@@ -80,6 +80,9 @@ object Curation {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
   }
+
+  def curate(s: SparkSession, dir: String): DataFrame =
+    curateOf(Tables.load(s, dir, "documents"))
 
   /** (doc_id, gram) table: distinct word-`n`-grams per doc, whole
     * trimmed text as the single gram for docs under `n` tokens.
@@ -187,9 +190,9 @@ object Curation {
     * is one partial-agg groupBy over |sources| rows; the normalizing
     * window runs over that tiny frame, not the corpus.
     */
-  def mixWeights(s: SparkSession, dir: String, alpha: Double = 0.7): DataFrame = {
+  def mixWeightsOf(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bySource = Tables.load(s, dir, "documents")
+    val bySource = docs
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .withColumn("w_raw", pow(col("n_chars").cast("double"), alpha))
@@ -199,6 +202,9 @@ object Curation {
           Window.partitionBy()), 6))
       .select(col("source"), col("n_docs"), col("n_chars"), col("weight"))
   }
+
+  def mixWeights(s: SparkSession, dir: String, alpha: Double = 0.7): DataFrame =
+    mixWeightsOf(Tables.load(s, dir, "documents"), alpha)
 
   /** Deterministic weighted sampling by content hash: doc kept iff
     * hash60("sample:" + doc_id) mod `denom` < source_weight × denom,
@@ -214,11 +220,11 @@ object Curation {
     * filter is a scan-side codegen projection — the corpus never
     * shuffles and the text column is never read.
     */
-  def weightedSample(s: SparkSession, dir: String, alpha: Double = 0.7,
+  def weightedSampleOf(docs: DataFrame, alpha: Double = 0.7,
       denom: Int = 10000): DataFrame = {
-    graft.functions.HashFunctions.register(s)
-    val w = mixWeights(s, dir, alpha).select(col("source"), col("weight"))
-    Tables.load(s, dir, "documents")
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    val w = mixWeightsOf(docs, alpha).select(col("source"), col("weight"))
+    docs
       .select(col("doc_id"), col("source"))
       .join(w, "source")
       .filter(TextAnalysis.hash60(
@@ -226,6 +232,10 @@ object Curation {
         < col("weight") * denom)
       .select(col("doc_id"), col("source"), col("weight"))
   }
+
+  def weightedSample(s: SparkSession, dir: String, alpha: Double = 0.7,
+      denom: Int = 10000): DataFrame =
+    weightedSampleOf(Tables.load(s, dir, "documents"), alpha, denom)
 
   /** Buckets per source for the hierarchical pack cumsum — the
     * intra-source parallelism of the packers.
@@ -321,7 +331,66 @@ object Curation {
             .cast(LongType).as("n_bpe_tokens")),
       "n_bpe_tokens", budget)
 
+  /** c8: the composed terminal pipeline — the artifact flow a training
+    * corpus release actually runs, each stage consuming the PREVIOUS
+    * stage's materialized artifact rather than re-deriving it:
+    *
+    *   A. Gopher rule battery (t9) ∩ curation floor (c1: quality,
+    *      length, language agreement, exact-fp dedup) — both computed
+    *      on the raw corpus, intersected.
+    *   B. decontamination (c2) of A's survivors against the external
+    *      benchmark stand-in (the full-corpus doc_id % 7 slice — NOT
+    *      sliced from A, an external eval set doesn't shrink when the
+    *      corpus is filtered).
+    *   C. three-detector near-dedup (d8/d9) over B's survivors.
+    *   D. deterministic weighted sampling (c7), weights computed from
+    *      the SURVIVING volume (sampling against pre-filter weights
+    *      would over-draw sources the filters gutted).
+    *   E. BPE-token shard packing (c5) of the released set.
+    *
+    * Each stage boundary is an eager `localCheckpoint` — the local
+    * stand-in for the parquet write a 100 TB run does between stages —
+    * so stage costs are individually visible in the Spark UI/history,
+    * downstream stages re-read the artifact instead of re-executing
+    * lineage, and each superseded artifact's blocks are released as
+    * soon as the next stage materializes. The final packed frame reads
+    * only stage D's artifact (reclaimed by ContextCleaner when the
+    * caller drops the result).
+    */
+  def curateFull(s: SparkSession, dir: String, budget: Long = 2000L)
+      : DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val a = docs
+      .join(TextAnalysis.qualityRulesOf(docs)
+        .filter(col("pass") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(curateOf(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val contaminated = decontaminateAgainst(
+        a.select(col("doc_id"), col("text")), bench, excludeSelf = true)
+      .select("doc_id").distinct()
+    val b = a.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    Dedup.releaseCheckpoint(a)
+    val dupDrops = Dedup.connectedComponents(Dedup.dedupEdgesOf(b))
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val c = b.join(dupDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    Dedup.releaseCheckpoint(b)
+    val d = c.join(weightedSampleOf(c).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    Dedup.releaseCheckpoint(c)
+    hierarchicalPack(
+      d.select(col("doc_id"), col("source"),
+        size(regexp_extract_all(trim(col("text")),
+          lit(TextAnalysis.bpeish), lit(0)))
+          .cast(LongType).as("n_bpe_tokens")),
+      "n_bpe_tokens", budget)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_curate_full" -> ((s: SparkSession, dir: String) => curateFull(s, dir)),
     "c1_curate" -> curate _,
     "c5_pack_tokens" -> ((s: SparkSession, dir: String) => packShardsByTokens(s, dir)),
     "c2_decontaminate" -> ((s: SparkSession, dir: String) => decontaminate(s, dir)),
@@ -353,43 +422,123 @@ object Curation {
        |  HAVING count(*) >= 5)""".stripMargin
   }
 
+  /** c1's oracle over an arbitrary source relation (self-contained
+    * WITH-query — embeddable as a nested CTE body), reused by c8.
+    */
+  private def curateOracle(src: String = "documents"): String = {
+    val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"CAST(len(list_intersect(list_distinct(t), $lst)) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val gr = "greatest(" +
+      TextAnalysis.langMarkers.map(m => s"s_${m._1}").mkString(", ") + ")"
+    val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = $gr AND $gr > 0 THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    round(len(list_filter(t, x -> list_contains($swList, x))) * 1.0 / len(t), 4)
+       |      AS stop_ratio,
+       |    round(len(list_distinct(t)) * 1.0 / len(t), 4) AS diversity,
+       |    $scores
+       |  FROM (SELECT doc_id, lang, text,
+       |          string_split_regex(trim(text), '\\s+') AS t FROM $src)
+       |), q AS (
+       |  SELECT doc_id, lang, fp, n_tokens,
+       |    round(0.6 * diversity + 0.4 * (1.0 - abs(stop_ratio - 0.4)), 4) AS quality,
+       |    CASE $cases ELSE 'und' END AS pred_lang
+       |  FROM scored
+       |), kept AS (
+       |  SELECT * FROM q
+       |  WHERE quality >= $MinQuality AND n_tokens >= $MinTokens
+       |    AND pred_lang = lang
+       |)
+       |SELECT doc_id, lang, n_tokens, quality FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM kept)
+       |WHERE rk = 1""".stripMargin
+  }
+
+  /** c8's decontamination chain: corpus grams from `src`, benchmark
+    * grams from the FULL `documents` slice — the benchmark is external
+    * to the pipeline, so stage-A filtering must not shrink it. Yields
+    * `${p}hits` (doc_id, bench doc_id, shared-gram count >= 5).
+    */
+  private def decontCteFor(src: String, p: String): String = {
+    val joins = (2 to 8).map(i => s"t[i+${i - 1}]").mkString(" || ' ' || ")
+    def gramChain(srcT: String, pp: String) =
+      s"""${pp}toks AS (SELECT doc_id, trim(text) AS txt,
+         |  string_split_regex(trim(text), '\\s+') AS t FROM $srcT),
+         |${pp}g AS (SELECT doc_id, unnest(
+         |  CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(
+         |    generate_series(1, len(t) - 7),
+         |    i -> t[i] || ' ' || $joins))
+         |  ELSE [txt] END) AS gram FROM ${pp}toks),
+         |${pp}gh AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+         |  FROM ${pp}g)""".stripMargin
+    s"""${gramChain(src, p)},
+       |${gramChain(s"(SELECT * FROM documents WHERE doc_id % 7 = 0)", p + "b")},
+       |${p}hits AS (SELECT ${p}gh.doc_id, ${p}bgh.doc_id AS bench_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM ${p}gh JOIN ${p}bgh ON ${p}gh.gram_h = ${p}bgh.gram_h
+       |    AND ${p}gh.doc_id <> ${p}bgh.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "c1_curate" -> {
-      val swList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
-        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
-        s"CAST(len(list_intersect(list_distinct(t), $lst)) AS BIGINT) AS s_$l"
-      }.mkString(",\n  ")
-      val gr = "greatest(" +
-        TextAnalysis.langMarkers.map(m => s"s_${m._1}").mkString(", ") + ")"
-      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
-        s"WHEN s_$l = $gr AND $gr > 0 THEN '$l'"
-      }.mkString("\n  ")
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang,
-         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-         |    CAST(len(t) AS BIGINT) AS n_tokens,
-         |    round(len(list_filter(t, x -> list_contains($swList, x))) * 1.0 / len(t), 4)
-         |      AS stop_ratio,
-         |    round(len(list_distinct(t)) * 1.0 / len(t), 4) AS diversity,
-         |    $scores
-         |  FROM (SELECT doc_id, lang, text,
-         |          string_split_regex(trim(text), '\\s+') AS t FROM documents)
-         |), q AS (
-         |  SELECT doc_id, lang, fp, n_tokens,
-         |    round(0.6 * diversity + 0.4 * (1.0 - abs(stop_ratio - 0.4)), 4) AS quality,
-         |    CASE $cases ELSE 'und' END AS pred_lang
-         |  FROM scored
-         |), kept AS (
-         |  SELECT * FROM q
-         |  WHERE quality >= $MinQuality AND n_tokens >= $MinTokens
-         |    AND pred_lang = lang
-         |)
-         |SELECT doc_id, lang, n_tokens, quality FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
-         |  FROM kept)
-         |WHERE rk = 1""".stripMargin
-    },
+    "c1_curate" -> curateOracle(),
+    // c8: every stage's chain spliced into ONE WITH RECURSIVE — rules
+    // + curation floor intersect, decontaminate (bench grams from the
+    // full corpus), three-detector dedup closure, weighted sample from
+    // surviving volume, BPE-token pack. The stage artifacts are plain
+    // CTEs (adocs/bdocs/cdocs/ddocs) mirroring the Spark checkpoints.
+    "c8_curate_full" ->
+      s"""WITH RECURSIVE
+         |r9 AS (${TextAnalysis.rulesOracle()}),
+         |cur AS (${curateOracle()}),
+         |adocs AS (SELECT d.* FROM documents d
+         |  JOIN (SELECT doc_id FROM r9 WHERE pass = 1) rp USING (doc_id)
+         |  JOIN (SELECT doc_id FROM cur) cp USING (doc_id)),
+         |${decontCteFor("adocs", "dc")},
+         |bdocs AS (SELECT * FROM adocs
+         |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dchits)),
+         |${Dedup.sigCteFrom(Dedup.shingleCteFrom("bdocs", "w"), 1, "w")},
+         |${Dedup.simCandCteFrom("bdocs")},
+         |${Dedup.sigCteFrom(
+            Dedup.charShingleCte("cg", "bdocs"), Dedup.CharSampleMod, "cg")},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM wcand
+         |  UNION SELECT doc_b, doc_a FROM wcand
+         |  UNION SELECT doc_a, doc_b FROM simcand
+         |  UNION SELECT doc_b, doc_a FROM simcand
+         |  UNION SELECT doc_a, doc_b FROM cgcand
+         |  UNION SELECT doc_b, doc_a FROM cgcand),
+         |cnodes AS (SELECT DISTINCT a AS id FROM e),
+         |r AS (SELECT id AS node, id AS reach FROM cnodes
+         |  UNION
+         |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |drops AS (SELECT node FROM r GROUP BY node HAVING node <> min(reach)),
+         |cdocs AS (SELECT * FROM bdocs
+         |  WHERE doc_id NOT IN (SELECT node FROM drops)),
+         |wmix AS (SELECT source, round(w_raw / sum(w_raw) OVER (), 6) AS weight
+         |  FROM (SELECT source, power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
+         |        FROM cdocs GROUP BY source)),
+         |ddocs AS (SELECT c.* FROM cdocs c JOIN wmix USING (source)
+         |  WHERE CAST(('0x' || substr(md5('sample:' || c.doc_id), 1, 15)) AS BIGINT)
+         |    % 10000 < weight * 10000)
+         |SELECT doc_id, source, n_bpe_tokens,
+         |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 2000) AS BIGINT) AS shard
+         |FROM (SELECT doc_id, source, n_bpe_tokens,
+         |        sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM (SELECT doc_id, source,
+         |              CAST(len(regexp_extract_all(trim(text),
+         |                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |                AS n_bpe_tokens
+         |            FROM ddocs))""".stripMargin,
     "c2_decontaminate" ->
       s"""WITH $decontCte
          |SELECT doc_id, bench_id, n_shared FROM hits""".stripMargin,

@@ -68,7 +68,7 @@ object Dedup {
   /** Distinct word-3-gram shingles per doc; docs under 3 tokens use the
     * whole trimmed text as their single shingle.
     */
-  def shingleSets(s: SparkSession, dir: String): DataFrame = {
+  def shingleSetsOf(docs: DataFrame): DataFrame = {
     // The test corpus is a single parquet file = one input split; the
     // shingle/md5/minhash work is CPU-bound, so spread it across all
     // cores. (A real 100 TB corpus has thousands of splits and skips
@@ -78,16 +78,20 @@ object Dedup {
     // HOF forms: per-element element_at re-runs the regex split per
     // token — CollapseProject inlines it — and even the zip-slices
     // transform pays an interpreted lambda per shingle.)
+    val s = docs.sparkSession
     graft.functions.TextFunctions.register(s)
     val t = split(col("txt"), "\\s+")
     val n = size(t)
-    Tables.load(s, dir, "documents")
+    docs
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), trim(col("text")).as("txt"))
       .select(col("doc_id"),
         when(n >= 3, graft.functions.TextFunctions.wordNgrams(t, 3))
           .otherwise(array(col("txt"))).as("shingles"))
   }
+
+  def shingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSetsOf(Tables.load(s, dir, "documents"))
 
   /** MinHash signature: sig[k] = min over shingles of
     * (hashA(k) * (h60(shingle) mod M) + hashB(k)) mod M, k < 32.
@@ -144,9 +148,10 @@ object Dedup {
     * Docs under k chars get i = 1 only → the whole text, matching the
     * word form's fallback.
     */
-  def charShingleHashes(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def charShingleHashesOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val s = docs.sparkSession
     graft.functions.HashFunctions.register(s)
-    Tables.load(s, dir, "documents")
+    docs
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("txt"))
@@ -156,6 +161,9 @@ object Dedup {
       .select(col("doc_id"),
         (hash60(expr(s"substring(txt, i, $k)")) % M).as("hv"))
   }
+
+  def charShingleHashes(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    charShingleHashesOf(Tables.load(s, dir, "documents"), k)
 
   /** LSH bands: (doc_id, band_idx, band_key) with band_key the
     * comma-joined 4-slice of the signature.
@@ -284,9 +292,10 @@ object Dedup {
     * sums — partial aggregation makes the shuffle O(docs), and the
     * whole map side stays in codegen.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     graft.functions.HashFunctions.register(s)
-    val toks = Tables.load(s, dir, "documents")
+    val toks = docs
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -302,6 +311,9 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.load(s, dir, "documents"))
+
   // -- d5: SimHash near-dup pairs ------------------------------------------
   /** Near-dup pairs by SimHash hamming distance <= 3, found without an
     * O(n²) compare: the 32-bit signature splits into 4 8-bit bands; by
@@ -310,9 +322,9 @@ object Dedup {
     * shuffle keyed by the band byte — then the exact hamming filter
     * (bit_count of xor) keeps true matches.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3,
+  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val sh = simhash(s, dir)
+    val sh = simhashOf(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
@@ -332,6 +344,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame =
+    simhashPairsOf(Tables.load(s, dir, "documents"), maxHamming, maxBucket)
 
   // -- d6: incremental (ingest-time) dedup --------------------------------
   /** New-batch vs known-corpus dedup — the flow an accumulating
@@ -404,7 +420,7 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[llm] def releaseCheckpoint(df: DataFrame): Unit =
     checkpointRdd(df).foreach(_.unpersist(false))
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -480,12 +496,17 @@ object Dedup {
     * (they'd be |corpus| singleton rows; the keep/drop list only needs
     * the docs dedup touches).
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = minhashCandidates(s, dir)
-      .union(simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+  /** The three-detector candidate edge list over an arbitrary corpus
+    * frame — the composed pipeline's dedup input.
+    */
+  def dedupEdgesOf(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(shingleSetsOf(docs))
+      .union(simhashPairsOf(docs).select(col("doc_a"), col("doc_b")))
       .union(candidatesFromSigs(
-        signaturesFromHashed(charShingleHashes(s, dir), CharSampleMod)))
-    connectedComponents(edges)
+        signaturesFromHashed(charShingleHashesOf(docs), CharSampleMod)))
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    connectedComponents(dedupEdgesOf(Tables.load(s, dir, "documents")))
       .withColumn("keep",
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
   }
@@ -532,14 +553,17 @@ object Dedup {
     * inclusive — shingle i spans t[i..i+2] for i in 1..len-2, matching
     * the 0-based Spark sequence).
     */
-  private val shingleCte =
-    """toks AS (SELECT doc_id, trim(text) AS txt,
-      |  string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
-      |    generate_series(1, len(t) - 2),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-      |  ELSE [txt] END AS shingles FROM toks)""".stripMargin
+  private[llm] def shingleCteFrom(src: String = "documents",
+      p: String = "") =
+    s"""${p}toks AS (SELECT doc_id, trim(text) AS txt,
+       |  string_split_regex(trim(text), '\\s+') AS t FROM $src),
+       |${p}sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+       |    generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |  ELSE [txt] END AS shingles FROM ${p}toks)""".stripMargin
+
+  private val shingleCte = shingleCteFrom()
 
   /** Char-5-gram variant of the shingle CTE (d7). DuckDB `length()`
     * counts CHARACTERS (like Spark's `char_length`); `strlen` counts
@@ -548,16 +572,18 @@ object Dedup {
     * CTE names so the chain can share a WITH clause with the word
     * chain (both define `toks`/`sh`) in the d8/d9 oracles.
     */
-  private def charShingleCte(p: String = "") =
+  private[llm] def charShingleCte(p: String = "",
+      src: String = "documents") =
     s"""${p}toks AS (SELECT doc_id,
-       |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS txt FROM documents),
+       |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS txt FROM $src),
        |${p}sh AS (SELECT doc_id,
        |  CASE WHEN length(txt) >= 5 THEN list_distinct(list_transform(
        |    generate_series(1, length(txt) - 4),
        |    i -> substr(txt, CAST(i AS INTEGER), 5)))
        |  ELSE [txt] END AS shingles FROM ${p}toks)""".stripMargin
 
-  private def sigCteFrom(shCte: String, sampleMod: Int = 1, p: String = "") =
+  private[llm] def sigCteFrom(shCte: String, sampleMod: Int = 1,
+      p: String = "") =
     s"""$shCte,
        |${p}hs AS (SELECT doc_id, list_filter(list_transform(shingles,
        |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647),
@@ -590,9 +616,9 @@ object Dedup {
   /** d5's SimHash candidate chain with `sim`-prefixed CTE names so it
     * can share a WITH clause with [[sigCte]] (both define `sh`/`bsz`).
     */
-  private val simCandCte =
-    """simtk AS (SELECT doc_id,
-      |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+  private[llm] def simCandCteFrom(src: String = "documents") =
+    s"""simtk AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM $src),
       |simh AS (SELECT doc_id,
       |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM simtk),
       |simbsum AS (SELECT doc_id, j,
@@ -624,7 +650,7 @@ object Dedup {
     // clusters, i.e. small); the Spark side is the scalable path.
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $sigCte,
-         |$simCandCte,
+         |${simCandCteFrom()},
          |$cgCandCte,
          |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
          |  UNION SELECT doc_b, doc_a FROM cand
@@ -643,7 +669,7 @@ object Dedup {
     // whose id is NOT a dropped (non-minimum) cluster member
     "d9_dedup_apply" ->
       s"""WITH RECURSIVE $sigCte,
-         |$simCandCte,
+         |${simCandCteFrom()},
          |$cgCandCte,
          |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
          |  UNION SELECT doc_b, doc_a FROM cand

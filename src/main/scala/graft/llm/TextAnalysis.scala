@@ -107,7 +107,7 @@ object TextAnalysis {
     * One narrow projection, no shuffle — string counts via
     * length-difference (no regex), line metrics via split + HOFs.
     */
-  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+  def qualityRulesOf(docs: DataFrame): DataFrame = {
     val tk = tokens(col("text"))
     val nWords = size(col("t")).cast("double")
     val hashes = (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
@@ -117,7 +117,7 @@ object TextAnalysis {
     val bulletLed = size(filter(col("lines"), l =>
       ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
         ltrim(l).startsWith("•")))
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id"), col("text"), tk.as("t"),
         split(col("text"), "\n").as("lines"))
       .select(col("doc_id"),
@@ -137,6 +137,9 @@ object TextAnalysis {
           col("ellipsis_ratio") <= 0.3 && col("dup_line_frac") <= 0.3)
           .cast("int"))
   }
+
+  def qualityRules(s: SparkSession, dir: String): DataFrame =
+    qualityRulesOf(Tables.load(s, dir, "documents"))
 
   // -- t10: n-gram repetition signals --------------------------------------
   /** The Gopher repetition rules t9 leaves out (Rae et al. 2021 §A1.1,
@@ -359,6 +362,33 @@ object TextAnalysis {
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** t9's oracle over an arbitrary source relation — reused by the
+    * composed-pipeline oracle (c8), whose first stage filters on the
+    * rule battery.
+    */
+  private[llm] def rulesOracle(src: String = "documents"): String =
+    s"""SELECT doc_id, mean_word_len, bullet_frac, hash_ratio,
+       |  ellipsis_ratio, dup_line_frac,
+       |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AND bullet_frac <= 0.9
+       |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.3
+       |    AND dup_line_frac <= 0.3 AS INTEGER) AS pass
+       |FROM (SELECT doc_id,
+       |  round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+       |    / len(t), 4) AS mean_word_len,
+       |  round(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+       |    OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+       |    * 1.0 / len(lines), 4) AS bullet_frac,
+       |  round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(t), 4)
+       |    AS hash_ratio,
+       |  round(((length(text) - length(replace(text, '...', ''))) / 3)
+       |    * 1.0 / len(t), 4) AS ellipsis_ratio,
+       |  round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
+       |    AS dup_line_frac
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(trim(text), '\\s+') AS t,
+       |          string_split(text, chr(10)) AS lines
+       |        FROM $src))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // t8: same smoothed-idf arithmetic (ln((N+1)/(df+1)) + 1), ranked
     // on the rounded score with a term tiebreak for a deterministic cut
@@ -406,28 +436,7 @@ object TextAnalysis {
         |FROM c GROUP BY 1, 2""".stripMargin,
     // t9: same rule arithmetic; aliases resolved via a subquery so the
     // composite flag reads the rounded metrics it is defined over
-    "t9_quality_rules" ->
-      """SELECT doc_id, mean_word_len, bullet_frac, hash_ratio,
-        |  ellipsis_ratio, dup_line_frac,
-        |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AND bullet_frac <= 0.9
-        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.3
-        |    AND dup_line_frac <= 0.3 AS INTEGER) AS pass
-        |FROM (SELECT doc_id,
-        |  round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
-        |    / len(t), 4) AS mean_word_len,
-        |  round(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
-        |    OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
-        |    * 1.0 / len(lines), 4) AS bullet_frac,
-        |  round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(t), 4)
-        |    AS hash_ratio,
-        |  round(((length(text) - length(replace(text, '...', ''))) / 3)
-        |    * 1.0 / len(t), 4) AS ellipsis_ratio,
-        |  round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
-        |    AS dup_line_frac
-        |  FROM (SELECT doc_id, text,
-        |          string_split_regex(trim(text), '\s+') AS t,
-        |          string_split(text, chr(10)) AS lines
-        |        FROM documents))""".stripMargin,
+    "t9_quality_rules" -> rulesOracle(),
     "t1_token_stats" ->
       """SELECT doc_id,
         |CAST(len(t) AS BIGINT) AS n_tokens,

@@ -498,6 +498,39 @@ class LlmSpec extends SparkSpec {
     assert(got(5L).getDouble(4) == 1.0) // one ellipsis per word
   }
 
+  test("curateFull: each stage drops exactly its own victim, survivors packed") {
+    import spark.implicits._
+    import graft.llm.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfull").toString
+    // the benchmark stand-in doc (doc_id % 7 == 0): fails stage A's
+    // language agreement (no en markers), but must STILL act as the
+    // external benchmark for stage B — bench is carved from the full
+    // corpus, not from stage-A survivors
+    val benchText =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    // near-dup pair: 72 distinct words differing only in the last one —
+    // word-shingle Jaccard ~0.96, caught by the LSH detectors at C
+    val base = "the " + (1 to 70).map(i => s"word$i").mkString(" ") + " and"
+    val docs = Seq(
+      (0L, benchText),                                       // A: lang und
+      (1L, s"the $benchText and extras here"),               // B: contaminated
+      (2L, base + " ending"),                                // C: dup keeper
+      (3L, base + " finale"),                                // C: dup loser
+      (4L, "the ### stuff #### and more #### things"),       // A: hash_ratio
+      (5L, "the quick brown foxes jumped over seventeen lazy dogs and waited"))
+      .map { case (id, txt) => (id, txt, "web", "en", txt.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val packed = Curation.curateFull(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(packed.map(_._1).toSet == Set(2L, 5L), packed.mkString(","))
+    // single source, weight 1.0 → stage D keeps everything; default
+    // 2000-token budget → both land in shard 0 of source "web"
+    packed.foreach { case (id, src, nTok, shard) =>
+      assert(src == "web" && nTok > 0 && shard == 0L, s"doc $id")
+    }
+  }
+
   test("cross-lingual near-dups resolve into one cluster via char-gram edges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cjkdedup").toString
