@@ -179,6 +179,36 @@ object Similarity {
       nprobe: Int = 8, topK: Int = 5): DataFrame =
     knnIvfOn(emb(s, dir), k, nprobe, topK)
 
+  /** The IVF probe-and-score core over an assigned corpus
+    * (vec_id, v, nrm, cell) and a centroid table (cell, cv, cc) —
+    * shared verbatim by the fit-in-query path ([[knnIvfOn]]) and the
+    * loaded-index path ([[knnIvfFromIndex]]), so their results agree
+    * by construction. Queries are vec_id < 20.
+    */
+  private def probeCells(assigned: DataFrame, centDf: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val q = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // nearest-nprobe centroids per normalized query:
+    // ||q/‖q‖ − c||² = 1 − 2·(q·c)/‖q‖ + c·c
+    val wc = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist",
+        lit(1.0) - lit(2.0) * dot(col("qv"), col("cv")) / col("qn") + col("cc"))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("cell"), col("qv"), col("qn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
   /** IVF core over any (vec_id, v, nrm) frame — fit quantizer, assign
     * cells, rank centroids per query, probe. Queries are vec_id < 20.
     */
@@ -198,28 +228,47 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray) }
     val centDf = cents.toDF("cell", "cv")
       .withColumn("cc", dot(col("cv"), col("cv")))
-    val q = assigned.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // nearest-nprobe centroids per normalized query:
-    // ||q/‖q‖ − c||² = 1 − 2·(q·c)/‖q‖ + c·c
-    val wc = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
-    val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("cdist",
-        lit(1.0) - lit(2.0) * dot(col("qv"), col("cv")) / col("qn") + col("cc"))
-      .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nprobe)
-      .select(col("q_id"), col("cell"), col("qv"), col("qn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    try assigned.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
-      .localCheckpoint(true)
+    try probeCells(assigned, centDf, nprobe, topK).localCheckpoint(true)
     finally assigned.unpersist()
+  }
+
+  /** Builds and PERSISTS the IVF index: the cell-assigned corpus as a
+    * Hive-partitioned parquet layout (`cells/cell=N/…` — a probe of p
+    * cells lists/reads only those directories) plus the k-row centroid
+    * table. This is the write-time half of the 100 TB posture the
+    * in-query s4 documents: the KMeans fit (on a sample, at scale)
+    * runs ONCE here, and every later search just reads the layout —
+    * [[knnIvfFromIndex]] plans no fit at all.
+    */
+  def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
+      k: Int = 16): Unit = {
+    import s.implicits._
+    val e = withFeatures(emb(s, dir))
+    val model = fitKmeans(e, k)
+    graft.ops.Partitioning.writePartitioned(
+      model.transform(e)
+        .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell")),
+      s"$indexDir/cells", "cell")
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "cv")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/centroids")
+  }
+
+  /** IVF search against a [[buildIvfIndex]] layout: read the centroid
+    * table and the partitioned cells, probe — the query-path twin of
+    * the build step. Same scoring core as [[knnIvfOn]], so given the
+    * same fit inputs the results are identical (spec-checked); the
+    * plan contains only scans and joins, no estimator.
+    */
+  def knnIvfFromIndex(s: SparkSession, indexDir: String, nprobe: Int = 8,
+      topK: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val assigned = s.read.parquet(s"$indexDir/cells")
+    val centDf = s.read.parquet(s"$indexDir/centroids")
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    probeCells(assigned, centDf, nprobe, topK)
   }
 
   // -- s6: random-hyperplane LSH ANN --------------------------------------

@@ -386,6 +386,26 @@ class LlmSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean fp-agreement $mean")
   }
 
+  test("IVF index persists to disk; search-from-index equals in-query s4") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.buildIvfIndex(spark, sfDir, idx)
+    // the layout is Hive-partitioned by cell: a p-cell probe reads only
+    // those directories
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length == 16, cellDirs.mkString(","))
+    val fromIndex = Similarity.knnIvfFromIndex(spark, idx)
+    // the loaded path plans scans + joins only — no estimator ran, and
+    // the corpus side reads the written index files
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains(idx), plan.take(2000))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // same fit inputs + same seed + same scoring core → identical
+    // results to the fit-in-query s4 path
+    assert(canon(fromIndex) == canon(Similarity.knnIvfKmeans(spark, sfDir)))
+  }
+
   test("decontaminate against an external benchmark table") {
     import spark.implicits._
     import graft.llm.Curation
