@@ -37,23 +37,47 @@ object Bench {
       case Some(re) => SparkEntry.queries.filter(_._1.matches(re))
       case None     => SparkEntry.queries
     }
+    // plan fingerprint: md5 of the FINAL (post-AQE) physical plan with
+    // volatile tokens stripped — expression ids, plan ids, file paths.
+    // Same code + data ⇒ same hash, so a lost broadcast or a new
+    // shuffle flips the fingerprint and is machine-detectable
+    // round-over-round from the artifacts alone (like the load
+    // sentinel made timing noise detectable). Queries that eagerly
+    // checkpoint internally (d8, c8, …) fingerprint their final
+    // checkpointed tail only.
+    def planFp(df: org.apache.spark.sql.DataFrame): String = {
+      val norm = df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("file:[^\\],\\s)]+", "file:")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    }
+    val fps = scala.collection.mutable.Map[String, String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { i =>
         spark.catalog.clearCache() // queries that persist subtrees stay cold
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          val df = fn(spark, sfDir)
+          df.count()
+          if (i == 1) fps(name) = planFp(df)
+        } catch { case _: Throwable => if (i == 1) fps(name) = "error" }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.size / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val plans = fps.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // warmup_sec/sentinel_sec make a dirty run machine-detectable from
     // the artifact alone: both are fixed-size engine-only operations
     // (quiet-box reference ~0.1-0.5 s); a multiple of that means the
     // box was loaded and the per-query numbers are noise.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"sentinel_sec":$sentinelSec}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"sentinel_sec":$sentinelSec,"plans":$plans}""")
     spark.stop()
   }
 }
