@@ -336,8 +336,10 @@ object Curation {
     * stage's materialized artifact rather than re-deriving it:
     *
     *   A. Gopher rule battery (t9) ∩ curation floor (c1: quality,
-    *      length, language agreement, exact-fp dedup) — both computed
-    *      on the raw corpus, intersected.
+    *      length, language agreement, exact-fp dedup) minus docs over
+    *      the published repetition ceilings (t10, Rae et al. 2021
+    *      §A1.1: top 2-gram share ≤ 0.20, top 3-gram ≤ 0.18) — all
+    *      computed on the raw corpus, combined.
     *   B. decontamination (c2) of A's survivors against the external
     *      benchmark stand-in (the full-corpus doc_id % 7 slice — NOT
     *      sliced from A, an external eval set doesn't shrink when the
@@ -357,13 +359,25 @@ object Curation {
     * only stage D's artifact (reclaimed by ContextCleaner when the
     * caller drops the result).
     */
+  /** Published repetition ceilings (Rae et al. 2021 §A1.1): a doc is
+    * dropped when its single most frequent gram claims more than this
+    * share of all gram occurrences.
+    */
+  val MaxTopShare2 = 0.20
+  val MaxTopShare3 = 0.18
+
   def curateFull(s: SparkSession, dir: String, budget: Long = 2000L)
       : DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    val repViolators = TextAnalysis.repetitionStatsOf(docs)
+      .filter((col("n") === 2 && col("top_share") > MaxTopShare2) ||
+        (col("n") === 3 && col("top_share") > MaxTopShare3))
+      .select("doc_id").distinct()
     val a = docs
       .join(TextAnalysis.qualityRulesOf(docs)
         .filter(col("pass") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
       .join(curateOf(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(repViolators, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val bench = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text"))
@@ -500,9 +514,14 @@ object Curation {
       s"""WITH RECURSIVE
          |r9 AS (${TextAnalysis.rulesOracle()}),
          |cur AS (${curateOracle()}),
+         |rep AS (${TextAnalysis.repetitionOracle()}),
+         |repviol AS (SELECT DISTINCT doc_id FROM rep
+         |  WHERE (n = 2 AND top_share > $MaxTopShare2)
+         |     OR (n = 3 AND top_share > $MaxTopShare3)),
          |adocs AS (SELECT d.* FROM documents d
          |  JOIN (SELECT doc_id FROM r9 WHERE pass = 1) rp USING (doc_id)
-         |  JOIN (SELECT doc_id FROM cur) cp USING (doc_id)),
+         |  JOIN (SELECT doc_id FROM cur) cp USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM repviol)),
          |${decontCteFor("adocs", "dc")},
          |bdocs AS (SELECT * FROM adocs
          |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dchits)),

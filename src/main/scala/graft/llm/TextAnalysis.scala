@@ -159,11 +159,11 @@ object TextAnalysis {
     * shingles internally (right for MinHash), while repetition
     * counting needs the multiset.
     */
-  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
     // ONE scan for both gram sizes: explode n ∈ {2, 3} first, then the
     // position sequence — two stacked Generates over a single pass of
     // the text (a union of per-n branches would read the corpus twice)
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), col("t"),
         explode(array(lit(2), lit(3))).as("n"))
@@ -186,6 +186,9 @@ object TextAnalysis {
         round(sum(when(col("c") > 1, col("c")).otherwise(0L))
           .cast("double") / sum(col("c")), 4).as("dup_frac"))
   }
+
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables.load(s, dir, "documents"))
 
   // -- t3: language ID -----------------------------------------------------
   /** Marker-token language ID (n-gram-free heuristic): score each
@@ -362,6 +365,33 @@ object TextAnalysis {
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** t10's oracle over an arbitrary source relation — reused by the
+    * composed-pipeline oracle (c8), whose first stage filters on the
+    * published repetition thresholds.
+    */
+  private[llm] def repetitionOracle(src: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS t FROM $src),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, t,
+       |    unnest(generate_series(1, len(t) - 1)) AS i
+       |  FROM toks WHERE len(t) >= 2
+       |  UNION ALL
+       |  SELECT doc_id, 3 AS n, t,
+       |    unnest(generate_series(1, len(t) - 2)) AS i
+       |  FROM toks WHERE len(t) >= 3),
+       |grams AS (SELECT doc_id, n,
+       |  CASE WHEN n = 2 THEN t[i] || ' ' || t[i+1]
+       |       ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS gram
+       |  FROM g),
+       |c AS (SELECT doc_id, n, gram, COUNT(*) AS c
+       |  FROM grams GROUP BY 1, 2, 3)
+       |SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |  round(MAX(c) * 1.0 / SUM(c), 4) AS top_share,
+       |  round(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 4)
+       |    AS dup_frac
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** t9's oracle over an arbitrary source relation — reused by the
     * composed-pipeline oracle (c8), whose first stage filters on the
     * rule battery.
@@ -412,28 +442,7 @@ object TextAnalysis {
     },
     // t10: same multiset gram counts; DuckDB lists are 1-based like the
     // Spark sequence, so gram i spans t[i..i+n-1] in both engines
-    "t10_repetition" ->
-      """WITH toks AS (SELECT doc_id,
-        |  string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, 2 AS n, t,
-        |    unnest(generate_series(1, len(t) - 1)) AS i
-        |  FROM toks WHERE len(t) >= 2
-        |  UNION ALL
-        |  SELECT doc_id, 3 AS n, t,
-        |    unnest(generate_series(1, len(t) - 2)) AS i
-        |  FROM toks WHERE len(t) >= 3),
-        |grams AS (SELECT doc_id, n,
-        |  CASE WHEN n = 2 THEN t[i] || ' ' || t[i+1]
-        |       ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS gram
-        |  FROM g),
-        |c AS (SELECT doc_id, n, gram, COUNT(*) AS c
-        |  FROM grams GROUP BY 1, 2, 3)
-        |SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS n_grams,
-        |  round(MAX(c) * 1.0 / SUM(c), 4) AS top_share,
-        |  round(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 4)
-        |    AS dup_frac
-        |FROM c GROUP BY 1, 2""".stripMargin,
+    "t10_repetition" -> repetitionOracle(),
     // t9: same rule arithmetic; aliases resolved via a subquery so the
     // composite flag reads the rounded metrics it is defined over
     "t9_quality_rules" -> rulesOracle(),

@@ -554,7 +554,11 @@ class LlmSpec extends SparkSpec {
       (2L, base + " ending"),                                // C: dup keeper
       (3L, base + " finale"),                                // C: dup loser
       (4L, "the ### stuff #### and more #### things"),       // A: hash_ratio
-      (5L, "the quick brown foxes jumped over seventeen lazy dogs and waited"))
+      (5L, "the quick brown foxes jumped over seventeen lazy dogs and waited"),
+      // A: repetition — "buy now" claims 4/9 2-gram occurrences > 0.2
+      // ceiling, while every OTHER stage-A check passes (mean word len
+      // exactly 3.0, quality 0.56, en markers present)
+      (6L, "the buy now buy now buy now buy now and"))
       .map { case (id, txt) => (id, txt, "web", "en", txt.length.toLong) }
       .toDF("doc_id", "text", "source", "lang", "n_chars")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
