@@ -20,6 +20,24 @@ object VectorOps {
     s
   }
 
+  /** [[dot]] with the same null-element parity as [[div]]: any null
+    * slot in either array yields null (the `aggregate(zip_with(...))`
+    * HOF form this kernel replaces propagates element nulls the same
+    * way). One fused loop — the null check rides the multiply pass
+    * instead of a separate scan. Returns a boxed Double or null.
+    */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   private def anyNull(a: ArrayData): Boolean = {
     val n = a.numElements()
     var i = 0
@@ -94,8 +112,12 @@ object VectorOps {
   * allocate an intermediate array per evaluation; this kernel is one
   * branch-free primitive loop over the unsafe array data, inlined into
   * the generated stage — ~10× less per-pair cost in the kNN joins.
-  * Null elements are treated as 0 contribution (reads raw slots);
-  * embeddings are non-null float vectors cast to double upstream.
+  * A null ELEMENT in either array yields null — the same propagation
+  * as the HOF lambda and as vec_div/vec_quant_int8 (the functions are
+  * registered session-wide for arbitrary SQL, so nullable-element
+  * arrays are legal inputs even though the in-repo embedding pipelines
+  * never produce one; the non-null path's check is one branch per
+  * element, fused into the multiply loop).
   *
   * Summation order is left-to-right, matching both the HOF form it
   * replaces and DuckDB's list_dot_product — oracle results are
@@ -108,13 +130,19 @@ case class VecDot(left: Expression, right: Expression)
   // return type inferred: AbstractDataType is private[sql] in Spark 4
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  // null even for non-null inputs (null element propagation)
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorOps.dotOrNull($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =

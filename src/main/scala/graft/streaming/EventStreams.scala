@@ -33,8 +33,7 @@ object EventStreams {
   // startTs must live IN the state: it crosses micro-batch boundaries
   // with the open session (re-deriving it from lastTs mis-reports the
   // start of any session spanning two triggers)
-  case class SessionState(sessionId: Long, startTs: Long, lastTs: Long,
-      nEvents: Long)
+  case class SessionState(startTs: Long, lastTs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_ms: Long, end_ms: Long)
 
@@ -71,9 +70,15 @@ object EventStreams {
     * session is provably closed (any event that could extend it would
     * be behind the watermark, hence dropped), so it is emitted and the
     * key's state removed — state size is O(users active within the
-    * watermark horizon), not O(all users ever seen). A returning user
-    * after eviction restarts at session_id 0; durable session identity
-    * is (user_id, start_ms), which is unique regardless.
+    * watermark horizon), not O(all users ever seen).
+    *
+    * `session_id` IS the session's start epoch-ms: a per-state ordinal
+    * would restart at 0 after an eviction, so a returning user would
+    * re-emit an already-used (user_id, session_id) pair in append mode
+    * — a trap for any consumer keying on that pair. Seeding identity
+    * from event time makes the pair unique across evictions by
+    * construction (two sessions of one user are separated by > the
+    * gap, so their start times always differ).
     *
     * Batch input (how the spec's equivalence tests run it) keeps
     * `NoTimeout`: timeouts never fire in batch execution, and batch
@@ -99,22 +104,22 @@ object EventStreams {
             val st = state.get
             state.remove()
             Iterator.single(
-              SessionOut(userId, st.sessionId, st.nEvents, st.startTs, st.lastTs))
+              SessionOut(userId, st.startTs, st.nEvents, st.startTs, st.lastTs))
           } else {
             // Iterators arrive unordered within a trigger; sort this
             // micro-batch (bounded) by event time before folding.
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var st = state.getOption
-              .getOrElse(SessionState(0L, Long.MinValue, Long.MinValue, 0L))
+              .getOrElse(SessionState(Long.MinValue, Long.MinValue, 0L))
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (st.nEvents > 0 && t - st.lastTs > gapMs) {
-                closed += SessionOut(userId, st.sessionId, st.nEvents,
+                closed += SessionOut(userId, st.startTs, st.nEvents,
                   st.startTs, st.lastTs)
-                st = SessionState(st.sessionId + 1, t, t, 1L)
+                st = SessionState(t, t, 1L)
               } else if (st.nEvents == 0) {
-                st = SessionState(st.sessionId, t, t, 1L)
+                st = SessionState(t, t, 1L)
               } else {
                 st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
               }

@@ -40,7 +40,10 @@ class StreamingSpec extends SparkSpec {
       Event(4, ts(55), 7, "a", 0)).toDS()
     val out = EventStreams.sessionize(events).collect()
     assert(out.length == 1) // one closed session (the open one stays in state)
-    assert(out.head.session_id == 0 && out.head.n_events == 2)
+    // session identity is the start epoch-ms (durable across state
+    // evictions), not a per-state ordinal
+    assert(out.head.session_id == ts(0).getTime && out.head.n_events == 2)
+    assert(out.head.session_id == out.head.start_ms)
   }
 
   test("stream-stream interval join attributes clicks to in-window views only") {
