@@ -360,26 +360,69 @@ object Dedup {
     * never shuffles. At 100 TB the known side is the persisted
     * fingerprint index, bucketed by fp at write time, so the anti-join
     * is zero-exchange on the corpus side and the per-ingest cost is
-    * O(batch), not O(corpus).
+    * O(batch), not O(corpus) — that flow is [[writeFpIndex]] +
+    * [[incrementalDedupIndexed]]; this in-query form recomputes the
+    * known side only so the d6 oracle stays a pure SQL expression.
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val docs = canonicalFps(s, dir)
+    dedupBatchAgainst(docs.filter(col("doc_id") % 5 === 4),
+      docs.filter(col("doc_id") % 5 =!= 4))
+  }
+
+  /** Canonical (doc_id, fp) fingerprints: md5 of whitespace-normalized
+    * lowercase text. Null texts hash to a null fp; Spark's left_anti
+    * KEEPS null-key rows while SQL NOT IN drops them (and empties
+    * entirely if any known fp is null) — filter nulls on BOTH engines
+    * so the semantics agree by construction.
+    */
+  private def canonicalFps(s: SparkSession, dir: String): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    // Null texts hash to a null fp; Spark's left_anti KEEPS null-key
-    // rows while SQL NOT IN drops them (and empties entirely if any
-    // known fp is null) — filter nulls on BOTH engines so the
-    // semantics agree by construction.
-    val docs = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), md5(norm).as("fp"))
       .filter(col("fp").isNotNull)
-    val known = docs.filter(col("doc_id") % 5 =!= 4).select("fp")
-    val fresh = docs.filter(col("doc_id") % 5 === 4)
+  }
+
+  /** Shared d6 tail: fresh batch anti-joined against the known fps,
+    * then within-batch dedup keeping the smallest doc_id. The window
+    * re-clusters by fp, which the anti-join's output partitioning
+    * already satisfies — one shuffle total on the batch side.
+    */
+  private def dedupBatchAgainst(fresh: DataFrame, known: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("fp").orderBy("doc_id")
-    fresh.join(known, Seq("fp"), "left_anti")
+    fresh.join(known.select("fp"), Seq("fp"), "left_anti")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("fp"))
   }
+
+  /** Materializes the known-corpus fingerprint index as a table
+    * BUCKETED by fp — the persisted layout the d6 scaladoc's 100 TB
+    * posture presumes. Written once (or appended per accepted batch);
+    * every later ingest reads it back with its bucket structure as
+    * the join partitioning, so the corpus side of the anti-join needs
+    * ZERO exchange — see [[incrementalDedupIndexed]].
+    */
+  def writeFpIndex(s: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit =
+    graft.ops.Partitioning.writeBucketed(
+      canonicalFps(s, dir).filter(col("doc_id") % 5 =!= 4).select("fp"),
+      table, "fp", buckets)
+
+  /** d6 against the persisted index from [[writeFpIndex]] instead of
+    * an in-query recompute: same rows, but the corpus side is a
+    * bucketed scan — the only shuffle in the plan is the fresh batch
+    * being routed to the index's buckets, so per-ingest cost is
+    * O(batch) with the corpus never rehashed, reshuffled, or even
+    * rescanned beyond the fp column. PartitioningSpec pins both the
+    * plan shape and result equality with [[incrementalDedup]].
+    */
+  def incrementalDedupIndexed(s: SparkSession, dir: String,
+      table: String): DataFrame =
+    dedupBatchAgainst(canonicalFps(s, dir).filter(col("doc_id") % 5 === 4),
+      s.table(table))
 
   // -- d8: dedup cluster resolution ----------------------------------------
   /** Connected components over a symmetric-closed candidate edge list:

@@ -123,6 +123,32 @@ class PartitioningSpec extends SparkSpec {
       s"AQE scan metric lost: $rows")
   }
 
+  test("incremental dedup against the bucketed fp index is corpus-side shuffle-free") {
+    graft.llm.Dedup.writeFpIndex(spark, sfDir, "fp_idx", buckets = 8)
+    // force the sort-merge path: at test scale the index would win an
+    // auto-broadcast, which hides the bucket co-location that matters
+    // at 100 TB (a corpus-sized index is never broadcastable)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val indexed = graft.llm.Dedup.incrementalDedupIndexed(spark, sfDir, "fp_idx")
+      val plan = indexed.queryExecution.executedPlan.toString
+      // the corpus side reads its bucket layout straight off disk …
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      // … and the ONLY shuffle is the fresh batch routed to those
+      // buckets (the within-batch window reuses the same clustering)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 1, plan)
+      // same rows as the in-query d6 form
+      val inQuery = graft.llm.Dedup.incrementalDedup(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val viaIndex = indexed.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(viaIndex == inQuery)
+      assert(viaIndex.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
