@@ -17,6 +17,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main stats  <cleaned>   <outDir>       // script 2
   *   graft.cli.Main train  <model> <cleaned> <outDir> [cv]  // scripts 3-10
   *   graft.cli.Main viz    <vizData>   <outDir>       // viz notebooks' inputs
+  *   graft.cli.Main curate <tableDir>  <outDir> [tokenBudget]  // llm pipeline
   * }}}
   *
   * `<model>` ∈ lr, dt, rf, gbt, svc, nb, mlp. Inputs are header CSV (parity
@@ -92,9 +93,33 @@ object Main {
       Sinks.csv(VizQueries.airlineDelayGroupCount(viz),
         s"$out/Airline_DelayGroup_Count", singleFile = true)
 
+    case Seq("curate", in, out) => curate(spark, in, out, budget = 2000L)
+    case Seq("curate", in, out, budget) => curate(spark, in, out, budget.toLong)
+
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: clean|stats|train|viz ... (see scaladoc)")
+      System.err.println("usage: clean|stats|train|viz|curate ... (see scaladoc)")
+  }
+
+  /** The c8 curation release flow as a batch job: every stage boundary
+    * is a DURABLE parquet artifact under `<out>/` (`a_rules`,
+    * `b_decontaminated`, `c_deduped`, `d_sampled`, final `shards`) and
+    * each stage reads the previous stage's written table back from
+    * disk — the real 100 TB posture (restartable from any boundary;
+    * per-stage cost and size visible as files) that the library form's
+    * in-memory checkpoints stand in for. `in` is the table directory
+    * holding `documents.parquet`.
+    */
+  private def curate(spark: SparkSession, in: String, out: String,
+      budget: Long): Unit = {
+    val shards = graft.llm.Curation.curateFullStaged(spark, in, budget,
+      (name, df) => {
+        val path = s"$out/$name"
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        Sources.parquet(spark, path)
+      })
+    shards.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/shards")
   }
 
   /** Reference output directory per model (`Scripts/3-10_...py` final

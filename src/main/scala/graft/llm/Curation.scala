@@ -368,33 +368,52 @@ object Curation {
 
   def curateFull(s: SparkSession, dir: String, budget: Long = 2000L)
       : DataFrame = {
+    // library/bench boundary: eager localCheckpoint, releasing the
+    // superseded stage's blocks as soon as the next materializes
+    var prev: Option[DataFrame] = None
+    curateFullStaged(s, dir, budget, (_, df) => {
+      val cp = df.localCheckpoint(true)
+      prev.foreach(Dedup.releaseCheckpoint)
+      prev = Some(cp)
+      cp
+    })
+  }
+
+  /** [[curateFull]] with a pluggable stage boundary: `boundary(name,
+    * frame)` materializes a stage artifact and returns the frame the
+    * next stage reads. The library form checkpoints in memory; the CLI
+    * form (`graft.cli.Main curate`) writes each stage as parquet and
+    * reads it back — the literal 100 TB posture, where every boundary
+    * is a durable table and a restart resumes from the last one. Both
+    * run the identical flow, so the parquet path inherits c8's oracle.
+    * Stage names (artifact directory names for the CLI): `a_rules`,
+    * `b_decontaminated`, `c_deduped`, `d_sampled`.
+    */
+  def curateFullStaged(s: SparkSession, dir: String, budget: Long,
+      boundary: (String, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val repViolators = TextAnalysis.repetitionStatsOf(docs)
       .filter((col("n") === 2 && col("top_share") > MaxTopShare2) ||
         (col("n") === 3 && col("top_share") > MaxTopShare3))
       .select("doc_id").distinct()
-    val a = docs
+    val a = boundary("a_rules", docs
       .join(TextAnalysis.qualityRulesOf(docs)
         .filter(col("pass") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
       .join(curateOf(docs).select("doc_id"), Seq("doc_id"), "left_semi")
-      .join(repViolators, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .join(repViolators, Seq("doc_id"), "left_anti"))
     val bench = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text"))
     val contaminated = decontaminateAgainst(
         a.select(col("doc_id"), col("text")), bench, excludeSelf = true)
       .select("doc_id").distinct()
-    val b = a.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    Dedup.releaseCheckpoint(a)
+    val b = boundary("b_decontaminated",
+      a.join(contaminated, Seq("doc_id"), "left_anti"))
     val dupDrops = Dedup.connectedComponents(Dedup.dedupEdgesOf(b))
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    val c = b.join(dupDrops, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    Dedup.releaseCheckpoint(b)
-    val d = c.join(weightedSampleOf(c).select("doc_id"), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    Dedup.releaseCheckpoint(c)
+    val c = boundary("c_deduped",
+      b.join(dupDrops, Seq("doc_id"), "left_anti"))
+    val d = boundary("d_sampled",
+      c.join(weightedSampleOf(c).select("doc_id"), Seq("doc_id"), "left_semi"))
     hierarchicalPack(
       d.select(col("doc_id"), col("source"),
         size(regexp_extract_all(trim(col("text")),

@@ -184,6 +184,25 @@ class IoCliSpec extends SparkSpec {
     }
   }
 
+  test("cli curate writes every stage artifact and shards matching curateFull") {
+    val dir = Files.createTempDirectory("graft_curate").toString
+    graft.cli.Main.run(spark, Seq("curate", sfDir, s"$dir/out"))
+    // every stage boundary is a durable parquet table, strictly
+    // shrinking through the filters (rules → decontaminate → dedup →
+    // sample), and each is a subset of the raw documents
+    val stages = Seq("a_rules", "b_decontaminated", "c_deduped", "d_sampled")
+    val counts = stages.map(n => spark.read.parquet(s"$dir/out/$n").count())
+    assert(counts.zip(counts.tail).forall { case (x, y) => y <= x }, counts)
+    assert(counts.last > 0, counts)
+    // the final packed shard table equals the library form's result —
+    // the parquet-boundary flow is the same pipeline, not a fork
+    val viaCli = spark.read.parquet(s"$dir/out/shards")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val viaLib = graft.llm.Curation.curateFull(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(viaCli == viaLib)
+  }
+
   test("cli train mlp argmaxes topologies and emits 3 metric CSVs") {
     val dir = Files.createTempDirectory("graft_mlp").toString
     val cleaned = graft.etl.Cleaning.cleaned(AirlineFixture.generate(spark, 200))
