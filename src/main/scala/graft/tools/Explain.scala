@@ -17,9 +17,19 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_RAW=1: print the executedPlan.toString with Bench's
+    // v1 normalization applied — the exact string the plan fingerprint
+    // hashes, for diffing when a fingerprint drifts unexpectedly.
+    val raw = sys.env.get("SPARK_GRAFT_RAW").contains("1")
     names.foreach { q =>
       println(s"===== $q =====")
-      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      if (raw)
+        println(df.queryExecution.executedPlan.toString
+          .replaceAll("#\\d+", "#")
+          .replaceAll("plan_id=\\d+", "plan_id=")
+          .replaceAll("file:[^\\],\\s)]+", "file:"))
+      else df.explain("formatted")
     }
     spark.stop()
   }

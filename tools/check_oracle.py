@@ -26,6 +26,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 n_pass = n_fail = 0
+# DuckDB's own per-query runtime: a free external reference point for
+# relative query cost at this SF (a single-node columnar engine on the
+# same parquet), tracked round-over-round next to the Spark bench.
+timings = {}
 for qdir in sorted(glob.glob(f"{out_dir}/*/")):
     name = os.path.basename(qdir.rstrip("/"))
     got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{qdir}/*.parquet")])
@@ -33,7 +37,10 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         status = f"rows-only ({len(got)} rows)"
         ok = len(got) > 0
     else:
+        import time
+        t0 = time.monotonic()
         want = con.execute(oracle[name]).df()
+        timings[name] = round(time.monotonic() - t0, 3)
         g, w = canon(got), canon(want)
         g.columns = [c.lower() for c in g.columns]
         w.columns = [c.lower() for c in w.columns]
@@ -50,5 +57,8 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
                 ok, status = False, "VALUES " + str(e).split("\n")[0]
     n_pass += ok; n_fail += (not ok)
     print(f"{'PASS' if ok else 'FAIL'}  {name}: {status}")
+with open(f"{out_dir}/oracle_timing.json", "w") as f:
+    json.dump({"sf": sf_dir, "engine": "duckdb",
+               "queries": dict(sorted(timings.items()))}, f, indent=1)
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)
