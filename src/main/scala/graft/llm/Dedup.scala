@@ -252,6 +252,58 @@ object Dedup {
     finally sh.unpersist()
   }
 
+  /** Persists the corpus's hashed shingle SETS as a table bucketed by
+    * doc_id — the artifact that removes d3's one remaining scale
+    * liability (exact verify re-reads and re-shingles the text).
+    * Stored per doc: the sorted distinct 60-bit shingle hashes (the
+    * same `hash60 % M` domain the signatures minimize over), ~8 bytes
+    * per shingle instead of the shingle string. Written once per
+    * corpus build; see [[jaccardVerifyIndexed]] for the read side.
+    */
+  def writeShingleIndex(s: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit = {
+    graft.functions.HashFunctions.register(s)
+    val hset = shingleSets(s, dir).select(col("doc_id"),
+      array_sort(array_distinct(
+        transform(col("shingles"), sh => hash60(sh) % M))).as("hset"))
+    graft.ops.Partitioning.writeBucketed(hset, table, "doc_id", buckets)
+  }
+
+  /** The full d3 pipeline (LSH candidates + exact Jaccard verify) run
+    * ENTIRELY from the [[writeShingleIndex]] artifact — the text is
+    * never read, and shingling never re-executed:
+    *
+    *  - signatures re-derive from the stored hashes with NO exchange:
+    *    the bucketed scan already clusters by doc_id, explode preserves
+    *    it, so the 32-min aggregate is map-side only;
+    *  - exact Jaccard is |∩|/|∪| over the stored sorted hash sets —
+    *    identical to the string-set Jaccard up to 60-bit collisions
+    *    (per-pair collision odds ~|set|²/2⁶⁰);
+    *  - both corpus-sized verify joins read the bucket layout in
+    *    place; only the O(candidates) pair stream shuffles.
+    *
+    * This makes the exact path viable at 100 TB, not just the d10
+    * sketch path — the remaining cost is inherent (candidate pairs ×
+    * set intersection), not redundant text I/O. PartitioningSpec pins
+    * result equality with [[jaccardVerify]] and the no-text plan.
+    */
+  def jaccardVerifyIndexed(s: SparkSession, table: String,
+      threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = s.table(table)
+    val cands = candidatesFromSigs(
+      signaturesFromHashed(
+        sh.select(col("doc_id"), explode(col("hset")).as("hv"))),
+      maxBucket)
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa.hset"), col("sb.hset")))
+          / size(array_union(col("sa.hset"), col("sb.hset"))).cast("double"),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // -- d10: sketch-based Jaccard estimation ---------------------------------
   /** Estimated Jaccard for every LSH candidate pair from signature
     * agreement alone: est = |{k : sig_a[k] = sig_b[k]}| / 32 (the

@@ -149,6 +149,27 @@ class PartitioningSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("jaccard verify from the shingle index never touches text, matches d3") {
+    graft.llm.Dedup.writeShingleIndex(spark, sfDir, "shingle_idx", buckets = 8)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaIndex = graft.llm.Dedup.jaccardVerifyIndexed(spark, "shingle_idx")
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      // candidates + both verify sides read the bucketed index layout;
+      // the raw documents table appears NOWHERE in the plan — the
+      // exact-verify path no longer re-reads or re-shingles text
+      assert("SelectedBucketsCount".r.findAllIn(plan).size >= 2, plan)
+      assert(!plan.contains("documents"), plan)
+      val exact = graft.llm.Dedup.jaccardVerify(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = viaIndex.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exact)
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
