@@ -149,16 +149,30 @@ object Bench {
     // v2 against the committed BENCH_DETAIL.json sidecar — a query is
     // "changed" when its hash matches NEITHER baseline method, so the
     // round-7 method switch doesn't spam the list.
+    // Fingerprints depend on data scale (AQE decisions, repartition
+    // counts embed in plan text), so a baseline from a DIFFERENT sf
+    // would flag every query as drifted. Baselines declare their sf;
+    // a mismatched one is ignored rather than diffed against.
+    // canonical form: "0.1" whether written as the driver's numeric
+    // `"sf": 0.1` or this tool's directory string `"sf":"…/sf0.1"`
+    def canonSf(raw: String): String =
+      raw.trim.replaceAll(".*sf", "").replaceAll("[/\"]+$", "")
+    def baselineSf(txt: String): Option[String] =
+      "\"sf\"\\s*:\\s*\"?([^\",}]+)".r.findFirstMatchIn(txt)
+        .map(m => canonSf(m.group(1)))
+    val curSf = canonSf(sfDir)
     def prevPlans(path: java.nio.file.Path): Map[String, String] =
       try {
         val txt = java.nio.file.Files.readString(path)
-        // keep the FIRST hash per name: in the sidecar the v2 `plans`
-        // map precedes `plans_legacy`, and v2 is the better baseline
-        "\\\\?\"([a-zA-Z0-9_]+)\\\\?\":\\\\?\"([0-9a-f]{12}|error)\\\\?\""
-          .r.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toSeq
-          .foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
-            if (acc.contains(k)) acc else acc + (k -> v)
-          }
+        if (!baselineSf(txt).contains(curSf)) Map.empty
+        else
+          // keep the FIRST hash per name: in the sidecar the v2 `plans`
+          // map precedes `plans_legacy`, and v2 is the better baseline
+          "\\\\?\"([a-zA-Z0-9_]+)\\\\?\":\\\\?\"([0-9a-f]{12}|error)\\\\?\""
+            .r.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toSeq
+            .foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
+              if (acc.contains(k)) acc else acc + (k -> v)
+            }
       } catch { case _: Throwable => Map.empty }
     val repo = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
@@ -169,8 +183,8 @@ object Bench {
         .sortBy(_._1).lastOption
     val detailPath = repo.resolve("BENCH_DETAIL.json")
     val detailPrev = prevPlans(detailPath)
-    val base = prevDriver.map(b => prevPlans(b._2)).getOrElse(Map.empty) ++
-      detailPrev
+    val driverPrev = prevDriver.map(b => prevPlans(b._2)).getOrElse(Map.empty)
+    val base = driverPrev ++ detailPrev
     val changed = fps.keySet.toSeq.sorted.filter { n =>
       base.get(n).exists(h => h != fps(n) && h != fpsV1(n))
     }
@@ -187,10 +201,12 @@ object Bench {
     val changedJson = changed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val detail =
-      s"""{"fp_method":"aqe-final-v2","plans_changed":$changedJson,""" +
+      s"""{"fp_method":"aqe-final-v2","sf":"$sfDir","plans_changed":$changedJson,""" +
         s""""plans_changed_base":"${(if (detailPrev.nonEmpty)
             Seq("BENCH_DETAIL.json") else Seq.empty) ++
-          prevDriver.map(_._2.getFileName.toString) match {
+          (if (driverPrev.nonEmpty)
+            prevDriver.map(_._2.getFileName.toString).toSeq
+          else Seq.empty) match {
             case Seq() => "none"; case s => s.mkString("+")
           }}","recall":$recallJson,"plans":$plans,""" +
         s""""plans_legacy":$plansV1}"""
@@ -201,9 +217,14 @@ object Bench {
     // timings map at the END of a line kept under the capture budget
     // (3-decimal timings) — the primary payload survives whole. Round 6
     // lost its timings to exactly this truncation.
-    try java.nio.file.Files.writeString(
-      repo.resolve("BENCH_DETAIL.json"), detail + "\n")
-    catch { case _: Throwable => () }
+    // Only an UNFILTERED run may replace the sidecar: a regex-filtered
+    // probe would shrink the committed baseline to its few queries
+    // (and the sf guard above keeps a small-SF full run from
+    // replacing the sf0.1 baseline's role in the diff).
+    if (args.isEmpty)
+      try java.nio.file.Files.writeString(
+        repo.resolve("BENCH_DETAIL.json"), detail + "\n")
+      catch { case _: Throwable => () }
     println(detail)
     // warmup_sec/sentinel_sec make a dirty run machine-detectable from
     // the artifact alone: both are fixed-size engine-only operations
