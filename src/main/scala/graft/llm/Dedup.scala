@@ -422,18 +422,22 @@ object Dedup {
       docs.filter(col("doc_id") % 5 =!= 4))
   }
 
-  /** Canonical (doc_id, fp) fingerprints: md5 of whitespace-normalized
-    * lowercase text. Null texts hash to a null fp; Spark's left_anti
-    * KEEPS null-key rows while SQL NOT IN drops them (and empties
-    * entirely if any known fp is null) — filter nulls on BOTH engines
-    * so the semantics agree by construction.
+  /** Canonical (doc_id, fp) fingerprints over any (doc_id, text)
+    * relation: md5 of whitespace-normalized lowercase text. Null texts
+    * hash to a null fp; Spark's left_anti KEEPS null-key rows while
+    * SQL NOT IN drops them (and empties entirely if any known fp is
+    * null) — filter nulls on BOTH engines so the semantics agree by
+    * construction. Shared by the batch d6 forms and the streaming
+    * ingest flow so every ingest surface keys on the same fp.
     */
-  private def canonicalFps(s: SparkSession, dir: String): DataFrame = {
+  def fingerprintsOf(docs: DataFrame): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), md5(norm).as("fp"))
+    docs.select(col("doc_id"), md5(norm).as("fp"))
       .filter(col("fp").isNotNull)
   }
+
+  private def canonicalFps(s: SparkSession, dir: String): DataFrame =
+    fingerprintsOf(Tables.load(s, dir, "documents"))
 
   /** Shared d6 tail: fresh batch anti-joined against the known fps,
     * then within-batch dedup keeping the smallest doc_id. The window

@@ -264,6 +264,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids == (0L until 35L).toSeq, s"expected 0..34 exactly once, got $ids")
   }
 
+  test("streaming ingest dedup: index anti-join, cross-batch dupes dropped, index grows") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    // known corpus → persisted fp index (the d6 posture)
+    graft.llm.Dedup.writeFpIndex(spark, sfDir, "ing_idx", buckets = 8)
+    val before = spark.table("ing_idx").count()
+    // a text the index already knows (any known-slice doc)
+    val knownText = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 5 =!= 4 && col("text").isNotNull)
+      .orderBy("doc_id").select("text").head.getString(0)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestDedup.run(
+      mem.toDF().toDF("doc_id", "text"),
+      "ing_idx", s"$base/accepted", s"$base/ck")
+    try {
+      // batch 1: a new doc, a dup of the known corpus, an intra-batch
+      // dup pair (min doc_id wins)
+      mem.addData((9001L, "wholly new ingest text"), (9002L, knownText),
+        (9003L, "repeated ingest text"), (9004L, "repeated ingest text"))
+      q.processAllAvailable()
+      // batch 2: same text as 9001 under a new id — the index grew in
+      // batch 1, so this is now a known dup; plus one genuinely new doc
+      mem.addData((9005L, "wholly new ingest text"), (9006L, "second new text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(s"$base/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(accepted == Seq(9001L, 9003L, 9006L), accepted)
+    // batch-id provenance partitions exist and the index grew by
+    // exactly the accepted fps (the appends ran on the micro-batch's
+    // cloned session, so THIS session must refresh its cached file
+    // listing — same as any other reader session of a live index)
+    assert(spark.read.parquet(s"$base/accepted").columns.contains("batch_id"))
+    spark.catalog.refreshTable("ing_idx")
+    assert(spark.table("ing_idx").count() == before + 3)
+  }
+
   test("readEvents wires a file stream with the batch schema") {
     val df = EventStreams.readEvents(spark, s"$sfDir/events.parquet")
     assert(df.isStreaming)
