@@ -20,21 +20,30 @@ import graft.llm.Dedup
   * (fp, doc_id), the text never shuffles, the index side reads its
   * bucket layout in place, and per-trigger cost is O(batch).
   *
-  * Exactly-once reasoning (two sinks can't commit atomically):
-  *  - the accepted-docs write goes FIRST, into a batch-id-scoped
-  *    directory with overwrite — a replayed micro-batch recomputes the
-  *    same anti-join (the index gains this batch's fps only AFTER the
-  *    accepted write succeeds) and overwrites the same directory, so
-  *    the accepted table is exactly-once;
-  *  - the index append goes SECOND and is at-least-once: a replay
-  *    after an append-then-crash re-appends the same fps. Duplicate
-  *    fps in the index are HARMLESS for correctness (anti-join
-  *    semantics ignore multiplicity) and only cost index bytes —
-  *    reclaimed by periodically rewriting the index with
-  *    [[graft.llm.Dedup.writeFpIndex]]'s distinct build.
-  *  Writing in the opposite order would lose documents: fps landing
-  *  before the accepted write means a replay's anti-join drops the
-  *  whole batch.
+  * Exactly-once reasoning (two sinks can't commit atomically), by
+  * crash point and what the REPLAYED batch then sees:
+  *  - crash before the accepted write: nothing committed, replay is a
+  *    first run;
+  *  - crash between the sinks: the index lacks this batch's fps, so
+  *    the replay recomputes the IDENTICAL survivor set and overwrites
+  *    the same `batch_id=N` directory — no duplicates, no loss; the
+  *    index append then lands. This is why accepted goes FIRST: fps
+  *    landing first would make the replay's anti-join drop the whole
+  *    batch;
+  *  - crash after both sinks but before the checkpoint commit: the
+  *    replay's anti-join now finds every fp already indexed — the
+  *    survivor set is EMPTY, and an unconditional overwrite would
+  *    clobber the committed accepted directory with nothing. An empty
+  *    survivor set therefore SKIPS both writes (also the right
+  *    behavior for a batch of genuine all-duplicates: there is nothing
+  *    to write).
+  *  Residual window: the index append itself is one non-transactional
+  *  job commit; a crash INSIDE it can leave a subset of this batch's
+  *  fps visible, and the replay would then accept only the complement.
+  *  Closing that needs a transactional table format underneath the
+  *  index — documented, not hidden. Duplicate fps from replayed
+  *  appends are harmless for anti-join semantics and are reclaimed by
+  *  [[compactIndex]].
   */
 object IngestDedup {
 
@@ -50,25 +59,57 @@ object IngestDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        val s = batch.sparkSession
-        val w = Window.partitionBy("fp").orderBy("doc_id")
-        // one materialization feeds both sinks: the accepted semi-join
-        // and the index append must see the SAME survivor set
-        val fresh = Dedup.fingerprintsOf(batch)
-          .join(s.table(indexTable), Seq("fp"), "left_anti")
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("doc_id"), col("fp"))
-          .persist()
-        try {
-          batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$acceptedPath/batch_id=$id")
-          fresh.select("fp")
-            .write.mode(SaveMode.Append).format("parquet")
-            .bucketBy(buckets, "fp").sortBy("fp")
-            .saveAsTable(indexTable)
-        } finally fresh.unpersist()
+        processBatch(batch.toDF(), id, indexTable, acceptedPath, buckets)
       }
       .start()
+
+  /** One micro-batch of the ingest flow — public so the replay
+    * idempotence the scaladoc claims is directly testable: calling it
+    * twice with the same (batch, id) — a crash-replay — must leave the
+    * accepted table unchanged and add no new DISTINCT fp.
+    */
+  def processBatch(batch: DataFrame, id: Long, indexTable: String,
+      acceptedPath: String, buckets: Int = 8): Unit = {
+    val s = batch.sparkSession
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    // one materialization feeds both sinks: the accepted semi-join
+    // and the index append must see the SAME survivor set
+    val fresh = Dedup.fingerprintsOf(batch)
+      .join(s.table(indexTable), Seq("fp"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("fp"))
+      .persist()
+    try {
+      // empty survivor set ⇒ write NOTHING: on a crash-replay whose
+      // first attempt fully committed, overwriting would destroy the
+      // committed accepted directory (see the crash-point analysis)
+      if (!fresh.isEmpty) {
+        batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$acceptedPath/batch_id=$id")
+        fresh.select("fp")
+          .write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(buckets, "fp").sortBy("fp")
+          .saveAsTable(indexTable)
+      }
+    } finally fresh.unpersist()
+  }
+
+  /** Rewrites the fingerprint index as its distinct fps — reclaiming
+    * the duplicate rows the at-least-once index append accumulates
+    * across crash replays (and the small files a long-running ingest
+    * leaves). Run periodically, OFFLINE relative to the ingest query:
+    * the rewrite drops and recreates the table, so a concurrent
+    * micro-batch could anti-join against a missing table. Exact
+    * per-bucket layout is rebuilt by [[graft.ops.Partitioning.writeBucketed]].
+    */
+  def compactIndex(s: org.apache.spark.sql.SparkSession, indexTable: String,
+      buckets: Int = 8): Unit = {
+    val distinctFps = s.table(indexTable).distinct()
+      // the source table is about to be dropped out from under the
+      // plan — materialize first, then rewrite from the snapshot
+      .localCheckpoint(true)
+    graft.ops.Partitioning.writeBucketed(distinctFps, indexTable, "fp", buckets)
+  }
 }

@@ -301,6 +301,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ing_idx").count() == before + 3)
   }
 
+  test("ingest replay after a full commit changes nothing; compaction dedupes the index") {
+    import graft.streaming.IngestDedup
+    val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    graft.llm.Dedup.writeFpIndex(spark, sfDir, "rep_idx", buckets = 8)
+    val batch = Seq((8001L, "replay test text one"), (8002L, "replay test text two"))
+      .toDF("doc_id", "text")
+    IngestDedup.processBatch(batch, 0L, "rep_idx", s"$base/acc")
+    spark.catalog.refreshTable("rep_idx")
+    val accepted1 = spark.read.parquet(s"$base/acc")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val idx1 = spark.table("rep_idx").count()
+    assert(accepted1 == Seq(8001L, 8002L))
+    // crash-replay of the SAME (batch, id) after both sinks committed:
+    // the survivor set is now empty, so the accepted directory must
+    // survive untouched and the index must not grow
+    IngestDedup.processBatch(batch, 0L, "rep_idx", s"$base/acc")
+    spark.catalog.refreshTable("rep_idx")
+    val accepted2 = spark.read.parquet(s"$base/acc")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(accepted2 == accepted1, "replay clobbered the accepted artifact")
+    assert(spark.table("rep_idx").count() == idx1)
+    // a partially-replayed append leaves duplicate fps; compaction
+    // rewrites the index as its distinct rows with the bucket layout
+    // intact (the indexed anti-join still reads SelectedBucketsCount)
+    spark.table("rep_idx").limit(5).collect().map(_.getString(0)).toSeq
+      .toDF("fp").write.mode("append").format("parquet")
+      .bucketBy(8, "fp").sortBy("fp").saveAsTable("rep_idx")
+    spark.catalog.refreshTable("rep_idx")
+    assert(spark.table("rep_idx").count() == idx1 + 5)
+    IngestDedup.compactIndex(spark, "rep_idx", buckets = 8)
+    spark.catalog.refreshTable("rep_idx")
+    assert(spark.table("rep_idx").count() == idx1)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.llm.Dedup.incrementalDedupIndexed(spark, sfDir, "rep_idx")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("readEvents wires a file stream with the batch schema") {
     val df = EventStreams.readEvents(spark, s"$sfDir/events.parquet")
     assert(df.isStreaming)
