@@ -49,11 +49,17 @@ object Bench {
     // nudge GC between queries, OUTSIDE the timed region, so each
     // query's number approximates a fresh-JVM run.
     def releaseState(): Unit = {
+      // covers explicit persists, localCheckpoints, AND materialized
+      // CacheManager entries — all register their RDD here
+      val stray = spark.sparkContext.getPersistentRDDs.values
+      val hadState = stray.nonEmpty
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(r => try r.unpersist(blocking = true)
-          catch { case _: Throwable => () })
-      System.gc()
+      stray.foreach(r => try r.unpersist(blocking = true)
+        catch { case _: Throwable => () })
+      // GC only when something was actually released — most queries
+      // leave nothing, and ~4 forced GCs per query would otherwise
+      // dominate the suite's wall-clock without changing any timing
+      if (hadState) System.gc()
     }
     def md5_12(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
