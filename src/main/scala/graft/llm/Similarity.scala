@@ -297,21 +297,37 @@ object Similarity {
       when(dot(v, planeCol(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Probe masks for multi-probe: every one- and two-bit flip of the
+    * query's own signature. On this corpus (near-random in cosine, so
+    * per-plane agreement for a true top-3 pair is only ~0.6) one-bit
+    * probing recovers ~13% of brute-force truth; adding the 2-bit ring
+    * roughly triples that while the candidate set stays
+    * ~37/256 ≈ 14% of brute force. Shared by the Spark query and the
+    * oracle SQL so the probe sets are identical cross-engine.
+    */
+  val probeMasks: Seq[Long] =
+    (0 until LshPlanes).map(i => 1L << i) ++
+      (for { i <- 0 until LshPlanes; j <- i + 1 until LshPlanes }
+        yield (1L << i) | (1L << j))
+
   /** Multi-probe LSH ANN: the hyperplane bucket replaces s2's
     * pre-labeled cell — same equi-join probe shape, but the index is
     * computed from the vectors themselves. Each query probes its own
-    * bucket plus every single-bit-flip neighbor (the sign most likely
-    * to disagree for a cosine-close pair is any ONE hyperplane —
-    * multi-probe recovers those misses without more tables, the
-    * standard LSH recall fix). Probes broadcast: |queries| × (planes+1)
-    * rows; the corpus never shuffles. Top-3 per query; fully
-    * oracle-checked since the planes are literals.
+    * bucket plus every one- and two-bit-flip neighbor (the signs most
+    * likely to disagree for a cosine-close pair are any one or two
+    * hyperplanes — multi-probe recovers those misses without more
+    * tables, the standard LSH recall fix; see [[probeMasks]]). Probes
+    * broadcast: |queries| × (1 + planes + C(planes,2)) rows; the
+    * corpus never shuffles. Every probe value is distinct, so each
+    * (query, candidate) pair joins at most once — no dedup needed.
+    * Top-3 per query; fully oracle-checked since the planes are
+    * literals.
     */
   def knnLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
     val probeBuckets = explode(array(
-      col("bucket") +: (0 until LshPlanes).map(i =>
-        col("bucket").bitwiseXOR(lit(1L << i))): _*))
+      col("bucket") +: probeMasks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), probeBuckets.as("q_bucket"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -511,8 +527,7 @@ object Similarity {
         val lst = p.mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
-      val flips = (0 until LshPlanes).map(i => s"xor(bucket, ${1L << i})")
-        .mkString(", ")
+      val flips = probeMasks.map(m => s"xor(bucket, $m)").mkString(", ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),

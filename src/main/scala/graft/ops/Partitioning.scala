@@ -91,6 +91,59 @@ object Partitioning {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Morton (Z-order) key over `cols`: each column is coded into a
+    * `bits`-bit equi-width bucket of its global [min, max], and the
+    * codes' bits are interleaved so z-adjacent rows are close in EVERY
+    * clustering dimension at once. Runs one tiny min/max agg job, then
+    * the key itself is pure shift/and/add arithmetic — fully codegen,
+    * no UDF. Equi-width codes are the right default for roughly
+    * uniform keys (ids, timestamps); heavily skewed columns should be
+    * pre-transformed (e.g. log) before clustering. Nulls and constant
+    * columns code to 0.
+    */
+  def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    require(cols.nonEmpty, "need at least one clustering column")
+    require(bits * cols.size <= 62,
+      s"bits($bits) * cols(${cols.size}) must fit a signed long")
+    val n = 1 << bits
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val codes = cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.getDouble(2 * i) >= row.getDouble(2 * i + 1))
+        lit(0L)
+      else {
+        val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        // width_bucket yields 1..n in range (0 / n+1 outside); shift
+        // to 0-based and clamp so max lands in the top bucket
+        val b = width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n))
+        coalesce(least(greatest(b - 1, lit(0L)), lit((n - 1).toLong)), lit(0L))
+      }
+    }
+    (for { b <- 0 until bits; i <- codes.indices } yield
+      shiftleft(shiftright(codes(i), b).bitwiseAND(lit(1L)),
+        b * codes.size + i)).reduce(_ + _)
+  }
+
+  /** Z-order-clustered parquet layout — [[writeSorted]] for MORE THAN
+    * ONE filter column. Range-partitioning on the interleaved key
+    * gives each file a z-contiguous region, i.e. a tight hyper-
+    * rectangle in every clustering dimension, so each file's parquet
+    * min/max footer stats are narrow on ALL of `cols` and a
+    * multi-dimensional box filter prunes row groups on every
+    * dimension at once. A 1-D sorted layout only ever prunes on its
+    * leading column; at 100 TB this is the layout for tables filtered
+    * on 2-3 independent columns (time × tenant, key × score). The key
+    * is dropped before the write — it exists only to place rows.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      cols: Seq[String], bits: Int = 8): Unit =
+    df.withColumn("_z", zOrderKey(df, cols, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Rows the parquet reader actually decoded for `df`'s scan (the
     * scan operator's numOutputRows after row-group/page pruning) —
     * the observable that proves a data-skipping layout works.

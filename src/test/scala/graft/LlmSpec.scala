@@ -423,12 +423,13 @@ class LlmSpec extends SparkSpec {
       .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.knnLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // measured 0.25 on this corpus — low because near-random vectors
-    // sit near every hyperplane (the Weber/Schek/Blott degradation the
+    // measured 0.43 on this corpus with 2-bit multi-probe (0.25 at
+    // 1-bit) — low in absolute terms because near-random vectors sit
+    // near every hyperplane (the Weber/Schek/Blott degradation the
     // s4 scaladoc documents); the gate guards the mechanism, not an
     // absolute quality bar
     val recall = truth.intersect(lsh).size.toDouble / truth.size
-    assert(recall >= 0.2, s"LSH recall $recall vs brute top-3")
+    assert(recall >= 0.35, s"LSH recall $recall vs brute top-3")
   }
 
   test("IVF index persists to disk; search-from-index equals in-query s4") {

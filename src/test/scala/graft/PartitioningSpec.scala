@@ -111,6 +111,38 @@ class PartitioningSpec extends SparkSpec {
       s"sorted layout decoded $sortedRows of $total — row-group stats not pruning")
   }
 
+  test("z-ordered layout: 2-D box filter prunes on both dimensions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Partitioning.writeZOrdered(l, s"$base/zorder", 16,
+      Seq("l_orderkey", "l_partkey"))
+    Partitioning.writeSorted(l, s"$base/sorted1d", 16, "l_orderkey")
+    l.repartition(16).write.parquet(s"$base/unsorted")
+    // bottom-quarter box on BOTH keys (~6% of rows). l_orderkey and
+    // l_partkey are independent, so a 1-D layout can only prune on its
+    // leading column (~25%); z-order prunes on both at once.
+    val mx = l.agg(max("l_orderkey"), max("l_partkey")).head
+    val (okCut, pkCut) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+    def filtered(p: String) = spark.read.parquet(p)
+      .filter(col("l_orderkey") <= okCut && col("l_partkey") <= pkCut)
+    // the clustering write is a pure layout change — no rows lost
+    val total = l.count()
+    assert(spark.read.parquet(s"$base/zorder").count() == total)
+    val expect =
+      l.filter(col("l_orderkey") <= okCut && col("l_partkey") <= pkCut).count()
+    assert(filtered(s"$base/zorder").count() == expect)
+    val zRows = Partitioning.scannedRows(filtered(s"$base/zorder"))
+    val sortedRows = Partitioning.scannedRows(filtered(s"$base/sorted1d"))
+    val unsortedRows = Partitioning.scannedRows(filtered(s"$base/unsorted"))
+    assert(unsortedRows == total, s"unsorted decoded $unsortedRows of $total")
+    assert(sortedRows < unsortedRows,
+      s"1-D sorted decoded $sortedRows of $total — leading-column stats dead")
+    assert(zRows < sortedRows,
+      s"z-order decoded $zRows vs 1-D sorted $sortedRows — " +
+        "second dimension not pruning")
+  }
+
   test("scannedRows sees through an AQE-wrapped plan") {
     // a groupBy forces an exchange, so the executed plan is an
     // AdaptiveSparkPlanExec LEAF — a naive collect over it finds no
