@@ -323,8 +323,16 @@ object Similarity {
     * Top-3 per query; fully oracle-checked since the planes are
     * literals.
     */
-  def knnLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
-    val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
+  def knnLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame =
+    probeLshBuckets(emb(s, dir).withColumn("bucket", lshBucket(col("v"))), topK)
+
+  /** The LSH probe-and-score core over a bucket-assigned corpus
+    * (vec_id, v, nrm, bucket) — shared verbatim by the
+    * bucket-in-query path ([[knnLsh]]) and the loaded-index path
+    * ([[knnLshFromIndex]]), so their results agree by construction.
+    * Queries are vec_id < 20.
+    */
+  private def probeLshBuckets(e: DataFrame, topK: Int): DataFrame = {
     val probeBuckets = explode(array(
       col("bucket") +: probeMasks.map(m =>
         col("bucket").bitwiseXOR(lit(m))): _*))
@@ -341,6 +349,28 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("sim"),
         col("rk").cast(LongType).as("rk"))
   }
+
+  /** Builds and PERSISTS the LSH index: the bucket-assigned corpus as
+    * a Hive-partitioned parquet layout (`buckets/bucket=N/…`). Unlike
+    * IVF there is no fit at all — the hyperplanes are constants — so
+    * the build is a single narrow projection pass; what the layout
+    * buys at 100 TB is that the 8 dot products per vector run ONCE at
+    * write time, and every later search just reads its probed bucket
+    * directories ([[knnLshFromIndex]] plans no bucketing arithmetic
+    * on the corpus side).
+    */
+  def buildLshIndex(s: SparkSession, dir: String, indexDir: String): Unit =
+    graft.ops.Partitioning.writePartitioned(
+      emb(s, dir).withColumn("bucket", lshBucket(col("v"))),
+      s"$indexDir/buckets", "bucket")
+
+  /** LSH search against a [[buildLshIndex]] layout — the query-path
+    * twin of the build step. Same probe core as [[knnLsh]], so the
+    * results are identical (spec-checked).
+    */
+  def knnLshFromIndex(s: SparkSession, indexDir: String,
+      topK: Int = 3): DataFrame =
+    probeLshBuckets(s.read.parquet(s"$indexDir/buckets"), topK)
 
   // -- s5: int8 embedding quantization ------------------------------------
   /** Symmetric int8 quantization of every embedding — the storage path

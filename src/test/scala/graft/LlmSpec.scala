@@ -452,6 +452,35 @@ class LlmSpec extends SparkSpec {
     assert(canon(fromIndex) == canon(Similarity.knnIvfKmeans(spark, sfDir)))
   }
 
+  test("LSH index persists to disk; search-from-index equals in-query s6") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    Similarity.buildLshIndex(spark, sfDir, idx)
+    // the layout is Hive-partitioned by bucket: a probe reads only its
+    // 37 probed bucket directories
+    val bucketDirs = new java.io.File(s"$idx/buckets").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(bucketDirs.nonEmpty && bucketDirs.length <= 256,
+      s"${bucketDirs.length} bucket dirs")
+    val fromIndex = Similarity.knnLshFromIndex(spark, idx)
+    // the loaded path reads the written index files, and the corpus
+    // side plans NO bucketing arithmetic — the 8 hyperplane dot
+    // products ran once at build time (the probe side still XORs the
+    // query's own bucket, which comes from the layout too)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains(idx), plan.take(2000))
+    // the scoring dot remains, but the 8 bucketing dots and the norm
+    // are baked into the layout — the loaded plan carries strictly
+    // fewer dot kernels than the compute-in-query form
+    def dots(p: String) = "vec_dot".r.findAllIn(p).size
+    val inQuery = Similarity.knnLsh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(dots(plan) < dots(inQuery),
+      s"index plan dots ${dots(plan)} !< in-query ${dots(inQuery)}")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(canon(fromIndex) == canon(Similarity.knnLsh(spark, sfDir)))
+  }
+
   test("decontaminate against an external benchmark table") {
     import spark.implicits._
     import graft.llm.Curation
