@@ -18,6 +18,9 @@ import graft.viz.VizQueries
   *   graft.cli.Main train  <model> <cleaned> <outDir> [cv]  // scripts 3-10
   *   graft.cli.Main viz    <vizData>   <outDir>       // viz notebooks' inputs
   *   graft.cli.Main curate <tableDir>  <outDir> [tokenBudget]  // llm pipeline
+  *   graft.cli.Main layout zorder  <in> <out> <numFiles> <c1,c2[,…]>
+  *   graft.cli.Main layout sort    <in> <out> <numFiles> <c1[,…]>
+  *   graft.cli.Main layout compact <in> <out> [targetMB]
   * }}}
   *
   * `<model>` ∈ lr, dt, rf, gbt, svc, nb, mlp. Inputs are header CSV (parity
@@ -96,9 +99,25 @@ object Main {
     case Seq("curate", in, out) => curate(spark, in, out, budget = 2000L)
     case Seq("curate", in, out, budget) => curate(spark, in, out, budget.toLong)
 
+    // data-layout maintenance jobs — the write-time half of the data-
+    // skipping story ([[graft.ops.Partitioning]]); run once per table,
+    // every later scan benefits
+    case Seq("layout", "zorder", in, out, nFiles, cols) =>
+      graft.ops.Partitioning.writeZOrdered(read(spark, in), out,
+        nFiles.toInt, cols.split(",").toSeq)
+    case Seq("layout", "sort", in, out, nFiles, cols) =>
+      graft.ops.Partitioning.writeSorted(read(spark, in), out,
+        nFiles.toInt, cols.split(",").toIndexedSeq: _*)
+    case Seq("layout", "compact", in, out) =>
+      graft.ops.Partitioning.writeCompacted(read(spark, in), out)
+    case Seq("layout", "compact", in, out, mb) =>
+      graft.ops.Partitioning.writeCompacted(read(spark, in), out,
+        mb.toLong << 20)
+
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: clean|stats|train|viz|curate ... (see scaladoc)")
+      System.err.println(
+        "usage: clean|stats|train|viz|curate|layout ... (see scaladoc)")
   }
 
   /** The c8 curation release flow as a batch job: every stage boundary

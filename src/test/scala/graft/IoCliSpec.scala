@@ -101,6 +101,23 @@ class IoCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2000)
   }
 
+  test("cli layout jobs rewrite a table zordered / sorted / compacted") {
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val src = "/root/testdata/sf0.001/lineitem.parquet"
+    val total = spark.read.parquet(src).count()
+    graft.cli.Main.run(spark,
+      Seq("layout", "zorder", src, s"$dir/z", "8", "l_orderkey,l_partkey"))
+    graft.cli.Main.run(spark,
+      Seq("layout", "sort", src, s"$dir/s", "4", "l_quantity"))
+    graft.cli.Main.run(spark, Seq("layout", "compact", src, s"$dir/c"))
+    for ((p, files) <- Seq("z" -> 8, "s" -> 4, "c" -> 1)) {
+      val got = new java.io.File(s"$dir/$p").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(got == files, s"$p: expected $files files, got $got")
+      assert(spark.read.parquet(s"$dir/$p").count() == total, p)
+    }
+  }
+
   test("cli clean job writes viz + cleaned parity CSVs") {
     val dir = Files.createTempDirectory("graft_cli").toString
     val fixture = s"$dir/raw"
