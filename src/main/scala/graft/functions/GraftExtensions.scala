@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextFunctions.injection)
     ext.injectFunction(TextFunctions.charInjection)
     ext.injectFunction(SetFunctions.injection)
+    ext.injectFunction(TopKFunctions.injection)
   }
 }

@@ -79,6 +79,35 @@ object Similarity {
         col("rk").cast(LongType).as("rk"))
   }
 
+  // -- s9: brute-force top-k via the bounded-heap aggregate ---------------
+  /** Same exact top-5 as [[knnBrute]], computed with the `topk_by`
+    * bounded-heap aggregate instead of a row_number window. The window
+    * form shuffles AND sorts every (query, doc) similarity pair before
+    * discarding all but 5 per query; this form partial-aggregates
+    * map-side (each task keeps ≤ k pairs per query in an O(k) heap),
+    * so the exchange carries ≤ k·|queries|·|tasks| pairs and the sort
+    * vanishes — at 100 TB the window form's pair shuffle IS the job,
+    * this one's is a rounding error. LlmSpec pins result equality with
+    * s1 and the partial-aggregation plan shape; the s9 oracle is s1's
+    * SQL verbatim.
+    */
+  def knnBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("sim"), col("vec_id"), lit(5)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
   // -- s2: IVF-style cell-probed top-k ------------------------------------
   /** ANN search probing only the query's coarse cell: top-3 neighbors
     * sharing the query's `label`. Equi-join on the cell id — the form
@@ -464,6 +493,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> knnBrute _,
+    "s9_knn_topk"  -> knnBruteTopK _,
     "s8_embed_clusters" -> embedClusters _,
     "s7_knn_int8" -> ((s: SparkSession, dir: String) => knnIvfInt8(s, dir)),
     "s2_knn_ivf"   -> knnIvf _,
@@ -476,6 +506,18 @@ object Similarity {
 
   private val cosSql =
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
+
+  private lazy val knnBruteSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings)
+       |SELECT q_id, vec_id, sim, rk FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+       |        e.vec_id) AS rk
+       |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id)
+       |WHERE rk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // s7: same quantize arithmetic as s5 (proved cross-engine there),
@@ -501,17 +543,11 @@ object Similarity {
          |    AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
          |WHERE rk <= 3""".stripMargin
     },
-    "s1_knn_brute" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings)
-         |SELECT q_id, vec_id, sim, rk FROM (
-         |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
-         |        e.vec_id) AS rk
-         |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id)
-         |WHERE rk <= 5""".stripMargin,
+    "s1_knn_brute" -> knnBruteSql,
+    // s9 computes the identical ranking through the bounded-heap
+    // aggregate — the oracle is deliberately s1's window SQL verbatim:
+    // two physical strategies, one declared semantics
+    "s9_knn_topk" -> knnBruteSql,
     "s2_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings)

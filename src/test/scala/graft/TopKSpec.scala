@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TopKFunctions
+import graft.llm.Similarity
+
+/** `topk_by` bounded-heap aggregate: semantics (ties, nulls, short
+  * groups, merge commutativity) and the plan property that justifies
+  * its existence — partial aggregation instead of a full pair-set
+  * window sort.
+  */
+class TopKSpec extends SparkSpec {
+
+  private def topkOf(rows: Seq[(Long, java.lang.Double, java.lang.Long)],
+      k: Int): Map[Long, Seq[(Double, Long)]] = {
+    import spark.implicits._
+    TopKFunctions.register(spark)
+    rows.toDF("g", "ord", "id")
+      .groupBy("g")
+      .agg(TopKFunctions.topkBy(col("ord"), col("id"), lit(k)).as("tk"))
+      .collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getDouble(0), p.getLong(1)))
+      }.toMap
+  }
+
+  test("topk_by keeps the k largest, sorted desc(ord) asc(id)") {
+    val got = topkOf(Seq(
+      (1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.1, 12L), (1L, 0.7, 13L),
+      (2L, 0.2, 20L)), k = 2)
+    assert(got(1L) == Seq((0.9, 11L), (0.7, 13L)))
+    assert(got(2L) == Seq((0.2, 20L)))
+  }
+
+  test("topk_by breaks ord ties toward the smallest id") {
+    val got = topkOf(Seq(
+      (1L, 0.5, 30L), (1L, 0.5, 10L), (1L, 0.5, 20L), (1L, 0.4, 1L)),
+      k = 3)
+    assert(got(1L) == Seq((0.5, 10L), (0.5, 20L), (0.5, 30L)))
+  }
+
+  test("topk_by ignores null ord/id rows; short groups yield short arrays") {
+    val got = topkOf(Seq(
+      (1L, null, 10L), (1L, 0.3, null), (1L, 0.2, 11L)), k = 5)
+    assert(got(1L) == Seq((0.2, 11L)))
+  }
+
+  test("heap result is partitioning-independent (merge commutativity)") {
+    // 1000 pairs with colliding ords across many partitions: any
+    // merge order must elect the same winners as a global sort
+    import spark.implicits._
+    TopKFunctions.register(spark)
+    val rows = (0L until 1000L).map(i => (i % 7, (i % 13).toDouble, i))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3))
+        .sortBy { case (o, i) => (-o, i) }.take(4)
+    }
+    Seq(1, 3, 17).foreach { parts =>
+      val got = rows.toDF("g", "ord", "id")
+        .repartition(parts, col("id"))
+        .groupBy("g")
+        .agg(TopKFunctions.topkBy(col("ord"), col("id"), lit(4)).as("tk"))
+        .collect()
+        .map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1))).toSeq
+        }.toMap
+      expected.foreach { case (g, want) =>
+        assert(got(g) == want, s"group $g at $parts partitions")
+      }
+    }
+  }
+
+  test("s9 equals s1: heap ranking matches the window ranking exactly") {
+    val s1 = Similarity.queries("s1_knn_brute")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val s9 = Similarity.queries("s9_knn_topk")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(s9 == s1)
+  }
+
+  test("s9 plan partial-aggregates; no window sort of the pair set") {
+    val plan = Similarity.queries("s9_knn_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial stage — map-side the heap truncates to k per group
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_topk_by"))
+    assert(!plan.contains("Window"), "pair set must not be window-sorted")
+  }
+}
