@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextFunctions.charInjection)
     ext.injectFunction(SetFunctions.injection)
     ext.injectFunction(TopKFunctions.injection)
+    ext.injectFunction(BloomFunctions.injection)
   }
 }

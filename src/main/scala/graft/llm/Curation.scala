@@ -152,6 +152,67 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[decontaminateAgainst]] with a Bloom-filter runtime prefilter on
+    * the corpus side: the benchmark grams' 60-bit hashes are folded
+    * into a Bloom filter (one pass over the SMALL side — the same pass
+    * the join's broadcast build runs anyway), and the corpus gram
+    * stream probes it BEFORE the join. No false negatives means the
+    * prefilter can only discard rows the exact join would discard, so
+    * the output is bit-identical to the unfiltered form — c9's oracle
+    * is c2's SQL verbatim.
+    *
+    * Why this matters at 100 TB: virtually none of a clean corpus's
+    * grams appear in any benchmark, so the probe (a codegen'd
+    * two-hash bit test fused into the scan stage) drops ~99% of the
+    * corpus gram stream before it reaches the join — the join's probe
+    * input, and with it the whole downstream pipeline, shrinks by the
+    * true-negative rate. When AQE falls back to a shuffle join
+    * (benchmark side too big to broadcast), the win compounds: the
+    * dropped rows never enter the EXCHANGE, which is the expensive
+    * part. This is Spark's own `InjectRuntimeFilter` architecture,
+    * applied deliberately where the optimizer's heuristics can't see
+    * the selectivity.
+    */
+  def decontaminateBloomAgainst(corpus: DataFrame, bench: DataFrame,
+      n: Int = 8, minShared: Long = 5L, excludeSelf: Boolean = false,
+      fpp: Double = 0.01): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.HashFunctions.register(s)
+    graft.functions.BloomFunctions.register(s)
+    // persisted: the filter build and the join both read it, and it is
+    // small by the operator's contract (benchmarks vs a corpus)
+    val benchGrams = wordGramTable(bench, n)
+      .select(col("doc_id").as("bench_id"),
+        TextAnalysis.hash60(col("gram")).as("bench_gram_h"))
+      .persist()
+    val bits = graft.functions.BloomFunctions.buildSerialized(
+      benchGrams, "bench_gram_h", benchGrams.count(), fpp)
+    val grams = wordGramTable(corpus, n)
+      .select(col("doc_id"), TextAnalysis.hash60(col("gram")).as("gram_h"))
+      .filter(graft.functions.BloomFunctions
+        .bloomMightContain(col("gram_h"), bits))
+    val cond =
+      if (excludeSelf)
+        col("gram_h") === col("bench_gram_h") && col("doc_id") =!= col("bench_id")
+      else col("gram_h") === col("bench_gram_h")
+    grams.join(benchGrams, cond)
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Self-contained c9 flavor: same corpus/bench slices as c2, with
+    * the Bloom prefilter in the plan.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String, n: Int = 8,
+      minShared: Long = 5L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    decontaminateBloomAgainst(docs, docs.filter(col("doc_id") % 7 === 0),
+      n, minShared, excludeSelf = true)
+  }
+
   /** Self-contained flavor for the oracle harness: the stand-in
     * benchmark set is the deterministic corpus slice doc_id % 7 = 0.
     */
@@ -427,6 +488,8 @@ object Curation {
     "c1_curate" -> curate _,
     "c5_pack_tokens" -> ((s: SparkSession, dir: String) => packShardsByTokens(s, dir)),
     "c2_decontaminate" -> ((s: SparkSession, dir: String) => decontaminate(s, dir)),
+    "c9_decontaminate_bloom" ->
+      ((s: SparkSession, dir: String) => decontaminateBloom(s, dir)),
     "c6_decontaminate_apply" ->
       ((s: SparkSession, dir: String) => decontaminateApply(s, dir)),
     "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)),
@@ -578,6 +641,12 @@ object Curation {
          |                AS n_bpe_tokens
          |            FROM ddocs))""".stripMargin,
     "c2_decontaminate" ->
+      s"""WITH $decontCte
+         |SELECT doc_id, bench_id, n_shared FROM hits""".stripMargin,
+    // c9: the Bloom prefilter provably cannot change the exact join's
+    // result (no false negatives; false positives die in the join) —
+    // the oracle is c2's SQL verbatim, and the hash match IS the proof
+    "c9_decontaminate_bloom" ->
       s"""WITH $decontCte
          |SELECT doc_id, bench_id, n_shared FROM hits""".stripMargin,
     // c6: the complement — corpus minus the distinct contaminated ids
