@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator tier: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     VectorFunctions.injectAll(ext)
     ext.injectFunction((
       FunctionIdentifier(HashFunctions.fnName),

@@ -189,6 +189,26 @@ object Extended {
       .select(col("event_id"), col("k").as("user_id"), col("last_order"))
   }
 
+  /** q42 — the SAME as-of semantics as q30, executed by the engine's
+    * native whole-operator path (`graft.plans.AsOfJoin` logical node →
+    * `AsOfJoinStrategy` → sort-merge `AsOfJoinExec`; SURVEY §4.3
+    * tier (c)). The (key, date) tie-collapse q30 gets from its window
+    * ordering comes from the operator's tiebreak ordering here —
+    * right rows sorted (key, time, ok), last-seen match = max ok.
+    * Oracle is q30's ASOF JOIN SQL verbatim; AsOfJoinSpec pins q42 ≡
+    * q30 row-for-row plus the plan shape (native node, no Window).
+    */
+  def q42AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ott"),
+      col("o_orderkey").as("ok"))
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("ett"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(e, o, ("user_id", "k"), ("ett", "ott"), tiebreak = Seq("ok"))
+      .select(col("event_id"), col("user_id"), col("ok").as("last_order"))
+  }
+
   /** q31 — interpolated percentiles per group (median, p90). */
   def q31Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -374,6 +394,7 @@ object Extended {
     "q33_grouping_sets"  -> q33GroupingSets _,
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
+    "q42_asof_native"    -> q42AsofNative _,
     "q31_percentiles"    -> q31Percentiles _,
     "q32_multi_distinct" -> q32MultiDistinct _,
     "q16_semi_join"      -> q16SemiJoin _,
@@ -433,6 +454,14 @@ object Extended {
         |string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
         |FROM orders GROUP BY 1""".stripMargin,
     "q30_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.ok AS last_order
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // q42 runs the identical semantics through the native operator —
+    // the oracle is deliberately q30's ASOF JOIN verbatim
+    "q42_asof_native" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, o.ok AS last_order

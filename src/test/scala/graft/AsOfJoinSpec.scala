@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoinApi
+import graft.queries.Extended
+
+/** Native as-of join (logical node → strategy → sort-merge exec):
+  * micro-semantics on constructed frames, equivalence with the
+  * composed q30 window form, and the plan shape that justifies the
+  * operator.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def asof(lRows: Seq[(Long, Long, Long)],
+      rRows: Seq[(Long, Long, Long)]): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = lRows.toDF("id", "k", "t")
+    val r = rRows.toDF("ok", "rk", "rt")
+    AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getLong(3))))
+      .toMap
+  }
+
+  test("backward match: latest right row at-or-before each left time") {
+    val got = asof(
+      lRows = Seq((1L, 7L, 10L), (2L, 7L, 25L), (3L, 7L, 5L)),
+      rRows = Seq((100L, 7L, 8L), (101L, 7L, 20L), (102L, 7L, 30L)))
+    assert(got == Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None))
+  }
+
+  test("equal times match (inclusive); ties take the greatest tiebreak") {
+    val got = asof(
+      lRows = Seq((1L, 7L, 10L)),
+      rRows = Seq((100L, 7L, 10L), (105L, 7L, 10L), (90L, 7L, 9L)))
+    assert(got == Map(1L -> Some(105L)))
+  }
+
+  test("keys never cross-match; unmatched keys yield nulls") {
+    val got = asof(
+      lRows = Seq((1L, 7L, 10L), (2L, 8L, 10L), (3L, 9L, 10L)),
+      rRows = Seq((100L, 7L, 5L), (101L, 8L, 20L)))
+    assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> None))
+  }
+
+  test("null keys and null times never match, on either side") {
+    import spark.implicits._
+    val l = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 7L, 10L), (2L, null, 10L), (3L, 7L, null))
+      .toDF("id", "k", "t")
+    val r = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (100L, 7L, 5L), (999L, null, 1L), (998L, 7L, null))
+      .toDF("ok", "rk", "rt")
+    val got = AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getLong(3))))
+      .toMap
+    assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> None))
+  }
+
+  test("result is partitioning-independent (shuffle provisioned by Exec)") {
+    import spark.implicits._
+    val lRows = (0L until 500L).map(i => (i, i % 13, i % 37))
+    val rRows = (0L until 300L).map(i => (i + 1000L, i % 13, i % 31))
+    val expected = lRows.map { case (id, k, t) =>
+      val cands = rRows.filter(r => r._2 == k && r._3 <= t)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._3, r._1))._1))
+    }.toMap
+    Seq(1, 7).foreach { parts =>
+      val l = lRows.toDF("id", "k", "t").repartition(parts, col("id"))
+      val r = rRows.toDF("ok", "rk", "rt").repartition(parts + 1, col("ok"))
+      val got = AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"))
+        .collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(3)) None else Some(row.getLong(3))))
+        .toMap
+      assert(got == expected, s"at $parts input partitions")
+    }
+  }
+
+  test("q42 equals q30: native operator matches the composed window form") {
+    val q30 = Extended.queries("q30_asof_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val q42 = Extended.queries("q42_asof_native")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(q42 == q30)
+    assert(q42.nonEmpty)
+  }
+
+  test("q42 plans through AsOfJoinExec with no Window stage") {
+    val plan = Extended.queries("q42_asof_native")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Window"))
+  }
+}
