@@ -31,6 +31,15 @@ object Tables {
     // exact for any ns value (double division rounds ulp-close cases).
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", nsToMicros(F.col("ts")))
+    // timezone-naive parquet timestamps (timestamp[us] without
+    // isAdjustedToUTC — what pandas writes by default) load as
+    // TimestampNTZType; reinterpret in the session timezone (pinned
+    // UTC in every session factory) so the contract above holds for
+    // either writer flavor and downstream ops always see TimestampType
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts",
+        F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
