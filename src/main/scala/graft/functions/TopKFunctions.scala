@@ -91,14 +91,17 @@ final class BoundedTopK(val k: Int) extends Serializable {
   * bounded-memory per-group top-k aggregate (k largest `ord`, ties to
   * the smallest `id`, output sorted desc(ord), asc(id)).
   *
-  * This is the scale-correct form of the `row_number() OVER (...)
-  * <= k` ranking idiom: the window form must SHUFFLE AND SORT every
-  * candidate row (for brute-force kNN, |corpus| × |queries| similarity
-  * pairs) before discarding all but k per group, while this aggregate
-  * partial-aggregates map-side — each task keeps at most k pairs per
-  * group in an O(k) heap, so the exchange moves ≤ k·|groups|·|tasks|
-  * pairs and the sort disappears entirely. At 100 TB the window form's
-  * shuffle IS the job; this one's is a rounding error.
+  * This is the sort-free form of the `row_number() OVER (...) <= k`
+  * ranking idiom. Spark 4's `InferWindowGroupLimit` already keeps the
+  * window form's exchange bounded (partial WindowGroupLimit prunes
+  * each task to k per group pre-shuffle), but rank-mode pruning works
+  * on SORTED input — every task still fully sorts its candidate rows,
+  * and the final stage sorts again and runs window-frame machinery.
+  * The aggregate replaces both sorts with O(k) heaps: O(n log k)
+  * updates over unsorted input, nothing to spill, the same
+  * ≤ k·|groups|·|tasks| exchange. Measured 1.45× on brute kNN at
+  * sf0.1 (s9 vs s1); the gap grows with rows-per-task since sort is
+  * the superlinear term.
   *
   * Null handling matches `max_by`: rows whose ord or id is null are
   * ignored. An empty group yields an empty array (not null). Rows are

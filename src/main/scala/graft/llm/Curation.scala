@@ -172,6 +172,13 @@ object Curation {
     * part. This is Spark's own `InjectRuntimeFilter` architecture,
     * applied deliberately where the optimizer's heuristics can't see
     * the selectivity.
+    *
+    * Honest cost note: the filter build is two extra jobs over the
+    * bench side (count + bloom aggregate), so the prefilter only pays
+    * when bench ≪ corpus. At sf0.1 — where the stand-in bench is a
+    * FULL 1/7th of the corpus — c9 measures ~0.4 s SLOWER than c2;
+    * the operator's regime is the real one (kB of benchmark vs TB of
+    * corpus), not the fixture's.
     */
   def decontaminateBloomAgainst(corpus: DataFrame, bench: DataFrame,
       n: Int = 8, minShared: Long = 5L, excludeSelf: Boolean = false,

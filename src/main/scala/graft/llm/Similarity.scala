@@ -81,14 +81,17 @@ object Similarity {
 
   // -- s9: brute-force top-k via the bounded-heap aggregate ---------------
   /** Same exact top-5 as [[knnBrute]], computed with the `topk_by`
-    * bounded-heap aggregate instead of a row_number window. The window
-    * form shuffles AND sorts every (query, doc) similarity pair before
-    * discarding all but 5 per query; this form partial-aggregates
-    * map-side (each task keeps ≤ k pairs per query in an O(k) heap),
-    * so the exchange carries ≤ k·|queries|·|tasks| pairs and the sort
-    * vanishes — at 100 TB the window form's pair shuffle IS the job,
-    * this one's is a rounding error. LlmSpec pins result equality with
-    * s1 and the partial-aggregation plan shape; the s9 oracle is s1's
+    * bounded-heap aggregate instead of a row_number window. Spark
+    * 4's own `InferWindowGroupLimit` already spares s1 the worst case
+    * (its partial WindowGroupLimit prunes each task to k per query
+    * before the exchange) — what the heap aggregate removes is the
+    * remaining per-task SORT of the full pair set that rank-mode
+    * pruning feeds on, plus the post-shuffle sort + window-frame
+    * machinery: O(n log k) heap updates vs O(n log n) sort on n =
+    * |corpus|·|queries|/task pairs, no sort buffer to spill, and the
+    * same ≤ k·|queries| exchange. Measured 1.45× at sf0.1; the gap
+    * widens with pairs-per-task. TopKSpec pins result equality with
+    * s1 and the no-Window partial-agg plan; the s9 oracle is s1's
     * SQL verbatim.
     */
   def knnBruteTopK(s: SparkSession, dir: String): DataFrame = {

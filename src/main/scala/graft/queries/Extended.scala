@@ -197,6 +197,14 @@ object Extended {
     * right rows sorted (key, time, ok), last-seen match = max ok.
     * Oracle is q30's ASOF JOIN SQL verbatim; AsOfJoinSpec pins q42 ≡
     * q30 row-for-row plus the plan shape (native node, no Window).
+    *
+    * Honest cost note: at sf0.1 the native plan's two exchanges + two
+    * sorts measure ~0.3 s over q30's single union shuffle — fixed
+    * stage overhead at toy scale. The operator's regime is large
+    * sides (each sorts alone instead of interleaved through one
+    * window) and pre-bucketed storage (either side's exchange
+    * disappears entirely — impossible for the union form, whose
+    * shuffle key is synthetic).
     */
   def q42AsofNative(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_custkey").as("k"),
@@ -296,6 +304,45 @@ object Extended {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** q43 — the SAME tier-band aggregation as q37, executed through
+    * interval BINNING — the range-join form that survives a LARGE
+    * interval table. q37's broadcast-nested-loop probes every band
+    * per row: perfect for 5 bands, quadratic death for 5 million
+    * (BNLJ cost is |probe|×|bands|, and a non-broadcastable band side
+    * forces a cartesian). Binning turns the range predicate into an
+    * EQUI-join: intervals explode into the fixed-width bins they
+    * overlap (one row per covered bin — cost |bands|×bins/band, paid
+    * once on the small-per-bin side), probes compute their single bin
+    * in O(1), and the join keys on the bin id — hash join or SMJ,
+    * shuffle keyed and AQE-sized like any equi-join, with the exact
+    * range predicate re-checked as the join residual. The standard
+    * trick (DuckDB/Trino "IEJoin" literature calls it bucketed range
+    * join); bin width tunes the explosion-vs-selectivity trade.
+    * Results are provably identical to q37 — the oracle is q37's SQL
+    * verbatim, and the hash match is the proof.
+    */
+  def q43RangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val binW = 50000.0
+    val tiers = t(s, dir, "region").select(
+      col("r_regionkey").as("tier"),
+      (col("r_regionkey") * 100000.0).as("lo"),
+      ((col("r_regionkey") + 1) * 100000.0).as("hi"))
+    // one row per (interval, covered bin); hi is exclusive so a bound
+    // landing exactly on a bin edge doesn't replicate into the next bin
+    val binnedTiers = tiers
+      .select(col("tier"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / binW).cast(LongType),
+          floor((col("hi") - lit(1e-9)) / binW).cast(LongType))).as("bin"))
+    t(s, dir, "orders")
+      .withColumn("obin", floor(col("o_totalprice") / binW).cast(LongType))
+      .join(binnedTiers,
+        col("obin") === binnedTiers("bin") &&
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** q38 — one-scan data profile: per-column row/non-null/distinct
     * counts plus min/max, reshaped long (no floating sum — a whole-table
     * double sum is summation-order-dependent across partitionings; the
@@ -389,6 +436,7 @@ object Extended {
     "q39_psi"            -> q39Psi _,
     "q38_profile"        -> q38Profile _,
     "q37_range_join"     -> q37RangeJoin _,
+    "q43_range_join_binned" -> q43RangeJoinBinned _,
     "q35_approx_stats"   -> q35ApproxStats _,
     "q36_stratified"     -> q36StratifiedSample _,
     "q33_grouping_sets"  -> q33GroupingSets _,
@@ -436,6 +484,17 @@ object Extended {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n"),
     "q37_range_join" ->
+      """WITH tiers AS (SELECT r_regionkey AS tier,
+        |  r_regionkey * 100000.0 AS lo, (r_regionkey + 1) * 100000.0 AS hi
+        |  FROM region)
+        |SELECT tier, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+        |FROM orders JOIN tiers
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1""".stripMargin,
+    // q43 bins the identical range join into an equi-join — the
+    // oracle is q37's SQL verbatim; the hash match proves binning
+    // changes the plan shape, not the relation
+    "q43_range_join_binned" ->
       """WITH tiers AS (SELECT r_regionkey AS tier,
         |  r_regionkey * 100000.0 AS lo, (r_regionkey + 1) * 100000.0 AS hi
         |  FROM region)

@@ -42,6 +42,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q43: binned range join is an equi-join, result identical to q37") {
+    val p = plan(Extended.q43RangeJoinBinned(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "binning must remove the nested-loop/cartesian range probe")
+    assert(p.contains("bin"), p)
+    val q37 = Extended.queries("q37_range_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val q43 = Extended.queries("q43_range_join_binned")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(q43 == q37)
+  }
+
   test("q6: aggregate is partial (map-side combine before shuffle)") {
     val p = plan(Relational.q6GroupCount(spark, sfDir))
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
