@@ -90,6 +90,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(q42.nonEmpty)
   }
 
+  test("a key-bucketed right side as-of joins with no exchange on that side") {
+    import spark.implicits._
+    val lRows = (0L until 400L).map(i => (i, i % 11, i % 29))
+    val rRows = (0L until 250L).map(i => (i + 500L, i % 11, i % 23))
+    graft.ops.Partitioning.writeBucketed(
+      rRows.toDF("ok", "rk", "rt"), "asof_right_b", "rk", 4)
+    val l = lRows.toDF("id", "k", "t")
+    val bucketed = AsOfJoinApi.asofJoin(l, spark.table("asof_right_b"),
+      ("k", "rk"), ("t", "rt"), Seq("ok"))
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // exactly ONE hash exchange: the left side routing to the right
+    // side's bucket layout — the claim the q42 scaladoc makes for
+    // pre-bucketed storage (impossible for the union+window form,
+    // whose shuffle key is synthetic)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // and the layout changes the plan only, not the relation
+    val plain = AsOfJoinApi.asofJoin(l, rRows.toDF("ok", "rk", "rt"),
+      ("k", "rk"), ("t", "rt"), Seq("ok"))
+    assert(bucketed.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
   test("q42 plans through AsOfJoinExec with no Window stage") {
     val plan = Extended.queries("q42_asof_native")(spark, sfDir)
       .queryExecution.executedPlan.toString
