@@ -13,7 +13,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator tier: the native as-of join's planner strategy
+    // plus the pushdown rule that lets Catalyst optimize across the
+    // custom node (injected into the operator-optimization fixed
+    // point, so moved filters keep sinking toward the scan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     VectorFunctions.injectAll(ext)
     ext.injectFunction((
       FunctionIdentifier(HashFunctions.fnName),

@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -47,6 +48,41 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Pushes filters through [[AsOfJoin]] toward the LEFT child — the
+  * optimizer tier a custom node must supply for itself: Catalyst's
+  * `PushDownPredicates` only descends through nodes it knows, so
+  * without this rule `asofJoin(...).filter(left-side pred)` reads and
+  * merges the ENTIRE left table before filtering — at 100 TB that
+  * turns a pruned probe into a full scan. Left-side pushdown is sound
+  * because the operator maps each left row independently (its match
+  * depends only on that row's key/time and the right side); the same
+  * move is NOT sound for right-side predicates, which would drop
+  * match candidates and resurrect older rows as answers — those stay
+  * above the join. Only deterministic conjuncts move (pushing a
+  * nondeterministic predicate changes its evaluation order — same
+  * rule stock Catalyst applies).
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val leftOut = AttributeSet(j.left.output)
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(leftOut))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
 }
 
 /** Plans [[AsOfJoin]] to [[AsOfJoinExec]]; a no-op for every other
@@ -181,6 +217,14 @@ object AsOfJoinApi {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    // the pushdown rule runs as a late optimizer batch here; filters
+    // it moves still reach the parquet scan because FileSourceStrategy
+    // extracts PushedFilters from any Filter adjacent to the relation
+    // at PLANNING time (the extensions path instead injects into the
+    // operator-optimization fixed point)
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOfJoin
   }
 
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,

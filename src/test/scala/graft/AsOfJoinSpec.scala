@@ -113,6 +113,50 @@ class AsOfJoinSpec extends SparkSpec {
       plain.collect().map(_.toSeq).toSet)
   }
 
+  test("left-side filters push through the custom node to the scan") {
+    // without PushFilterThroughAsOfJoin, Catalyst stops at the unknown
+    // binary node and the whole left table feeds the merge
+    val base = Extended.queries("q42_asof_native")(spark, sfDir)
+    val filtered = base.filter(col("user_id") < 100)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the Filter must sit BELOW AsOfJoin in the optimized plan
+    // (printed after it), not above
+    val joinAt = optimized.indexOf("AsOfJoin")
+    val filterAt = optimized.indexOf("Filter")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"filter not pushed below the as-of join:\n$optimized")
+    // and it reaches the parquet scan as a pushed data filter
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { filtered.explain("formatted") }
+    val pushed = out.toString.linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("LessThan(user_id,100)"), pushed)
+    // semantics unchanged by the move
+    val expected = base.collect().map(_.toSeq)
+      .filter(r => r(1) != null && r(1).asInstanceOf[Long] < 100).toSet
+    assert(filtered.collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("right-referencing and nondeterministic predicates stay above") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, 10L), (2L, 7L, 25L)).toDF("id", "k", "t")
+    val r = Seq((100L, 7L, 8L), (101L, 7L, 20L)).toDF("ok", "rk", "rt")
+    val joined = AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"))
+    // mixed conjunction: the left conjunct moves, the right one stays
+    val mixed = joined.filter(col("id") >= 1 && col("ok") === 101L)
+    assert(mixed.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val opt = mixed.queryExecution.optimizedPlan.toString
+    val joinAt = opt.indexOf("AsOfJoin")
+    assert(opt.take(joinAt).contains("Filter"),
+      s"right-side conjunct must remain above the join:\n$opt")
+    // nondeterministic predicates never move (rand() below the join
+    // would be evaluated under a different row stream)
+    val nd = joined.filter(col("id") >= 0 && rand(7) >= 0)
+    val ndOpt = nd.queryExecution.optimizedPlan.toString
+    assert(!ndOpt.substring(ndOpt.indexOf("AsOfJoin")).contains("rand"),
+      s"nondeterministic predicate pushed below the join:\n$ndOpt")
+  }
+
   test("q42 plans through AsOfJoinExec with no Window stage") {
     val plan = Extended.queries("q42_asof_native")(spark, sfDir)
       .queryExecution.executedPlan.toString
