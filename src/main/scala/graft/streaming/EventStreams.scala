@@ -183,6 +183,35 @@ object EventStreams {
       .select(col("user_id"), col("click_id"), col("view_id"))
   }
 
+  /** Streaming temporal enrichment: each micro-batch of events is
+    * as-of joined (via the native `graft.plans.AsOfJoin` operator)
+    * against a static, slowly-changing dimension — "state of the
+    * account at event time", the enrichment every event feed needs.
+    * `foreachBatch` is the right seam: the dimension is BATCH data
+    * (stream-static joins only support equi predicates, and buffering
+    * the dimension as stream state would duplicate what storage
+    * already holds), and per batch the operator's left side is just
+    * the micro-batch — when the dimension table is key-bucketed, the
+    * only per-trigger exchange is the micro-batch routing to the
+    * bucket layout (AsOfJoinSpec proves that plan), so trigger cost
+    * is O(batch), not O(dimension).
+    *
+    * `dim` must carry (key, time, payload…) columns named by the
+    * tuples; output appends exactly-once to parquet under the
+    * checkpoint's contract.
+    */
+  def enrichAsOf(events: DataFrame, dim: DataFrame,
+      key: (String, String), time: (String, String), tiebreak: Seq[String],
+      outDir: String, checkpointDir: String) =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsOfJoinApi
+          .asofJoin(batch, dim, key, time, tiebreak)
+          .write.mode("append").parquet(outDir)
+      }
+
   /** Sink: append stream to partitioned parquet with checkpointing —
     * the exactly-once file sink a 100 TB ingest would use.
     */

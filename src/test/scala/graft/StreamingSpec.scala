@@ -242,6 +242,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment matches the batch native as-of join") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    // static dimension: per-key versioned payloads
+    val dim = Seq((100L, 7L, 5L), (101L, 7L, 20L), (200L, 8L, 15L))
+      .toDF("ver", "dk", "dt")
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.enrichAsOf(mem.toDF().toDF("id", "k", "t"),
+      dim, ("k", "dk"), ("t", "dt"), Seq("ver"),
+      s"$base/out", s"$base/ck").start()
+    try {
+      mem.addData((1L, 7L, 10L), (2L, 8L, 10L))
+      q.processAllAvailable()
+      mem.addData((3L, 7L, 25L), (4L, 9L, 25L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    // same rows the batch operator produces over the union of batches
+    assert(got == Map(1L -> Some(100L), 2L -> None,
+      3L -> Some(101L), 4L -> None))
+  }
+
   test("checkpointed parquet sink recovers exactly-once across a stop/restart") {
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val srcDir = s"$base/src"; val outDir = s"$base/out"; val ck = s"$base/ck"
