@@ -480,6 +480,77 @@ object Dedup {
     dedupBatchAgainst(canonicalFps(s, dir).filter(col("doc_id") % 5 === 4),
       s.table(table))
 
+  // -- d11: exact set-similarity join (prefix filtering) -------------------
+  /** ALL pairs with shingle-set Jaccard >= `t`, found EXACTLY — the
+    * deterministic-threshold complement to the MinHash family: LSH
+    * (d2/d7) trades recall for speed probabilistically (a pair near
+    * the threshold can miss every band), while prefix filtering
+    * (AllPairs/PPJoin lineage — Bayardo et al., WWW'07) guarantees
+    * completeness. The pigeonhole: under ANY global token order, a
+    * set keeping only its first |s| - ceil(t·|s|) + 1 tokens (its
+    * "prefix") must expose at least one token of every qualifying
+    * pair's intersection — so candidates come from an EQUI-join on
+    * prefix tokens, and the exact Jaccard verify keeps truth.
+    *
+    * Scale shape: three keyed shuffles build the candidate set
+    * (global token frequencies; per-doc rank window; prefix-token
+    * equi-join) — all on (hash, id) longs, never text. Ordering
+    * tokens rarest-first is what makes the equi-join's buckets small:
+    * a prefix token is by construction one of its doc's RAREST
+    * tokens, so join groups are the frequency distribution's thin
+    * tail, not its boilerplate head (the LSH family needs an explicit
+    * star-link guard for exactly the skew this ordering avoids; an
+    * exact join could not use one — dropping a bucket would drop
+    * pairs). The length filter t·|a| <= |b| <= |a|/t prunes pairs no
+    * Jaccard could qualify. Verification joins the O(candidates)
+    * pair list back to the shingle sets, d3-style.
+    */
+  def setSimJoinOf(docs: DataFrame, t: Double = 0.8): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.HashFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSetsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct hashed tokens per doc (shingle sets are already
+    // distinct; hashing cannot split tokens, only — astronomically
+    // rarely — merge them, which would only ADD a candidate pair for
+    // the string-set verify to reject)
+    val toks = sh
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), (hash60(col("sh")) % M).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    // consistent global order: rarest first, hash as tiebreak
+    val rankW = Window.partitionBy("doc_id").orderBy(col("f"), col("tok"))
+    val prefix = toks.join(freq, "tok")
+      .withColumn("pos", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("tok"), col("doc_id"), col("n"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * t <= col("a.n") && col("a.n") * t <= col("b.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val out = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          / size(array_union(col("sa.shingles"), col("sb.shingles")))
+            .cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  def setSimJoin(s: SparkSession, dir: String): DataFrame =
+    setSimJoinOf(Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text")))
+
   // -- d8: dedup cluster resolution ----------------------------------------
   /** Connected components over a symmetric-closed candidate edge list:
     * returns (id, cluster_id) with cluster_id = the component's min id.
@@ -636,6 +707,7 @@ object Dedup {
     "d9_dedup_apply"  -> dedupApply _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d3_jaccard_verify" -> jaccardVerify _,
+    "d11_setsim_join" -> setSimJoin _,
     "d10_jaccard_est" -> jaccardEstimate _,
     "d4_simhash"      -> simhash _,
     "d5_simhash_pairs" -> ((s: SparkSession, dir: String) => simhashPairs(s, dir)),
@@ -819,6 +891,20 @@ object Dedup {
          |    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
          |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
          |            JOIN sh sb ON doc_b = sb.doc_id)
+         |WHERE jaccard >= 0.8""".stripMargin,
+    // d11: brute-force ground truth — EVERY doc pair's exact Jaccard
+    // (the oracle can afford O(n²) at sf0.01; completeness of the
+    // prefix-filter candidate set is exactly what the hash match
+    // proves, since a missed pair would be a missing row)
+    "d11_setsim_join" ->
+      s"""WITH ${shingleCteFrom(
+             "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")}
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+         |    / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+         |    AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8""".stripMargin,
     "d5_simhash_pairs" ->
       """WITH tk AS (SELECT doc_id,

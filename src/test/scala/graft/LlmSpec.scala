@@ -24,6 +24,23 @@ class LlmSpec extends SparkSpec {
     truth.foreach(p => assert(cands.contains(p), s"missed near-dup pair $p"))
   }
 
+  test("set-similarity join is exact: equals brute-force Jaccard >= t") {
+    // ground truth by enumeration (small data): ALL pairs >= 0.8 —
+    // exactness means d11 finds every one (LSH may not), no extras
+    val sh = Dedup.shingleSets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val truth = (for {
+      a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if (math.rint(j * 10000) / 10000) >= 0.8
+    } yield (a, b)).toSet
+    val got = Dedup.setSimJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed=${truth -- got} extra=${got -- truth}")
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("skew guard: oversized boilerplate bucket is star-linked, real pairs survive") {
     import spark.implicits._
     // 200 byte-identical boilerplate docs (one LSH bucket per band) plus
