@@ -18,6 +18,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main train  <model> <cleaned> <outDir> [cv]  // scripts 3-10
   *   graft.cli.Main viz    <vizData>   <outDir>       // viz notebooks' inputs
   *   graft.cli.Main curate <tableDir>  <outDir> [tokenBudget]  // llm pipeline
+  *   graft.cli.Main index  ivf|lsh <tableDir> <indexDir> [k]   // ANN build
+  *   graft.cli.Main search ivf|lsh <indexDir> <outDir> [nprobe] // ANN query
   *   graft.cli.Main layout zorder  <in> <out> <numFiles> <c1,c2[,…]>
   *   graft.cli.Main layout sort    <in> <out> <numFiles> <c1[,…]>
   *   graft.cli.Main layout compact <in> <out> [targetMB]
@@ -99,6 +101,28 @@ object Main {
     case Seq("curate", in, out) => curate(spark, in, out, budget = 2000L)
     case Seq("curate", in, out, budget) => curate(spark, in, out, budget.toLong)
 
+    // ANN index lifecycle as batch jobs: `index` is the once-per-
+    // corpus write step (KMeans IVF cells + centroid table, or LSH
+    // hyperplane buckets), `search` reads ONLY the persisted layout —
+    // no fit, no re-bucketing in the plan (the spec-pinned property of
+    // the *FromIndex paths). Results land as parquet (q_id, vec_id,
+    // sim, rk).
+    case Seq("index", "ivf", in, idx) =>
+      graft.llm.Similarity.buildIvfIndex(spark, in, idx)
+    case Seq("index", "ivf", in, idx, k) =>
+      graft.llm.Similarity.buildIvfIndex(spark, in, idx, k.toInt)
+    case Seq("index", "lsh", in, idx) =>
+      graft.llm.Similarity.buildLshIndex(spark, in, idx)
+    case Seq("search", "ivf", idx, out) =>
+      graft.llm.Similarity.knnIvfFromIndex(spark, idx)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("search", "ivf", idx, out, nprobe) =>
+      graft.llm.Similarity.knnIvfFromIndex(spark, idx, nprobe.toInt)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("search", "lsh", idx, out) =>
+      graft.llm.Similarity.knnLshFromIndex(spark, idx)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+
     // data-layout maintenance jobs — the write-time half of the data-
     // skipping story ([[graft.ops.Partitioning]]); run once per table,
     // every later scan benefits
@@ -117,7 +141,7 @@ object Main {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: clean|stats|train|viz|curate|layout ... (see scaladoc)")
+        "usage: clean|stats|train|viz|curate|index|search|layout ... (see scaladoc)")
   }
 
   /** The c8 curation release flow as a batch job: every stage boundary

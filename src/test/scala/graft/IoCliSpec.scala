@@ -201,6 +201,25 @@ class IoCliSpec extends SparkSpec {
     }
   }
 
+  test("cli index/search run the ANN lifecycle from the persisted layout") {
+    val dir = Files.createTempDirectory("graft_ann").toString
+    graft.cli.Main.run(spark, Seq("index", "lsh", sfDir, s"$dir/idx"))
+    graft.cli.Main.run(spark, Seq("search", "lsh", s"$dir/idx", s"$dir/out"))
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(_.toSeq).toSet
+    val lib = graft.llm.Similarity.knnLshFromIndex(spark, s"$dir/idx")
+      .collect().map(_.toSeq).toSet
+    assert(got == lib)
+    assert(got.nonEmpty)
+    // IVF flavor: build + search produce ranked rows from the layout
+    graft.cli.Main.run(spark, Seq("index", "ivf", sfDir, s"$dir/iidx", "4"))
+    graft.cli.Main.run(spark,
+      Seq("search", "ivf", s"$dir/iidx", s"$dir/iout", "2"))
+    val ivf = spark.read.parquet(s"$dir/iout")
+    assert(ivf.count() > 0)
+    assert(ivf.columns.toSet == Set("q_id", "vec_id", "sim", "rk"))
+  }
+
   test("cli curate writes every stage artifact and shards matching curateFull") {
     val dir = Files.createTempDirectory("graft_curate").toString
     graft.cli.Main.run(spark, Seq("curate", sfDir, s"$dir/out"))
