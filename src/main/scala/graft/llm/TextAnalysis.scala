@@ -351,8 +351,58 @@ object TextAnalysis {
         col("tfidf"), col("rk").cast(LongType).as("rk"))
   }
 
+  // -- t11: BM25 relevance scoring -----------------------------------------
+  /** Okapi BM25 parameters (the universal defaults) and the fixed
+    * probe query over the synthetic corpus's vocabulary.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("query", "stream", "merge")
+
+  /** Top-`topK` documents by Okapi BM25 against [[Bm25Query]] — the
+    * standard retrieval scorer (tf saturation + length normalization),
+    * which a training-data pipeline uses for quality-targeted
+    * selection and retrieval-based mixing; idf is the Lucene-smoothed
+    * ln((N - df + 0.5)/(df + 0.5) + 1) so scores stay positive.
+    *
+    * Scale shape: the IN-list filter on query terms cuts the exploded
+    * token stream to matching rows BEFORE any aggregation, so the
+    * (doc, term) tf groupBy shuffles only docs that can score; df and
+    * corpus stats (N, avgdl) are one-row/|Q|-row broadcast aggregates;
+    * the final cut is orderBy+limit, which plans as
+    * TakeOrderedAndProject — a per-partition O(k) heap + driver merge,
+    * never a global sort. Ranking orders by the ROUNDED score with a
+    * doc_id tiebreak, so the top-k cut is deterministic cross-engine.
+    */
+  def bm25(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+    val dl = docs.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isInCollection(Bm25Query))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("t"))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") * (Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * norm), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t8_tfidf"       -> ((s: SparkSession, dir: String) => tfidf(s, dir)),
+    "t11_bm25"       -> ((s: SparkSession, dir: String) => bm25(s, dir)),
     "t1_token_stats" -> tokenStats _,
     "t2_quality"     -> qualityScore _,
     "t3_lang_id"     -> langId _,
@@ -440,6 +490,26 @@ object TextAnalysis {
          |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
          |WHERE rk <= 3""".stripMargin
     },
+    // t11: identical BM25 arithmetic; ties cut on (rounded score,
+    // doc_id) so LIMIT agrees cross-engine
+    "t11_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+        |  WHERE term IN ('query', 'stream', 'merge') GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM d)
+        |SELECT doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // t10: same multiset gram counts; DuckDB lists are 1-based like the
     // Spark sequence, so gram i spans t[i..i+n-1] in both engines
     "t10_repetition" -> repetitionOracle(),
