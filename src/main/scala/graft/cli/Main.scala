@@ -19,6 +19,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main viz    <vizData>   <outDir>       // viz notebooks' inputs
   *   graft.cli.Main curate <tableDir>  <outDir> [tokenBudget]  // llm pipeline
   *   graft.cli.Main index  ivf|lsh <tableDir> <indexDir> [k]   // ANN build
+  *   graft.cli.Main index  lsh-append <batch.parquet> <indexDir> // ANN ingest
   *   graft.cli.Main search ivf|lsh <indexDir> <outDir> [nprobe] // ANN query
   *   graft.cli.Main layout zorder  <in> <out> <numFiles> <c1,c2[,…]>
   *   graft.cli.Main layout sort    <in> <out> <numFiles> <c1[,…]>
@@ -113,6 +114,8 @@ object Main {
       graft.llm.Similarity.buildIvfIndex(spark, in, idx, k.toInt)
     case Seq("index", "lsh", in, idx) =>
       graft.llm.Similarity.buildLshIndex(spark, in, idx)
+    case Seq("index", "lsh-append", in, idx) =>
+      graft.llm.Similarity.appendToLshIndex(spark, read(spark, in), idx)
     case Seq("search", "ivf", idx, out) =>
       graft.llm.Similarity.knnIvfFromIndex(spark, idx)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)

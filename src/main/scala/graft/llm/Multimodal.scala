@@ -143,11 +143,35 @@ object Multimodal {
       .toDF("media_id", "kind", "width", "height", "n_sampled")
   }
 
+  /** m3 — exact media dedup: byte-identical payload groups per kind
+    * (content hash of the BINARY column, representative = min
+    * media_id, multiplicity). The d1 pattern lifted to media: the
+    * shuffle carries (kind, 32-byte hash, id) — payload bytes are
+    * scanned once for the hash and never shuffled, which is the only
+    * viable shape when the payload column is MB-scale media.
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).toDF()
+      .select(col("kind"), md5(col("payload")).as("content_hash"),
+        col("media_id"))
+      .groupBy("kind", "content_hash")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> binaryMeta _,
-    "m2_media_process" -> mediaProcess _)
+    "m2_media_process" -> mediaProcess _,
+    "m3_media_dedup" -> mediaDedup _)
 
   val oracleSql: Map[String, String] = Map(
+    // m3: md5 of the VARCHAR is md5 of its UTF-8 bytes — exactly the
+    // payload Spark hashes (encode(text, 'UTF-8'))
+    "m3_media_dedup" ->
+      """SELECT kind, content_hash, MIN(media_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  md5(text) AS content_hash FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id,
         |['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,

@@ -46,12 +46,18 @@ object Similarity {
     * sides ride along the join instead of being refolded per pair).
     */
   private def emb(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
     // Single-file test input = one split; the pair joins are CPU-bound
     // → spread rows across cores (no-op posture at real scale).
-    Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("label"),
+    embOf(Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism))
+  }
+
+  /** [[emb]]'s projection over an arbitrary (vec_id, label, embedding)
+    * frame — the entry point ingest paths use for NEW vectors.
+    */
+  private[llm] def embOf(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
@@ -392,9 +398,37 @@ object Similarity {
     * on the corpus side).
     */
   def buildLshIndex(s: SparkSession, dir: String, indexDir: String): Unit =
+    buildLshIndexFrom(Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism), indexDir)
+
+  /** [[buildLshIndex]] over an arbitrary (vec_id, label, embedding)
+    * frame — the write step ingest pipelines call directly.
+    */
+  def buildLshIndexFrom(vecs: DataFrame, indexDir: String): Unit =
     graft.ops.Partitioning.writePartitioned(
-      emb(s, dir).withColumn("bucket", lshBucket(col("v"))),
+      embOf(vecs).withColumn("bucket", lshBucket(col("v"))),
       s"$indexDir/buckets", "bucket")
+
+  /** Appends a batch of NEW embeddings to a [[buildLshIndex]] layout —
+    * the incremental-ingest half of the index lifecycle (the ANN
+    * analogue of the fp-index append in `IngestDedup`). Hyperplanes
+    * are deterministic constants, so a new vector's bucket is a pure
+    * projection: the append computes buckets for the BATCH only and
+    * dynamic partitioning lands new files only in the touched bucket
+    * directories — existing bucket files are never read or rewritten,
+    * so ingest cost is O(batch) and a 100 TB index never rebuilds.
+    * Readers pick the new files up on their next scan (parquet
+    * directory listing), with no coordination needed beyond the
+    * store's list-after-write consistency. Spec pins: append ≡
+    * build-from-scratch for search results, and untouched bucket
+    * directories keep their exact file set.
+    */
+  def appendToLshIndex(s: SparkSession, newVecs: DataFrame,
+      indexDir: String): Unit =
+    embOf(newVecs)
+      .withColumn("bucket", lshBucket(col("v")))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket").parquet(s"$indexDir/buckets")
 
   /** LSH search against a [[buildLshIndex]] layout — the query-path
     * twin of the build step. Same probe core as [[knnLsh]], so the

@@ -24,6 +24,34 @@ class LlmSpec extends SparkSpec {
     truth.foreach(p => assert(cands.contains(p), s"missed near-dup pair $p"))
   }
 
+  test("LSH index append: build+append equals build-from-scratch; untouched buckets keep their files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annappend").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // full build (truth) vs slice build + batch append
+    Similarity.buildLshIndexFrom(all, s"$base/full")
+    Similarity.buildLshIndexFrom(all.filter(col("vec_id") < 40), s"$base/inc")
+    val batch = all.filter(col("vec_id") >= 40)
+    // bucket dirs the batch does NOT touch must keep their exact files
+    def files(p: String) = new java.io.File(p).listFiles().toSeq
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = files(s"$base/inc/buckets")
+    Similarity.appendToLshIndex(spark, batch, s"$base/inc")
+    val after = files(s"$base/inc/buckets")
+    val batchBuckets = after.keySet.filter(k =>
+      before.get(k) != after.get(k)) ++ (after.keySet -- before.keySet)
+    before.keySet.diff(batchBuckets).foreach { b =>
+      assert(before(b) == after(b), s"untouched bucket $b rewritten")
+    }
+    // search from the appended index = search from the one-shot index
+    val inc = Similarity.knnLshFromIndex(spark, s"$base/inc")
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.knnLshFromIndex(spark, s"$base/full")
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("set-similarity join is exact: equals brute-force Jaccard >= t") {
     // ground truth by enumeration (small data): ALL pairs >= 0.8 —
     // exactness means d11 finds every one (LSH may not), no extras
