@@ -189,6 +189,25 @@ object Extended {
       .select(col("event_id"), col("k").as("user_id"), col("last_order"))
   }
 
+  /** q44 — q26's top-k-per-group through the `topk_by` bounded-heap
+    * aggregate instead of the rank window: same relation (oracle is
+    * q26's SQL verbatim — ties to the smallest orderkey are exactly
+    * the heap's tie rule), no sort anywhere in the plan. See
+    * `TopKFunctions` for the window-vs-heap cost argument; this is
+    * the relational face of the s9 demonstration.
+    */
+  def q44TopkHeap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("o_totalprice"), col("o_orderkey"), lit(3)).as("tk"))
+      .select(col("o_orderstatus"), posexplode(col("tk")))
+      .select(col("o_orderstatus"), col("col.id").as("o_orderkey"),
+        col("col.ord").as("o_totalprice"),
+        (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
   /** q42 — the SAME as-of semantics as q30, executed by the engine's
     * native whole-operator path (`graft.plans.AsOfJoin` logical node →
     * `AsOfJoinStrategy` → sort-merge `AsOfJoinExec`; SURVEY §4.3
@@ -443,6 +462,7 @@ object Extended {
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
     "q42_asof_native"    -> q42AsofNative _,
+    "q44_topk_heap"      -> q44TopkHeap _,
     "q31_percentiles"    -> q31Percentiles _,
     "q32_multi_distinct" -> q32MultiDistinct _,
     "q16_semi_join"      -> q16SemiJoin _,
@@ -582,6 +602,14 @@ object Extended {
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT SELECT s_nationkey AS nk FROM supplier""".stripMargin,
     "q26_topk_per_group" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    // q44 computes the identical ranking through the bounded-heap
+    // aggregate — the oracle is q26's window SQL verbatim
+    "q44_topk_heap" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus

@@ -242,6 +242,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: searches see vectors from every committed batch") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_annstream").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.llm.Similarity.buildLshIndexFrom(
+      all.filter(col("vec_id") < 30), s"$base/idx")
+    val rows = all.filter(col("vec_id") >= 30)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val mem = MemoryStream[(Long, Int, Array[Double])]
+    val q = graft.streaming.IngestAnn.run(
+      mem.toDF().toDF("vec_id", "label", "embedding"),
+      s"$base/idx", s"$base/ck")
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val inc = graft.llm.Similarity.knnLshFromIndex(spark, s"$base/idx")
+      .collect().map(_.toSeq).toSet
+    graft.llm.Similarity.buildLshIndexFrom(all, s"$base/full")
+    val full = graft.llm.Similarity.knnLshFromIndex(spark, s"$base/full")
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("streaming as-of enrichment matches the batch native as-of join") {
     implicit val sc = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_enrich").toString
