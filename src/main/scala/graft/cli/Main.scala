@@ -18,9 +18,10 @@ import graft.viz.VizQueries
   *   graft.cli.Main train  <model> <cleaned> <outDir> [cv]  // scripts 3-10
   *   graft.cli.Main viz    <vizData>   <outDir>       // viz notebooks' inputs
   *   graft.cli.Main curate <tableDir>  <outDir> [tokenBudget]  // llm pipeline
-  *   graft.cli.Main index  ivf|lsh <tableDir> <indexDir> [k]   // ANN build
+  *   graft.cli.Main index  ivf|lsh|pq <tableDir> <indexDir> [k] // ANN build
   *   graft.cli.Main index  lsh-append <batch.parquet> <indexDir> // ANN ingest
   *   graft.cli.Main search ivf|lsh <indexDir> <outDir> [nprobe] // ANN query
+  *   graft.cli.Main search pq <tableDir> <indexDir> <outDir>    // ADC query
   *   graft.cli.Main layout zorder  <in> <out> <numFiles> <c1,c2[,…]>
   *   graft.cli.Main layout sort    <in> <out> <numFiles> <c1[,…]>
   *   graft.cli.Main layout compact <in> <out> [targetMB]
@@ -112,6 +113,11 @@ object Main {
       graft.llm.Similarity.buildIvfIndex(spark, in, idx)
     case Seq("index", "ivf", in, idx, k) =>
       graft.llm.Similarity.buildIvfIndex(spark, in, idx, k.toInt)
+    case Seq("index", "pq", in, idx) =>
+      graft.llm.Similarity.buildPqIndex(spark, in, idx)
+    case Seq("search", "pq", in, idx, out) =>
+      graft.llm.Similarity.knnPqFromIndex(spark, in, idx)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("index", "lsh", in, idx) =>
       graft.llm.Similarity.buildLshIndex(spark, in, idx)
     case Seq("index", "lsh-append", in, idx) =>

@@ -71,6 +71,30 @@ object VectorOps {
     }
   }
 
+  /** ADC lookup-sum for [[PqAdc]]: Σ_i dt[i·k + codes[i]] with
+    * k = |dt| / |codes|. Returns null (boxed) on malformed inputs —
+    * non-divisible table length, out-of-range code, or a null
+    * element — instead of a silently wrong sum.
+    */
+  def pqAdc(codes: ArrayData, dt: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    val n = dt.numElements()
+    if (m == 0 || n == 0 || n % m != 0) return null
+    val k = n / m
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k) return null
+      val idx = i * k + c
+      if (dt.isNullAt(idx)) return null
+      s += dt.getDouble(idx)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** `round(x * s)` per element as int, HALF_UP away from zero,
     * matching Spark's `round()` (BigDecimal HALF_UP) and DuckDB's
     * `round()` exactly. No `v + 0.5` trick: at v = nextDown(0.5) the
@@ -209,6 +233,42 @@ case class VecQuantInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_adc(codes: array<int>, dt: array<double>) -> double` —
+  * asymmetric-distance-computation kernel for product-quantized
+  * search: with m = |codes| subspaces and k = |dt| / m centroids per
+  * subspace, returns Σ_i dt[i·k + codes[i]] — the classic ADC table
+  * lookup (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011). The per-query distance table `dt` rides in
+  * broadcast; scoring a stored vector is then m array reads + adds in
+  * one codegen loop — no explode, no join blow-up, no per-pair
+  * arithmetic beyond the lookups. A malformed row (|dt| not divisible
+  * by |codes|, or a code outside [0, k)) yields null rather than a
+  * wrong sum.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(c: Any, d: Any): Any =
+    VectorOps.pqAdc(c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorOps.pqAdc($c, $d);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration (the in-process analogue of installing
   * [[GraftExtensions]] via `spark.sql.extensions`).
   */
@@ -216,6 +276,7 @@ object VectorFunctions {
   val fnName = "vec_dot"
   val divName = "vec_div"
   val quantName = "vec_quant_int8"
+  val adcName = "pq_adc"
 
   private def injections = Seq(
     (FunctionIdentifier(fnName),
@@ -226,7 +287,10 @@ object VectorFunctions {
       (children: Seq[Expression]) => VecDiv(children(0), children(1))),
     (FunctionIdentifier(quantName),
       new ExpressionInfo(classOf[VecQuantInt8].getName, quantName),
-      (children: Seq[Expression]) => VecQuantInt8(children(0), children(1))))
+      (children: Seq[Expression]) => VecQuantInt8(children(0), children(1))),
+    (FunctionIdentifier(adcName),
+      new ExpressionInfo(classOf[PqAdc].getName, adcName),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -248,4 +312,8 @@ object VectorFunctions {
   /** Column-API entry: `round(a × s)` per element as int. */
   def vecQuantInt8(a: Column, s: Column): Column =
     call_function(quantName, a, s)
+
+  /** Column-API entry: ADC lookup-sum `Σ dt[i·k + codes[i]]`. */
+  def pqAdc(codes: Column, dt: Column): Column =
+    call_function(adcName, codes, dt)
 }

@@ -309,6 +309,103 @@ object Similarity {
     probeCells(assigned, centDf, nprobe, topK)
   }
 
+  // -- PQ: product-quantized index + ADC search ---------------------------
+  /** Product quantization geometry: [[Dims]] = 64 dims → 8 subspaces
+    * × 8 dims, 16 centroids per subspace — 8 small ints per stored
+    * vector (vs 256 bytes of fp32), the compression tier below int8
+    * (Jégou et al., TPAMI 2011; the FAISS storage workhorse).
+    */
+  val PqM = 8
+  val PqK = 16
+
+  /** Fits the per-subspace codebooks and writes the PQ index: a
+    * `codes` table (vec_id, codes array — each entry the vector's
+    * nearest centroid in that subspace) and a `codebooks` table
+    * (sub, code, cv). Vectors are unit-normalized FIRST, so the dot
+    * against a reconstruction decomposes exactly across subspaces
+    * and ADC approximates cosine directly.
+    *
+    * Build cost: m seeded KMeans fits over (n × Dims/m)-dim points —
+    * at 100 TB the fits run once on a sample (like the IVF build) and
+    * encoding is a write-time projection; the m assignment joins here
+    * keep the test-scale build simple (a production encoder would
+    * broadcast all m codebooks and assign in ONE pass — the search
+    * path below shows that shape).
+    */
+  def buildPqIndex(s: SparkSession, dir: String, indexDir: String,
+      m: Int = PqM, k: Int = PqK): Unit = {
+    import s.implicits._
+    val dsub = Dims / m
+    val unit = emb(s, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var codes = unit.select(col("vec_id"))
+    val centroids = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Double])]()
+    (0 until m).foreach { sub =>
+      val sv = unit.select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(col("uv"), sub * dsub + 1, dsub)).as("features"))
+      val model = fitKmeans(sv, k)
+      codes = codes.join(
+        model.transform(sv).select(col("vec_id"),
+          col("prediction").as(s"c$sub")), "vec_id")
+      centroids ++= model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (sub, i, c.toArray) }
+    }
+    codes
+      .select(col("vec_id"),
+        array((0 until m).map(i => col(s"c$i")): _*).as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/codes")
+    centroids.toSeq.toDF("sub", "code", "cv")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/codebooks")
+    unit.unpersist()
+  }
+
+  /** ADC search over a [[buildPqIndex]] layout — the fully-composed
+    * compressed-search path: each query dots the m·k codebook
+    * centroids ONCE into a flat distance table (|Q|·m·k doubles,
+    * broadcast), then every stored vector is scored by the native
+    * `pq_adc` kernel — m array lookups in one codegen loop over the
+    * 8-int codes column; the fp corpus is never read. Ranking is the
+    * `topk_by` bounded heap, so nothing sorts and the exchange
+    * carries k rows per query per task. Each tier here is this
+    * engine's own machinery: vec_div/vec_dot build the table, pq_adc
+    * scores, topk_by ranks.
+    */
+  def knnPqFromIndex(s: SparkSession, dir: String, indexDir: String,
+      topK: Int = 5): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val dsub = Dims / PqM
+    val cb = s.read.parquet(s"$indexDir/codebooks")
+    val q = emb(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("quv"))
+    // per-query flat table: idx = sub·k + code, value = q_sub · c
+    val qdt = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("quv"),
+        (col("sub") * PqK + col("code")).as("idx"),
+        dot(slice(col("quv"), col("sub") * lit(dsub) + 1, lit(dsub)),
+          col("cv")).as("d"))
+      .groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        x => x.getField("d")).as("dt"))
+    s.read.parquet(s"$indexDir/codes")
+      .crossJoin(broadcast(qdt))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions
+          .pqAdc(col("codes"), col("dt")), 6).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("sim"), col("vec_id"), lit(topK)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
   // -- s6: random-hyperplane LSH ANN --------------------------------------
   /** Number of hyperplanes = signature bits; 2^8 = 256 buckets. */
   val LshPlanes = 8

@@ -24,6 +24,47 @@ class LlmSpec extends SparkSpec {
     truth.foreach(p => assert(cands.contains(p), s"missed near-dup pair $p"))
   }
 
+  test("PQ index: ADC equals dot(query, reconstruction); usable recall vs brute") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.buildPqIndex(spark, sfDir, s"$base/pq")
+    val res = Similarity.knnPqFromIndex(spark, sfDir, s"$base/pq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    // independent reconstruction: ADC must equal the dot of the unit
+    // query against the concatenated subspace centroids — the
+    // decomposition identity PQ rests on
+    val cb = spark.read.parquet(s"$base/pq/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codes = spark.read.parquet(s"$base/pq/codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val unit = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / n)
+      }.toMap
+    assert(codes.values.forall(_.size == Similarity.PqM))
+    assert(cb.size == Similarity.PqM * Similarity.PqK)
+    res.take(20).foreach { case (qid, vid, sim) =>
+      val recon = codes(vid).zipWithIndex.flatMap { case (c, sub) => cb((sub, c)) }
+      val expected = unit(qid).zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(sim - expected) < 1e-5,
+        s"ADC $sim != reconstruction dot $expected for ($qid, $vid)")
+    }
+    // regression tripwire, not a quality claim: this synthetic corpus
+    // is near-random in cosine (documented at knnIvfKmeans), so 32×
+    // compression keeps only a fraction of the true top-5 — measured
+    // 0.22 here (cf. s6 hyperplane LSH at 0.40 with fp vectors); on a
+    // corpus with real cluster structure PQ recall is far higher.
+    // The floor catches a broken encoder, which scores ~0.0.
+    val brute = Similarity.queries("s1_knn_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.map(x => (x._1, x._2)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.15, s"PQ recall vs brute too low: $recall")
+  }
+
   test("LSH index append: build+append equals build-from-scratch; untouched buckets keep their files") {
     val base = java.nio.file.Files.createTempDirectory("graft_annappend").toString
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
