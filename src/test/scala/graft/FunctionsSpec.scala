@@ -170,6 +170,32 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Any](0) == r.getSeq[Any](2)) // lambda parity
   }
 
+  test("pq_adc sums table lookups; malformed inputs yield null, not wrong sums") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // m=2, k=3: dt = [10,20,30 | 40,50,60]; codes (1,2) -> 20 + 60
+    val ok = spark.sql(
+      """SELECT pq_adc(array(1, 2),
+        |  array(10d, 20d, 30d, 40d, 50d, 60d)) AS s""".stripMargin).head
+    assert(ok.getDouble(0) == 80.0)
+    // |dt| not divisible by |codes| -> null
+    val bad1 = spark.sql(
+      "SELECT pq_adc(array(0, 1), array(1d, 2d, 3d)) AS s").head
+    assert(bad1.isNullAt(0))
+    // out-of-range code -> null
+    val bad2 = spark.sql(
+      "SELECT pq_adc(array(3), array(1d, 2d, 3d)) AS s").head
+    assert(bad2.isNullAt(0))
+    // null input array -> null (nullSafeEval path)
+    val bad3 = Seq((1, null.asInstanceOf[Seq[Int]]))
+      .toDF("i", "c")
+      .select(graft.functions.VectorFunctions.pqAdc(
+        org.apache.spark.sql.functions.col("c"),
+        org.apache.spark.sql.functions.expr("array(1d, 2d)")))
+      .head
+    assert(bad3.isNullAt(0))
+  }
+
   test("count_in_set equals the filter+array_contains HOF form it replaces") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
