@@ -19,7 +19,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main viz    <vizData>   <outDir>       // viz notebooks' inputs
   *   graft.cli.Main curate <tableDir>  <outDir> [tokenBudget]  // llm pipeline
   *   graft.cli.Main index  ivf|lsh|pq <tableDir> <indexDir> [k] // ANN build
-  *   graft.cli.Main index  lsh-append <batch.parquet> <indexDir> // ANN ingest
+  *   graft.cli.Main index  lsh-append|ivf-append <batch.parquet> <indexDir> // ingest
   *   graft.cli.Main search ivf|lsh <indexDir> <outDir> [nprobe] // ANN query
   *   graft.cli.Main search pq <tableDir> <indexDir> <outDir>    // ADC query
   *   graft.cli.Main layout zorder  <in> <out> <numFiles> <c1,c2[,…]>
@@ -122,6 +122,8 @@ object Main {
       graft.llm.Similarity.buildLshIndex(spark, in, idx)
     case Seq("index", "lsh-append", in, idx) =>
       graft.llm.Similarity.appendToLshIndex(spark, read(spark, in), idx)
+    case Seq("index", "ivf-append", in, idx) =>
+      graft.llm.Similarity.appendToIvfIndex(spark, read(spark, in), idx)
     case Seq("search", "ivf", idx, out) =>
       graft.llm.Similarity.knnIvfFromIndex(spark, idx)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)

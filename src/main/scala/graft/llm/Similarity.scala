@@ -279,9 +279,18 @@ object Similarity {
     * [[knnIvfFromIndex]] plans no fit at all.
     */
   def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
+      k: Int = 16): Unit =
+    buildIvfIndexFrom(Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism), indexDir, k)
+
+  /** [[buildIvfIndex]] over an arbitrary (vec_id, label, embedding)
+    * frame — the write step ingest pipelines call directly.
+    */
+  def buildIvfIndexFrom(vecs: DataFrame, indexDir: String,
       k: Int = 16): Unit = {
+    val s = vecs.sparkSession
     import s.implicits._
-    val e = withFeatures(emb(s, dir))
+    val e = withFeatures(embOf(vecs))
     val model = fitKmeans(e, k)
     graft.ops.Partitioning.writePartitioned(
       model.transform(e)
@@ -292,6 +301,43 @@ object Similarity {
       .toDF("cell", "cv")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/centroids")
+  }
+
+  /** Appends NEW embeddings to a [[buildIvfIndex]] layout without
+    * refitting — the FAISS `add` posture: the stored centroids are
+    * the quantizer, and a new vector's cell is its nearest stored
+    * centroid. The centroid table is tiny by construction (k rows),
+    * so it folds into the plan as LITERALS: assignment becomes
+    * `least(struct(dist_0, 0), …, struct(dist_{k-1}, k-1))` — one
+    * codegen projection per vector, no shuffle, no fit, no join —
+    * and Spark's struct ordering reproduces exactly MLlib's
+    * first-minimal-index tie rule (min distance, then min cell).
+    * Dynamic partitioning lands new files only in the touched cell
+    * directories; per-ingest cost is O(batch). Centroids drift as
+    * the corpus grows — the standard operational answer is periodic
+    * re-fit + rewrite (a [[buildIvfIndex]] rerun), not per-batch
+    * retraining; the spec pins assignment parity with the build's
+    * own `KMeans.transform`.
+    */
+  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame,
+      indexDir: String): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val e = embOf(newVecs)
+    // ||v/‖v‖ − c||² = 1 − 2·(v·c)/‖v‖ + c·c, the probeCells formula;
+    // the constant 1 cancels in argmin but is kept for readability
+    val dists = cents.map { case (cell, cv) =>
+      val cc = cv.map(x => x * x).sum
+      struct(
+        (lit(1.0) - lit(2.0) * dot(col("v"), typedLit(cv)) / col("nrm")
+          + lit(cc)).as("d"),
+        lit(cell).as("c"))
+    }
+    e.withColumn("cell", least(dists: _*).getField("c"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
   /** IVF search against a [[buildIvfIndex]] layout: read the centroid

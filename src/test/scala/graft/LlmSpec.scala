@@ -24,6 +24,35 @@ class LlmSpec extends SparkSpec {
     truth.foreach(p => assert(cands.contains(p), s"missed near-dup pair $p"))
   }
 
+  test("IVF index append: literal-centroid assignment matches KMeans.transform; all-cell probe stays exact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfappend").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // parity: re-appending vectors the build already assigned must
+    // give every one the SAME cell MLlib's transform chose
+    Similarity.buildIvfIndexFrom(all, s"$base/dup", k = 8)
+    val builtCells = spark.read.parquet(s"$base/dup/cells")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val re = all.filter(col("vec_id") >= 30)
+    Similarity.appendToIvfIndex(spark, re, s"$base/dup")
+    spark.read.parquet(s"$base/dup/cells").filter(col("vec_id") >= 30)
+      .collect().groupBy(_.getLong(0)).foreach { case (id, rows) =>
+        assert(rows.length == 2, s"vec $id expected build+append rows")
+        assert(rows.map(_.getInt(3)).toSet == Set(builtCells(id)),
+          s"vec $id appended into a different cell than the build chose")
+      }
+    // exactness: a slice-built + appended index probed on ALL cells is
+    // brute-force over the union corpus — s1's rows exactly
+    Similarity.buildIvfIndexFrom(all.filter(col("vec_id") < 30),
+      s"$base/inc", k = 8)
+    Similarity.appendToIvfIndex(spark, all.filter(col("vec_id") >= 30),
+      s"$base/inc")
+    val inc = Similarity.knnIvfFromIndex(spark, s"$base/inc",
+      nprobe = 8, topK = 5).collect().map(_.toSeq).toSet
+    val brute = Similarity.queries("s1_knn_brute")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(inc == brute)
+  }
+
   test("PQ index: ADC equals dot(query, reconstruction); usable recall vs brute") {
     val base = java.nio.file.Files.createTempDirectory("graft_pq").toString
     Similarity.buildPqIndex(spark, sfDir, s"$base/pq")
