@@ -189,6 +189,35 @@ object Extended {
       .select(col("event_id"), col("k").as("user_id"), col("last_order"))
   }
 
+  /** q45 — gap-filled hourly series: q29's sparse per-(hour, type)
+    * counts densified over the full [min, max] hour scaffold with
+    * zeros where no events landed — what every downstream rate/SLA/
+    * anomaly computation needs (a sparse frame silently skips the
+    * empty hours, which are usually the signal).
+    *
+    * Scale shape: the scaffold is GENERATED (explode(sequence)) from a
+    * one-row min/max aggregate — never scanned, never shuffled; the
+    * dense frame is |hours|×|types| rows of three scalars joined
+    * against the pre-aggregated counts on (hour, type). At 100 TB the
+    * time window is bounded by the query (a dashboard asks for days,
+    * not the corpus's lifetime), so the scaffold stays tiny relative
+    * to the events actually aggregated.
+    */
+  def q45GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+    val agg = ev.groupBy("hour_epoch", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min("hour_epoch").as("lo"), max("hour_epoch").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+        .as("hour_epoch"))
+    hours.crossJoin(ev.select("event_type").distinct())
+      .join(agg, Seq("hour_epoch", "event_type"), "left")
+      .select(col("hour_epoch"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** q44 — q26's top-k-per-group through the `topk_by` bounded-heap
     * aggregate instead of the rank window: same relation (oracle is
     * q26's SQL verbatim — ties to the smallest orderkey are exactly
@@ -463,6 +492,7 @@ object Extended {
     "q30_asof_join"      -> q30AsofJoin _,
     "q42_asof_native"    -> q42AsofNative _,
     "q44_topk_heap"      -> q44TopkHeap _,
+    "q45_gap_fill"       -> q45GapFill _,
     "q31_percentiles"    -> q31Percentiles _,
     "q32_multi_distinct" -> q32MultiDistinct _,
     "q16_semi_join"      -> q16SemiJoin _,
@@ -630,6 +660,19 @@ object Extended {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |event_type, COUNT(*) AS n, round(SUM(value), 4) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q45_gap_fill" ->
+      """WITH ev AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |    AS hour_epoch, event_type FROM events),
+        |agg AS (SELECT hour_epoch, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(hour_epoch) AS lo, max(hour_epoch) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT h.hour_epoch, t.event_type, COALESCE(a.n, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN agg a ON a.hour_epoch = h.hour_epoch
+        |  AND a.event_type = t.event_type""".stripMargin,
     "q40_interval_join" ->
       """SELECT v.user_id, c.event_id AS click_id, v.event_id AS view_id
         |FROM events c JOIN events v ON c.user_id = v.user_id
