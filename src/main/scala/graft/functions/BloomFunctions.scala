@@ -47,6 +47,12 @@ case class BloomMightContain(left: Expression, right: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(
           "bloom_might_contain: the filter must be a constant")
+    else if (right.eval() == null)
+      // fail analysis cleanly — otherwise the lazy deserialization
+      // below would NPE at codegen/planning time on a null literal
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          "bloom_might_contain: the filter must not be null")
     else base
   }
 

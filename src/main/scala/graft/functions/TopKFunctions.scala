@@ -25,10 +25,16 @@ final class BoundedTopK(val k: Int) extends Serializable {
 
   /** True if pair 1 ranks strictly worse than pair 2 (lower ord, or
     * equal ord with larger id) — the heap's "less" relation, keeping
-    * the worst pair at the root.
+    * the worst pair at the root. Ord compares via
+    * `java.lang.Double.compare` so NaN orders greatest, consistent
+    * with Spark's double sort order — a NaN ord (e.g. cosine of a
+    * zero-norm embedding) ranks above every finite value in both the
+    * aggregate and the `row_number` window form it must match.
     */
-  private def worse(o1: Double, i1: Long, o2: Double, i2: Long): Boolean =
-    o1 < o2 || (o1 == o2 && i1 > i2)
+  private def worse(o1: Double, i1: Long, o2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(o1, o2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def siftUp(start: Int): Unit = {
     var i = start
@@ -81,8 +87,10 @@ final class BoundedTopK(val k: Int) extends Serializable {
     var i = 0
     while (i < size) { out(i) = (ords(i), ids(i)); i += 1 }
     scala.util.Sorting.stableSort(out,
-      (a: (Double, Long), b: (Double, Long)) =>
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      })
     out
   }
 }

@@ -202,10 +202,17 @@ object Curation {
       if (excludeSelf)
         col("gram_h") === col("bench_gram_h") && col("doc_id") =!= col("bench_id")
       else col("gram_h") === col("bench_gram_h")
-    grams.join(benchGrams, cond)
+    // Eager: localCheckpoint materializes the (small, O(contaminated
+    // pairs)) result so the benchGrams cache can be released before
+    // returning — mirrors Dedup.setSimJoinOf; without it the cached
+    // blocks leak for the life of the session.
+    val out = grams.join(benchGrams, cond)
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    benchGrams.unpersist()
+    out
   }
 
   /** Self-contained c9 flavor: same corpus/bench slices as c2, with

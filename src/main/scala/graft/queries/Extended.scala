@@ -562,19 +562,23 @@ object Extended {
       """SELECT o_orderstatus,
         |string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
         |FROM orders GROUP BY 1""".stripMargin,
+    // ASOF LEFT: the Spark forms are declared left-outer (an event
+    // with no prior order survives with last_order null) — the oracle
+    // must agree regardless of whether the regenerated fixture happens
+    // to contain such an event; a plain (inner) ASOF JOIN would drop it
     "q30_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, o.ok AS last_order
-        |FROM events e ASOF JOIN o
+        |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     // q42 runs the identical semantics through the native operator —
-    // the oracle is deliberately q30's ASOF JOIN verbatim
+    // the oracle is deliberately q30's ASOF LEFT JOIN verbatim
     "q42_asof_native" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, o.ok AS last_order
-        |FROM events e ASOF JOIN o
+        |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q31_percentiles" ->
       """SELECT o_orderstatus,

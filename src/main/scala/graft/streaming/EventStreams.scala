@@ -197,8 +197,14 @@ object EventStreams {
     * is O(batch), not O(dimension).
     *
     * `dim` must carry (key, time, payload…) columns named by the
-    * tuples; output appends exactly-once to parquet under the
-    * checkpoint's contract.
+    * tuples. Output is effectively-once: each micro-batch overwrites
+    * its own `batch_id=N` directory (the [[IngestDedup]] accepted-sink
+    * idiom), so a batch replayed after a crash-before-checkpoint-commit
+    * rewrites the same directory instead of appending its enriched
+    * rows a second time — a blind `mode("append")` here would be
+    * at-least-once. The enrichment is deterministic given (batch, dim),
+    * so the replay's rewrite is byte-equivalent; readers see the whole
+    * output as one partitioned parquet table with batch provenance.
     */
   def enrichAsOf(events: DataFrame, dim: DataFrame,
       key: (String, String), time: (String, String), tiebreak: Seq[String],
@@ -206,10 +212,10 @@ object EventStreams {
     events.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.plans.AsOfJoinApi
           .asofJoin(batch, dim, key, time, tiebreak)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       }
 
   /** Sink: append stream to partitioned parquet with checkpointing —

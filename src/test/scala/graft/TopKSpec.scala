@@ -46,6 +46,29 @@ class TopKSpec extends SparkSpec {
     assert(got(1L) == Seq((0.2, 11L)))
   }
 
+  test("topk_by orders NaN greatest, matching Spark's double sort") {
+    // a NaN ord (e.g. cosine of a zero-norm embedding) must rank above
+    // every finite value — the row_number window form the aggregate
+    // mirrors (s1/q26) uses Spark's sort, which places NaN last under
+    // desc... meaning greatest; the heap must agree or s9 diverges
+    import spark.implicits._
+    TopKFunctions.register(spark)
+    val rows = Seq(
+      (1L, Double.NaN, 10L), (1L, 0.9, 11L), (1L, 0.8, 12L), (1L, 0.7, 13L))
+    val got = topkOf(rows.map { case (g, o, i) =>
+      (g, java.lang.Double.valueOf(o), java.lang.Long.valueOf(i)) }, k = 2)
+    assert(got(1L).map(_._2) == Seq(10L, 11L))
+    assert(got(1L).head._1.isNaN)
+    // and the window form elects the same two ids
+    val win = rows.toDF("g", "ord", "id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("ord").desc, col("id"))))
+      .filter(col("rk") <= 2).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(win == Set(10L, 11L))
+  }
+
   test("heap result is partitioning-independent (merge commutativity)") {
     // 1000 pairs with colliding ords across many partitions: any
     // merge order must elect the same winners as a global sort
