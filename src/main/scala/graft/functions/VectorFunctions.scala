@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Tight-loop kernels shared by interpreted eval and generated code. */
 object VectorOps {
@@ -93,6 +93,39 @@ object VectorOps {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  /** Sign-random-projection signature for [[SimHash64]]: with
+    * d = |v| dims and `planes` the row-major flattening of
+    * bits × d hyperplanes, bit b = [Σ_i v[i]·planes[b·d+i] >= 0],
+    * for bits = min(64, |planes| / d). Each dot sums left-to-right —
+    * the same order as [[dot]] and DuckDB's list_dot_product, so the
+    * signature is bit-identical to the unfused
+    * `CASE WHEN dot >= 0 THEN 2^b` form the oracle SQL spells out.
+    * Malformed inputs (|planes| not a multiple of d, empty v) and
+    * null elements yield null rather than a wrong signature.
+    */
+  def simhash64(v: ArrayData, planes: ArrayData): java.lang.Long = {
+    val d = v.numElements()
+    if (d == 0) return null
+    val n = planes.numElements()
+    if (n == 0 || n % d != 0) return null
+    val bits = math.min(64, n / d)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      val off = b * d
+      var i = 0
+      while (i < d) {
+        if (v.isNullAt(i) || planes.isNullAt(off + i)) return null
+        s += v.getDouble(i) * planes.getDouble(off + i)
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
   }
 
   /** `round(x * s)` per element as int, HALF_UP away from zero,
@@ -269,6 +302,45 @@ case class PqAdc(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `simhash64(v: array<double>, planes: array<double>) -> bigint` —
+  * the SimHash signature kernel (Charikar, STOC 2002): 64 sign bits
+  * of hyperplane projections in ONE fused loop over the unsafe array
+  * data. The unfused form — 64 `CASE WHEN vec_dot(...) >= 0` branches
+  * summed — generates ~64 separate dot-kernel calls plus a 64-way
+  * add tree per row; whole-stage codegen compiles it slowly (the
+  * expression tree alone is thousands of nodes) and the per-row cost
+  * carries 64 method dispatches. This kernel is one call: the planes
+  * ride as a single array literal (evaluated once, referenced per
+  * row), and the signature loop touches each (bit, dim) product
+  * exactly once. Dots sum left-to-right, so the signature is
+  * bit-identical to the unfused form and to the oracle SQL's
+  * list_dot_product spelling. Null elements and malformed plane
+  * lengths yield null ([[VectorOps.dotOrNull]] parity).
+  */
+case class SimHash64(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any, p: Any): Any =
+    VectorOps.simhash64(v.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.VectorOps.simhash64($v, $p);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHash64 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration (the in-process analogue of installing
   * [[GraftExtensions]] via `spark.sql.extensions`).
   */
@@ -277,8 +349,12 @@ object VectorFunctions {
   val divName = "vec_div"
   val quantName = "vec_quant_int8"
   val adcName = "pq_adc"
+  val simhashName = "simhash64"
 
   private def injections = Seq(
+    (FunctionIdentifier(simhashName),
+      new ExpressionInfo(classOf[SimHash64].getName, simhashName),
+      (children: Seq[Expression]) => SimHash64(children(0), children(1))),
     (FunctionIdentifier(fnName),
       new ExpressionInfo(classOf[VecDot].getName, fnName),
       (children: Seq[Expression]) => VecDot(children(0), children(1))),
@@ -316,4 +392,11 @@ object VectorFunctions {
   /** Column-API entry: ADC lookup-sum `Σ dt[i·k + codes[i]]`. */
   def pqAdc(codes: Column, dt: Column): Column =
     call_function(adcName, codes, dt)
+
+  /** Column-API entry: 64-bit SimHash of `v` against row-major
+    * flattened `planes` (a plan literal, like the Bloom filter bits).
+    */
+  def simHash64(v: Column, planesFlat: Array[Double]): Column =
+    call_function(simhashName, v,
+      org.apache.spark.sql.functions.lit(planesFlat))
 }

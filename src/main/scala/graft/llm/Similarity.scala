@@ -209,12 +209,14 @@ object Similarity {
     * mean cos 0.0016 vs cross 0.0003 — noise dominates), the regime
     * where ANY space-partitioning index degrades toward scan (Weber,
     * Schek & Blott, VLDB'98); measured sweep at sf0.01: nprobe/k of
-    * 0.25 → recall 0.63, 0.50 → 0.90. Defaults pick the 0.90 point;
-    * `LlmSpec` additionally shows recall ≥ 0.9 at nprobe/k = 0.25 once
-    * the corpus actually clusters.
+    * 0.25 → recall 0.63, 0.50 → 0.87-0.95 (seed/regen variance),
+    * 0.75 → ≥ 0.96. Defaults pick the 0.75 point so the bench gate's
+    * ≥ 0.9 floor holds across testdata regenerations; `LlmSpec`
+    * additionally shows recall ≥ 0.9 at nprobe/k = 0.25 once the
+    * corpus actually clusters.
     */
   def knnIvfKmeans(s: SparkSession, dir: String, k: Int = 16,
-      nprobe: Int = 8, topK: Int = 5): DataFrame =
+      nprobe: Int = 12, topK: Int = 5): DataFrame =
     knnIvfOn(emb(s, dir), k, nprobe, topK)
 
   /** The IVF probe-and-score core over an assigned corpus
@@ -346,7 +348,7 @@ object Similarity {
     * same fit inputs the results are identical (spec-checked); the
     * plan contains only scans and joins, no estimator.
     */
-  def knnIvfFromIndex(s: SparkSession, indexDir: String, nprobe: Int = 8,
+  def knnIvfFromIndex(s: SparkSession, indexDir: String, nprobe: Int = 12,
       topK: Int = 5): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val assigned = s.read.parquet(s"$indexDir/cells")
@@ -452,77 +454,117 @@ object Similarity {
         col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
   }
 
-  // -- s6: random-hyperplane LSH ANN --------------------------------------
-  /** Number of hyperplanes = signature bits; 2^8 = 256 buckets. */
+  // -- s6: SimHash-signature ANN (sign random projection + rerank) --------
+  /** Signature bits (one 64-bit long per vector); the low [[LshPlanes]]
+    * bits double as the index layout's partition bucket.
+    */
+  val SigBits = 64
+  /** Bits used for the partitioned index layout; 2^8 = 256 buckets. */
   val LshPlanes = 8
   val Dims = 64
 
   /** Fixed random hyperplanes (seeded, generated once at class init) —
-    * shared verbatim with the oracle SQL as literals, so the bucketing
-    * is exactly reproducible cross-engine.
+    * shared verbatim with the oracle SQL as literals, so the signature
+    * is exactly reproducible cross-engine. The first [[LshPlanes]]
+    * planes are the layout-bucket planes (their generation order under
+    * the fixed seed keeps pre-existing bucket layouts stable).
     */
-  val planes: Seq[Array[Double]] = {
+  val sigPlanes: Seq[Array[Double]] = {
     val rnd = new scala.util.Random(777L)
-    Seq.fill(LshPlanes)(Array.fill(Dims)(rnd.nextGaussian()))
+    Seq.fill(SigBits)(Array.fill(Dims)(rnd.nextGaussian()))
+  }
+  val planes: Seq[Array[Double]] = sigPlanes.take(LshPlanes)
+
+  /** 64-bit SimHash signature: bit i = [v · plane_i >= 0]. Cosine-
+    * similar vectors agree on most sign bits (Charikar 2002), so the
+    * Hamming distance between signatures estimates the angle — 64 bits
+    * is enough for the estimate to RANK neighbors usefully even on a
+    * corpus with weak cosine structure, where coarse bucketing loses.
+    * One fused [[graft.functions.SimHash64]] kernel call (planes ride
+    * as a single literal) — the unfused 64-CASE form compiled slowly
+    * and cost 64 kernel dispatches per row.
+    */
+  def lshSig(v: Column): Column =
+    graft.functions.VectorFunctions.simHash64(v, sigPlanes.flatten.toArray)
+
+  /** Layout bucket id = the signature's low [[LshPlanes]] bits. */
+  def lshBucket(v: Column): Column =
+    lshSig(v).bitwiseAND(lit((1L << LshPlanes) - 1))
+
+  /** Candidate budget: exact-score at most this fraction of the corpus
+    * per query (the rest is filtered by the signature scan). 15%
+    * measures recall ~0.85 vs brute top-3 on the synthetic corpus —
+    * comfortably above the bench gate's 0.7 floor — at 0.15× brute
+    * force's exact-scoring cost; the earlier bucket-multi-probe form
+    * managed 0.40 at a similar candidate budget, because on a corpus
+    * that is near-random in cosine a coarse 8-bit bucket equality
+    * carries far less information than a 64-bit Hamming RANK.
+    */
+  val RerankFraction = 0.15
+
+  /** SimHash-rerank ANN: a two-stage search.
+    *
+    * Stage 1 (signature scan): every (query, vector) pair costs one
+    * XOR + popcount on a 64-bit signature — ~100× cheaper than the
+    * 64-dim dot product, and reading ONLY the (vec_id, sig) columns
+    * (~12 bytes/vector vs ~260 for the vectors). The bounded-heap
+    * `topk_by` aggregate keeps the `RerankFraction` Hamming-nearest
+    * ids per query — no sort, no shuffle of the corpus (queries
+    * broadcast).
+    *
+    * Stage 2 (exact rerank): the ≤ 15% surviving candidates join back
+    * (broadcast — |queries| × C ids) for their vectors and exact
+    * cosine; top-`topK` per query.
+    *
+    * Fully deterministic (literal planes, count-derived budget,
+    * vec_id tie-breaks) — oracle-checked end to end, unlike a fitted
+    * quantizer. This is the standard sketch-scan + rerank tier
+    * (Charikar'02 sketches); the multi-probe bucket form it replaced
+    * could not pass recall 0.4 here because near-random vectors sit
+    * near every hyperplane (same Weber/Schek/Blott degradation the s4
+    * scaladoc documents — rank survives it, bucket equality does not).
+    */
+  def knnLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val e = emb(s, dir)
+    hammingRerank(e.withColumn("sig", lshSig(col("v"))), rerankBudget(e), topK)
   }
 
-  private def planeCol(p: Array[Double]): Column =
-    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(x => lit(x))): _*)
-
-  /** Sign-random-projection bucket id: bit i = [v · plane_i >= 0].
-    * Cosine-similar vectors agree on most sign bits (Charikar 2002),
-    * so near-duplicates land in the same bucket with high probability.
+  /** The per-query candidate count for a corpus of `n` vectors —
+    * driver-side scalar (one columnar count job, the s4 centroid-read
+    * precedent) because `topk_by`'s k must be a plan constant.
     */
-  def lshBucket(v: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, planeCol(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def rerankBudget(e: DataFrame): Int =
+    math.max(3, math.ceil(e.count() * RerankFraction).toInt)
 
-  /** Probe masks for multi-probe: every one- and two-bit flip of the
-    * query's own signature. On this corpus (near-random in cosine, so
-    * per-plane agreement for a true top-3 pair is only ~0.6) one-bit
-    * probing recovers ~13% of brute-force truth; adding the 2-bit ring
-    * roughly triples that while the candidate set stays
-    * ~37/256 ≈ 14% of brute force. Shared by the Spark query and the
-    * oracle SQL so the probe sets are identical cross-engine.
+  /** The signature-scan + rerank core over a sig-carrying corpus
+    * (vec_id, v, nrm, sig) — shared verbatim by the sign-in-query path
+    * ([[knnLsh]]) and the loaded-index path ([[knnLshFromIndex]]), so
+    * their results agree by construction. Queries are vec_id < 20.
     */
-  val probeMasks: Seq[Long] =
-    (0 until LshPlanes).map(i => 1L << i) ++
-      (for { i <- 0 until LshPlanes; j <- i + 1 until LshPlanes }
-        yield (1L << i) | (1L << j))
-
-  /** Multi-probe LSH ANN: the hyperplane bucket replaces s2's
-    * pre-labeled cell — same equi-join probe shape, but the index is
-    * computed from the vectors themselves. Each query probes its own
-    * bucket plus every one- and two-bit-flip neighbor (the signs most
-    * likely to disagree for a cosine-close pair are any one or two
-    * hyperplanes — multi-probe recovers those misses without more
-    * tables, the standard LSH recall fix; see [[probeMasks]]). Probes
-    * broadcast: |queries| × (1 + planes + C(planes,2)) rows; the
-    * corpus never shuffles. Every probe value is distinct, so each
-    * (query, candidate) pair joins at most once — no dedup needed.
-    * Top-3 per query; fully oracle-checked since the planes are
-    * literals.
-    */
-  def knnLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame =
-    probeLshBuckets(emb(s, dir).withColumn("bucket", lshBucket(col("v"))), topK)
-
-  /** The LSH probe-and-score core over a bucket-assigned corpus
-    * (vec_id, v, nrm, bucket) — shared verbatim by the
-    * bucket-in-query path ([[knnLsh]]) and the loaded-index path
-    * ([[knnLshFromIndex]]), so their results agree by construction.
-    * Queries are vec_id < 20.
-    */
-  private def probeLshBuckets(e: DataFrame, topK: Int): DataFrame = {
-    val probeBuckets = explode(array(
-      col("bucket") +: probeMasks.map(m =>
-        col("bucket").bitwiseXOR(lit(m))): _*))
+  private def hammingRerank(e: DataFrame, topC: Int, topK: Int): DataFrame = {
+    val s = e.sparkSession
+    graft.functions.TopKFunctions.register(s)
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), probeBuckets.as("q_bucket"),
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"),
         col("v").as("qv"), col("nrm").as("qn"))
+    // stage 1: Hamming-rank the whole corpus per query on signatures
+    // alone; ord = -hamming so the heap's "largest" is the nearest,
+    // ties toward the smallest vec_id (matching ORDER BY ham, vec_id)
+    val cand = e.select(col("vec_id"), col("sig"))
+      .join(broadcast(q.select(col("q_id"), col("q_sig"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (-bit_count(col("sig").bitwiseXOR(col("q_sig"))).cast("double")).as("nh"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("nh"), col("vec_id"), lit(topC)).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("vec_id"))
+    // stage 2: exact cosine on the candidates only
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.join(broadcast(q), col("bucket") === col("q_bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
       .withColumn("rk", row_number().over(w))
@@ -532,13 +574,15 @@ object Similarity {
   }
 
   /** Builds and PERSISTS the LSH index: the bucket-assigned corpus as
-    * a Hive-partitioned parquet layout (`buckets/bucket=N/…`). Unlike
-    * IVF there is no fit at all — the hyperplanes are constants — so
-    * the build is a single narrow projection pass; what the layout
-    * buys at 100 TB is that the 8 dot products per vector run ONCE at
-    * write time, and every later search just reads its probed bucket
-    * directories ([[knnLshFromIndex]] plans no bucketing arithmetic
-    * on the corpus side).
+    * a Hive-partitioned parquet layout (`buckets/bucket=N/…`) carrying
+    * the 64-bit signature column. There is no fit at all — the
+    * hyperplanes are constants — so the build is a single narrow
+    * projection pass; what the layout buys at 100 TB is that the 64
+    * dot products per vector run ONCE at write time: the search's
+    * stage-1 scan then reads only the tiny (vec_id, sig) columns of
+    * the index ([[knnLshFromIndex]] plans no signature arithmetic on
+    * the corpus side), and the bucket partitioning gives ingest
+    * append locality plus optional bucket-restricted probing.
     */
   def buildLshIndex(s: SparkSession, dir: String, indexDir: String): Unit =
     buildLshIndexFrom(Tables.load(s, dir, "embeddings")
@@ -549,7 +593,8 @@ object Similarity {
     */
   def buildLshIndexFrom(vecs: DataFrame, indexDir: String): Unit =
     graft.ops.Partitioning.writePartitioned(
-      embOf(vecs).withColumn("bucket", lshBucket(col("v"))),
+      embOf(vecs).withColumn("sig", lshSig(col("v")))
+        .withColumn("bucket", col("sig").bitwiseAND(lit((1L << LshPlanes) - 1))),
       s"$indexDir/buckets", "bucket")
 
   /** Appends a batch of NEW embeddings to a [[buildLshIndex]] layout —
@@ -569,17 +614,21 @@ object Similarity {
   def appendToLshIndex(s: SparkSession, newVecs: DataFrame,
       indexDir: String): Unit =
     embOf(newVecs)
-      .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("sig", lshSig(col("v")))
+      .withColumn("bucket", col("sig").bitwiseAND(lit((1L << LshPlanes) - 1)))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(s"$indexDir/buckets")
 
-  /** LSH search against a [[buildLshIndex]] layout — the query-path
-    * twin of the build step. Same probe core as [[knnLsh]], so the
-    * results are identical (spec-checked).
+  /** Signature search against a [[buildLshIndex]] layout — the
+    * query-path twin of the build step. Same scan + rerank core as
+    * [[knnLsh]] (the stored `sig` column replaces the 64 in-query
+    * plane dots), so the results are identical (spec-checked).
     */
   def knnLshFromIndex(s: SparkSession, indexDir: String,
-      topK: Int = 3): DataFrame =
-    probeLshBuckets(s.read.parquet(s"$indexDir/buckets"), topK)
+      topK: Int = 3): DataFrame = {
+    val e = s.read.parquet(s"$indexDir/buckets")
+    hammingRerank(e, rerankBudget(e), topK)
+  }
 
   // -- s5: int8 embedding quantization ------------------------------------
   /** Symmetric int8 quantization of every embedding — the storage path
@@ -768,26 +817,31 @@ object Similarity {
          |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM r GROUP BY node""".stripMargin,
     "s6_knn_lsh" -> {
-      // the same plane constants as literals — bit-identical arithmetic
-      val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+      // the same 64 plane constants as literals — bit-identical
+      // signatures, so the Hamming rank (and therefore the candidate
+      // set and final ranking) is exactly reproducible cross-engine
+      val sigSql = sigPlanes.zipWithIndex.map { case (p, i) =>
         val lst = p.mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
-      val flips = probeMasks.map(m => s"xor(bucket, $m)").mkString(", ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
-         |q AS (SELECT vec_id, v,
-         |    unnest([bucket, $flips]) AS q_bucket
-         |  FROM b WHERE vec_id < 20)
-         |SELECT q_id, vec_id, sim, rk FROM (
+         |b AS (SELECT vec_id, v, $sigSql AS sig FROM e),
+         |n AS (SELECT CAST(ceil(0.15 * COUNT(*)) AS BIGINT) AS topc FROM e),
+         |cand AS (SELECT q_id, vec_id FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(e.sig, q.sig)), e.vec_id) AS hr
+         |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id), n
+         |  WHERE hr <= n.topc)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.q_id
          |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
-         |        e.vec_id) AS rk
-         |  FROM q JOIN b e ON e.bucket = q.q_bucket
-         |    AND e.vec_id <> q.vec_id)
+         |        c.vec_id) AS rk
+         |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
+         |    JOIN b q ON q.vec_id = c.q_id)
          |WHERE rk <= 3""".stripMargin
     },
     "s5_quantize" ->

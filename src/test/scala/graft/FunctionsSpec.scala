@@ -196,6 +196,48 @@ class FunctionsSpec extends SparkSpec {
     assert(bad3.isNullAt(0))
   }
 
+  test("simhash64 equals the unfused CASE-WHEN-dot form it replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // 3 planes over 2 dims, row-major: the reference is the unfused
+    // sum of CASE WHEN dot >= 0 THEN 2^b the oracle SQL spells out
+    val planes = Array(1.0, 0.0, 0.0, -1.0, 1.0, 1.0)
+    def refSig(v: Seq[Double]): Long =
+      (0 until 3).map { b =>
+        val d = v(0) * planes(b * 2) + v(1) * planes(b * 2 + 1)
+        if (d >= 0) 1L << b else 0L
+      }.sum
+    val vecs = Seq(Seq(1.0, 2.0), Seq(-3.0, 0.5), Seq(0.0, 0.0),
+      Seq(-1.0, -1.0))
+    val rows = vecs.toDF("v")
+      .select(graft.functions.VectorFunctions
+        .simHash64(col("v"), planes).as("sig"))
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == vecs.map(refSig), rows.mkString(","))
+    // 64 planes set bit 63 (the Long.MinValue weight) without overflow
+    val p64 = Array.fill(64 * 2)(1.0)
+    val full = Seq(Seq(1.0, 1.0)).toDF("v")
+      .select(graft.functions.VectorFunctions.simHash64(col("v"), p64))
+      .head.getLong(0)
+    assert(full == -1L) // all 64 bits set
+    // malformed plane length (not a multiple of |v|) -> null
+    val bad = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(graft.functions.VectorFunctions
+        .simHash64(col("v"), Array(1.0, 2.0, 3.0)))
+      .head
+    assert(bad.isNullAt(0))
+    // null element -> null (vec_dot parity); null vector -> null
+    val nel = spark.sql(
+      "SELECT simhash64(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS s")
+      .head
+    assert(nel.isNullAt(0))
+    val nv = Seq((1, null.asInstanceOf[Seq[Double]])).toDF("i", "v")
+      .select(graft.functions.VectorFunctions
+        .simHash64(col("v"), Array(1.0))).head
+    assert(nv.isNullAt(0))
+  }
+
   test("count_in_set equals the filter+array_contains HOF form it replaces") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
