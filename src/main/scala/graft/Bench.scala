@@ -146,7 +146,11 @@ object Bench {
     val annTruth = Map(
       "s4_knn_ivf_kmeans" -> (5, "s1_knn_brute"),
       "s6_knn_lsh" -> (3, "s1_knn_brute"),
-      "s7_knn_int8" -> (3, "s2_knn_ivf"))
+      "s7_knn_int8" -> (3, "s2_knn_ivf"),
+      // tracked, no floor: a seeded-literal codebook quantizes worse
+      // than a fitted one BY DESIGN (s10 exists to oracle-gate the ADC
+      // kernel plumbing); the number documents that trade
+      "s10_knn_pq" -> (5, "s1_knn_brute"))
     // machine-checked quality gate: an ANN query whose recall slides
     // below its declared floor is FLAGGED in the artifact (and pinned
     // harder, on the fixture corpus, in LlmSpec) — correctness hashes

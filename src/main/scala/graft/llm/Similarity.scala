@@ -425,12 +425,25 @@ object Similarity {
     */
   def knnPqFromIndex(s: SparkSession, dir: String, indexDir: String,
       topK: Int = 5): DataFrame = {
-    graft.functions.TopKFunctions.register(s)
-    val dsub = Dims / PqM
-    val cb = s.read.parquet(s"$indexDir/codebooks")
     val q = emb(s, dir).filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"),
         graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("quv"))
+    pqAdcSearch(s.read.parquet(s"$indexDir/codes"),
+      s.read.parquet(s"$indexDir/codebooks"), q, topK)
+  }
+
+  /** The ADC scoring core over a codes table (vec_id, codes), a
+    * codebook (sub, code, cv) and unit-normalized queries
+    * (q_id, quv) — shared verbatim by the fitted-index path
+    * ([[knnPqFromIndex]]) and the deterministic-codebook s10 query
+    * ([[knnPqInline]]), so the kernel plumbing is identical whether
+    * the codebook came from a KMeans fit or from literals.
+    */
+  private def pqAdcSearch(codes: DataFrame, cb: DataFrame, q: DataFrame,
+      topK: Int): DataFrame = {
+    val s = codes.sparkSession
+    graft.functions.TopKFunctions.register(s)
+    val dsub = Dims / PqM
     // per-query flat table: idx = sub·k + code, value = q_sub · c
     val qdt = q.crossJoin(broadcast(cb))
       .select(col("q_id"), col("quv"),
@@ -440,7 +453,7 @@ object Similarity {
       .groupBy("q_id")
       .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
         x => x.getField("d")).as("dt"))
-    s.read.parquet(s"$indexDir/codes")
+    codes
       .crossJoin(broadcast(qdt))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -452,6 +465,58 @@ object Similarity {
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), col("col.id").as("vec_id"),
         col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
+  /** Seeded literal PQ codebooks for the oracle-gated s10 path: PqM
+    * subspaces × PqK centroids × (Dims/PqM) dims of fixed gaussians —
+    * shared verbatim with the DuckDB oracle SQL, the [[sigPlanes]]
+    * precedent. A random codebook quantizes WORSE than a fitted one
+    * (tracked, not gated, by the bench recall key); what it buys is
+    * cross-engine determinism, which a KMeans fit cannot give — so
+    * the ADC kernel plumbing (encode → distance table → pq_adc →
+    * heap) gets a full rows+schema+hash CORRECTNESS row, while fit
+    * quality stays covered by the KMeans-PQ spec tests.
+    */
+  // lazy: Dims is declared further down the object body — an eager
+  // val here would read it as 0 mid-initialization and bake empty
+  // centroids
+  lazy val pqBooks: Seq[(Int, Int, Array[Double])] = {
+    val rnd = new scala.util.Random(4242L)
+    for { sub <- 0 until PqM; code <- 0 until PqK }
+      yield (sub, code, Array.fill(Dims / PqM)(rnd.nextGaussian()))
+  }
+
+  /** s10 — PQ ADC search with the deterministic literal codebooks:
+    * unit-normalize, encode every vector per subspace as its
+    * max-inner-product centroid (ties to the smallest code — argmax
+    * over identical left-to-right dots is engine-independent), build
+    * each query's flat distance table, score with the `pq_adc`
+    * codegen kernel, rank with the `topk_by` heap. Same plan shape as
+    * [[knnPqFromIndex]] with the encode step inlined (at 100 TB the
+    * encode is a write-time projection; the fitted-index path shows
+    * that form).
+    */
+  def knnPqInline(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val dsub = Dims / PqM
+    val books = broadcast(pqBooks.toDF("sub", "code", "cv"))
+    val unit = emb(s, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
+    val wEnc = Window.partitionBy("vec_id", "sub")
+      .orderBy(desc("d"), col("code"))
+    val codes = unit.crossJoin(books)
+      .select(col("vec_id"), col("sub"), col("code"),
+        dot(slice(col("uv"), col("sub") * lit(dsub) + 1, lit(dsub)),
+          col("cv")).as("d"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val q = unit.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("uv").as("quv"))
+    pqAdcSearch(codes, books, q, topK)
   }
 
   // -- s6: SimHash-signature ANN (sign random projection + rerank) --------
@@ -731,7 +796,8 @@ object Similarity {
     // SQL-reproducible; validated by the LlmSpec recall-vs-brute test
     "s4_knn_ivf_kmeans" -> ((s: SparkSession, dir: String) => knnIvfKmeans(s, dir)),
     "s5_quantize" -> quantizeInt8 _,
-    "s6_knn_lsh" -> ((s: SparkSession, dir: String) => knnLsh(s, dir)))
+    "s6_knn_lsh" -> ((s: SparkSession, dir: String) => knnLsh(s, dir)),
+    "s10_knn_pq" -> ((s: SparkSession, dir: String) => knnPqInline(s, dir)))
 
   private val cosSql =
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
@@ -843,6 +909,43 @@ object Similarity {
          |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
          |    JOIN b q ON q.vec_id = c.q_id)
          |WHERE rk <= 3""".stripMargin
+    },
+    "s10_knn_pq" -> {
+      // the same 128 codebook centroids as ONE flat 1024-double
+      // literal (a multi-row VALUES of arrays trips a DuckDB 1.0
+      // vectorizer assertion), with each subspace dot spelled as an
+      // explicit 8-term sum — left-to-right, the same accumulation
+      // order as vec_dot, so encode, distance table, ADC sum and
+      // final ranking all reproduce cross-engine
+      val flatLit = pqBooks.flatMap(_._3).mkString("[", ", ", "]")
+      val terms = (1 to Dims / PqM).map(i =>
+        s"uv[g.sub*8+$i] * f.flat[(g.sub*16+g.code)*8+$i]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |u AS (SELECT vec_id,
+         |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+         |  FROM e),
+         |f AS (SELECT $flatLit AS flat),
+         |g AS (SELECT s.range::INT AS sub, c.range::INT AS code
+         |  FROM range(8) s, range(16) c),
+         |d0 AS (SELECT u.vec_id, g.sub, g.code, $terms AS d FROM u, g, f),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d DESC, code) AS rn
+         |  FROM d0) WHERE rn = 1),
+         |qdt AS (SELECT vec_id AS q_id, sub, code, d FROM d0
+         |  WHERE vec_id < 20),
+         |sc AS (SELECT q.q_id, enc.vec_id, round(SUM(q.d), 6) AS sim
+         |  FROM enc JOIN qdt q ON q.sub = enc.sub AND q.code = enc.code
+         |    AND enc.vec_id <> q.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT q_id, vec_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rk
+         |  FROM sc)
+         |WHERE rk <= 5""".stripMargin
     },
     "s5_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

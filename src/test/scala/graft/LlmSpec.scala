@@ -94,6 +94,20 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.15, s"PQ recall vs brute too low: $recall")
   }
 
+  test("s10 inline-PQ plans the ADC kernel and the bounded heap, not a pair-set window") {
+    val qe = Similarity.knnPqInline(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("pq_adc"), "ADC kernel missing from plan")
+    assert(plan.contains("topk_by"), "bounded-heap ranking missing")
+    // the one Window is the per-(vec, sub) encode argmax (128 rows per
+    // vec), a child subtree of the scoring join; the SCORING pair set
+    // (|corpus| × |q|) must heap, not sort — so no Window may print
+    // above the topk_by aggregate in the top-down plan text
+    val firstWindow = plan.indexOf("Window")
+    assert(firstWindow == -1 || firstWindow > plan.indexOf("topk_by"),
+      "a Window sits above the heap ranking")
+  }
+
   test("LSH index append: build+append equals build-from-scratch; untouched buckets keep their files") {
     val base = java.nio.file.Files.createTempDirectory("graft_annappend").toString
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
