@@ -25,6 +25,9 @@ import graft.viz.VizQueries
   *   graft.cli.Main layout zorder  <in> <out> <numFiles> <c1,c2[,…]>
   *   graft.cli.Main layout sort    <in> <out> <numFiles> <c1[,…]>
   *   graft.cli.Main layout compact <in> <out> [targetMB]
+  *   graft.cli.Main ingest init-dedup <corpus> <indexTable>     // fp-index bootstrap
+  *   graft.cli.Main ingest dedup <watchDir> <indexTable> <acceptedDir> <ckDir>
+  *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
   * }}}
   *
   * `<model>` ∈ lr, dt, rf, gbt, svc, nb, mlp. Inputs are header CSV (parity
@@ -133,6 +136,34 @@ object Main {
     case Seq("search", "lsh", idx, out) =>
       graft.llm.Similarity.knnLshFromIndex(spark, idx)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+
+    // streaming ingest as argv jobs, the reference's job-per-script
+    // pattern: each run DRAINS what the watched directory holds right
+    // now, commits its checkpoint, and exits (the Trigger.AvailableNow
+    // posture — `processAllAvailable` then stop). Re-running with the
+    // same checkpoint picks up only files that arrived since, so a
+    // cron-style loop of these jobs IS the continuous pipeline, and a
+    // file fed twice across runs is still processed exactly once.
+    // `init-dedup` bootstraps the bucketed fingerprint index the dedup
+    // ingest anti-joins against (point it at an empty-schema corpus to
+    // start from nothing); the ANN ingest appends to an `index lsh`
+    // layout. The watched directory must hold at least one parquet
+    // file on the FIRST run — the stream's schema is read from it.
+    case Seq("ingest", "init-dedup", in, table) =>
+      graft.ops.Partitioning.writeBucketed(
+        graft.llm.Dedup.fingerprintsOf(read(spark, in))
+          .select("fp").distinct(),
+        table, "fp", 8)
+    case Seq("ingest", "dedup", watch, table, accepted, ck) =>
+      val q = graft.streaming.IngestDedup.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), table, accepted, ck)
+      try q.processAllAvailable() finally q.stop()
+    case Seq("ingest", "ann", watch, idx, ck) =>
+      val q = graft.streaming.IngestAnn.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), idx, ck)
+      try q.processAllAvailable() finally q.stop()
 
     // data-layout maintenance jobs — the write-time half of the data-
     // skipping story ([[graft.ops.Partitioning]]); run once per table,

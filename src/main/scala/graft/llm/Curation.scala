@@ -497,7 +497,42 @@ object Curation {
       "n_bpe_tokens", budget)
   }
 
+  /** c10 — curated-corpus freshness at event time, the composed
+    * pipeline form of the native as-of join: the c1 curation rules
+    * elect the kept documents, each kept doc gets a deterministic
+    * ingest timestamp (t0 + doc_id seconds — the fixture carries no
+    * ingest time, so the query derives one; a real corpus has it) and
+    * an owner lane (doc_id mod |users|), and every user event is
+    * enriched — via `graft.plans.AsOfJoin`, not the window form —
+    * with the LATEST curated doc of its user as of the event. Early
+    * events precede every ingest and surface with null enrichment
+    * (the operator's left-outer posture, same as the q42 oracle).
+    *
+    * Scale shape: the curation side is c1 (one shuffle on fp); the
+    * bounds aggregate is one row, broadcast; the as-of join
+    * distributes by user key on both sides — with the dimension
+    * maintained key-bucketed (the AsOfJoinSpec-proven layout), the
+    * per-refresh exchange is events-side only.
+    */
+  def enrichFreshness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ets"))
+    val bounds = ev.agg(min(col("ets")).as("t0"),
+      (max(col("user_id")) + 1).as("nu"))
+    val dim = curate(s, dir).crossJoin(broadcast(bounds))
+      .select((col("doc_id") % col("nu")).as("owner"),
+        (col("t0") + col("doc_id")).as("its"),
+        col("doc_id"), col("n_tokens"))
+    graft.plans.AsOfJoinApi.asofJoin(ev, dim,
+        ("user_id", "owner"), ("ets", "its"), tiebreak = Seq("doc_id"))
+      .select(col("event_id"), col("user_id"),
+        col("doc_id").as("last_doc"),
+        col("n_tokens").as("last_doc_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_enrich_asof" -> enrichFreshness _,
     "c8_curate_full" -> ((s: SparkSession, dir: String) => curateFull(s, dir)),
     "c1_curate" -> curate _,
     "c5_pack_tokens" -> ((s: SparkSession, dir: String) => packShardsByTokens(s, dir)),
@@ -601,6 +636,21 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "c1_curate" -> curateOracle(),
+    // epoch() keeps sub-second fractions DuckDB-side while Spark's
+    // unix_timestamp truncates — floor() matches them (floor commutes
+    // with min, so t0 agrees too). ASOF LEFT: events that precede
+    // every curated ingest survive with nulls, the operator's posture.
+    "c10_enrich_asof" ->
+      s"""WITH cur AS (${curateOracle()}),
+         |ev AS (SELECT event_id, user_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS ets FROM events),
+         |bounds AS (SELECT min(ets) AS t0, max(user_id) + 1 AS nu FROM ev),
+         |dim AS (SELECT doc_id % nu AS owner, t0 + doc_id AS its,
+         |  doc_id, n_tokens FROM cur, bounds)
+         |SELECT e.event_id, e.user_id, d.doc_id AS last_doc,
+         |  d.n_tokens AS last_doc_tokens
+         |FROM ev e ASOF LEFT JOIN dim d
+         |  ON e.user_id = d.owner AND e.ets >= d.its""".stripMargin,
     // c8: every stage's chain spliced into ONE WITH RECURSIVE — rules
     // + curation floor intersect, decontaminate (bench grams from the
     // full corpus), three-detector dedup closure, weighted sample from

@@ -90,6 +90,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(q42.nonEmpty)
   }
 
+  test("c10 composed pipeline plans the native as-of node, no window") {
+    // the operator must be exercised by the composed curation query,
+    // not only its dedicated q42 — and via the custom exec, not a
+    // window rewrite the optimizer could silently fall back to
+    val qe = graft.llm.Curation
+      .queries("c10_enrich_asof")(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(1500))
+    // the enrichment itself must not be a window rewrite: no Window
+    // may print above the AsOfJoin node (the curation SUBTREE below
+    // it legitimately windows for its fp dedup)
+    assert(!plan.substring(0, plan.indexOf("AsOfJoin")).contains("Window"),
+      "a Window sits above the native as-of node")
+  }
+
   test("a key-bucketed right side as-of joins with no exchange on that side") {
     import spark.implicits._
     val lRows = (0L until 400L).map(i => (i, i % 11, i % 29))

@@ -220,6 +220,61 @@ class IoCliSpec extends SparkSpec {
     assert(ivf.columns.toSet == Set("q_id", "vec_id", "sim", "rk"))
   }
 
+  test("cli ingest dedup: drain-and-exit runs accept each doc exactly once") {
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val table = "ingest_cli_fp"
+    // bootstrap the fp index from the first 100 docs (the known corpus)
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+      .write.parquet(s"$dir/corpus")
+    graft.cli.Main.run(spark, Seq("ingest", "init-dedup", s"$dir/corpus", table))
+    // feed 1: 50 genuinely new docs + 20 dups of the known corpus
+    new java.io.File(s"$dir/watch").mkdirs()
+    docs.filter("doc_id >= 100 AND doc_id < 150")
+      .union(docs.filter("doc_id < 20"))
+      .write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "dedup", s"$dir/watch", table, s"$dir/acc", s"$dir/ck"))
+    def accepted() = spark.read.parquet(s"$dir/acc")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val a1 = accepted()
+    assert(a1 == (100L until 150L), s"run 1 accepted: $a1")
+    // feed 2 (same checkpoint): a fresh file with 25 new + 10 docs
+    // already accepted by run 1 — only the new ones may land, and run
+    // 1's files must be untouched
+    docs.filter("doc_id >= 150 AND doc_id < 175")
+      .union(docs.filter("doc_id >= 100 AND doc_id < 110"))
+      .write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "dedup", s"$dir/watch", table, s"$dir/acc", s"$dir/ck"))
+    val a2 = accepted()
+    assert(a2 == (100L until 175L), s"run 2 accepted: $a2")
+    // the index grew by exactly the accepted fps — no dup fp rows from
+    // the replayed-across-runs docs
+    val fps = spark.table(table).select("fp").collect().map(_.getString(0))
+    assert(fps.length == fps.distinct.length, "duplicate fps in index")
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("cli ingest ann: drained batches are searchable; equals one-shot build") {
+    val dir = Files.createTempDirectory("graft_ingestann").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val c = org.apache.spark.sql.functions.col("vec_id")
+    graft.llm.Similarity.buildLshIndexFrom(all.filter(c < 30), s"$dir/idx")
+    new java.io.File(s"$dir/watch").mkdirs()
+    all.filter(c >= 30).write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "ann", s"$dir/watch", s"$dir/idx", s"$dir/ck"))
+    val inc = graft.llm.Similarity.knnLshFromIndex(spark, s"$dir/idx")
+      .collect().map(_.toSeq).toSet
+    graft.llm.Similarity.buildLshIndexFrom(all, s"$dir/full")
+    val full = graft.llm.Similarity.knnLshFromIndex(spark, s"$dir/full")
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("cli curate writes every stage artifact and shards matching curateFull") {
     val dir = Files.createTempDirectory("graft_curate").toString
     graft.cli.Main.run(spark, Seq("curate", sfDir, s"$dir/out"))
