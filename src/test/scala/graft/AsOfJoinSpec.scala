@@ -90,6 +90,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(q42.nonEmpty)
   }
 
+  test("property: native as-of equals the window form on random keys/times/ties") {
+    // the fixture-pinned q42 ≡ q30 test can't cover the tie-edge
+    // space (equal times left≡right, equal right times competing on
+    // tiebreak, unmatched keys); a generator with TINY key/time
+    // domains forces all of them constantly
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 99L), Gen.choose(0L, 3L), Gen.choose(0L, 9L)))
+    val prop = Prop.forAll(rowGen, rowGen) { (lRows, rRows) =>
+      val l = lRows.toDF("id", "k", "t")
+      val r = rRows.toDF("ok", "rk", "rt")
+      val native = AsOfJoinApi
+        .asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"))
+        .select("id", "k", "t", "ok")
+        .collect().map(_.toSeq.map(Option(_))).sortBy(_.toString)
+      // the q30 union-window idiom, generically: right rows sort
+      // before left at equal times (inclusive match), running
+      // last(ok) under (tt, side, ok) ordering IS the greatest
+      // tiebreak of the latest time
+      val o = r.select(col("rk").as("k"), col("rt").as("tt"),
+        lit(0).as("side"), col("ok"),
+        lit(null).cast(LongType).as("id"), lit(null).cast(LongType).as("t"))
+      val e = l.select(col("k"), col("t").as("tt"), lit(1).as("side"),
+        lit(null).cast(LongType).as("ok"), col("id"), col("t"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("tt"), col("side"), col("ok"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val windowed = o.union(e)
+        .withColumn("last", last(col("ok"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("id"), col("k"), col("t"), col("last"))
+        .collect().map(_.toSeq.map(Option(_))).sortBy(_.toString)
+      native.sameElements(windowed)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("c10 composed pipeline plans the native as-of node, no window") {
     // the operator must be exercised by the composed curation query,
     // not only its dedicated q42 — and via the custom exec, not a

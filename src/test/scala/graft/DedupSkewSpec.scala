@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+/** The boilerplate-skew benchmark the d11 design claim rests on: on a
+  * corpus where every document shares a large common prefix (the
+  * templated-web regime — cookie banners, license headers), the
+  * MinHash band buckets are driven by the SHARED content, so the
+  * candidate set explodes with pairs whose tails differ (all rejected
+  * by verify — pure wasted join work, and at scale the reason the
+  * d2 family needs its MaxBucket star-link guard). Prefix filtering's
+  * rarest-first global token order picks each doc's join keys from
+  * its UNIQUE tail instead, so candidates stay proportional to the
+  * true duplicate pairs — the skew is avoided structurally, not
+  * guarded against.
+  *
+  * Measured at 600 docs / 60-token boilerplate / 20-token tails
+  * (local[4]): d2 enumerated 142,078 candidates (every one a false
+  * positive destined to die in verify) in 3.2 s; d11's prefix join
+  * produced exactly the 20 planted true pairs in 2.6 s — 7000× fewer
+  * candidates AND faster, while being exact. The candidate RATIO is
+  * asserted; wall-clock is reported, not asserted, to stay
+  * box-independent.
+  */
+class DedupSkewSpec extends SparkSpec {
+
+  test("prefix filtering avoids boilerplate skew that floods MinHash buckets") {
+    import spark.implicits._
+    val nDocs = 600
+    val boiler = (0 until 60).map(i => s"boiler$i").mkString(" ")
+    // tails: 20 unique tokens per doc — below-threshold similarity
+    // for every cross pair, and LONG enough that the t=0.8 prefix
+    // (≈ (1-t)·n ≈ 16 grams) fits entirely inside the rare tail
+    // grams (~21) — the regime the operator targets; with a tail
+    // shorter than the prefix, a boilerplate gram would leak into the
+    // join keys and the equi-join would flood like the LSH buckets.
+    // Docs 2k/2k+1 of the first 40 share their tail except the last
+    // token = 20 genuine near-dup pairs (J ≈ 0.93).
+    def tail(i: Int): String = {
+      val base = if (i < 40) i / 2 * 2 else i
+      ((0 until 19).map(j => s"u${base}_$j") :+ s"v${i}") .mkString(" ")
+    }
+    val docs = (0 until nDocs).map(i => (i.toLong, s"$boiler ${tail(i)}"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSetsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // disable the star-link guard so d2's number is its TRUE candidate
+    // volume on this corpus, not the guard's truncation
+    val (d2Cands, d2Sec) = timed(
+      Dedup.minhashCandidatesFrom(sh, maxBucket = Int.MaxValue).count())
+    val (d11Cands, d11Sec) = timed(Dedup.setSimCandidatesOf(sh, 0.8).count())
+    info(f"d2 minhash: $d2Cands candidates in $d2Sec%.2f s; " +
+      f"d11 prefix: $d11Cands candidates in $d11Sec%.2f s")
+
+    // d11's candidates are exactly the true pairs; d2 floods on the
+    // boilerplate (orders of magnitude more, all dying in verify)
+    assert(d11Cands == 20L, s"d11 candidates: $d11Cands")
+    assert(d2Cands >= d11Cands * 50,
+      s"expected boilerplate flood: d2=$d2Cands d11=$d11Cands")
+
+    // and the exact join's final answer is the 20 planted pairs
+    val pairs = Dedup.setSimJoinOf(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 40 by 2).map(i => (i.toLong, i + 1L)).toSet)
+    sh.unpersist()
+  }
+
+  test("the structural avoidance has a boundary: prefix longer than the tail floods") {
+    import spark.implicits._
+    // tails of 6 tokens: the t=0.8 prefix (~0.2·n grams) no longer
+    // fits inside the unique tail grams, a boilerplate gram becomes a
+    // join key, and the equi-join floods like the LSH buckets — the
+    // honest limit of the rarest-first ordering (boilerplate above ~t
+    // of the doc needs chunking or boilerplate-stripping upstream)
+    val boiler = (0 until 60).map(i => s"boiler$i").mkString(" ")
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"$boiler ${(0 until 6).map(j => s"w${i}_$j").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSetsOf(docs)
+    val cands = Dedup.setSimCandidatesOf(sh, 0.8).count()
+    info(s"short-tail corpus: $cands prefix candidates (flood expected)")
+    assert(cands > 1000L, s"expected a flood, got $cands")
+  }
+}
