@@ -183,15 +183,35 @@ object Curation {
   def decontaminateBloomAgainst(corpus: DataFrame, bench: DataFrame,
       n: Int = 8, minShared: Long = 5L, excludeSelf: Boolean = false,
       fpp: Double = 0.01): DataFrame = {
+    val (lazyOut, cache) = decontaminateBloomPlan(corpus, bench, n,
+      minShared, excludeSelf, fpp, persist = true)
+    // Eager: localCheckpoint materializes the (small, O(contaminated
+    // pairs)) result so the benchGrams cache can be released before
+    // returning — mirrors Dedup.setSimJoinOf; without it the cached
+    // blocks leak for the life of the session.
+    val out = lazyOut.localCheckpoint(true)
+    cache.unpersist()
+    out
+  }
+
+  /** The lazy plan behind [[decontaminateBloomAgainst]], returned
+    * with the bench-gram frame whose cache the caller owns —
+    * package-visible (unpersisted) so BloomSpec can assert the probe
+    * sits below the join in the UNCHECKPOINTED plan, which the eager
+    * public form necessarily hides behind a Scan ExistingRDD.
+    */
+  private[graft] def decontaminateBloomPlan(corpus: DataFrame,
+      bench: DataFrame, n: Int, minShared: Long, excludeSelf: Boolean,
+      fpp: Double, persist: Boolean): (DataFrame, DataFrame) = {
     val s = corpus.sparkSession
     graft.functions.HashFunctions.register(s)
     graft.functions.BloomFunctions.register(s)
     // persisted: the filter build and the join both read it, and it is
     // small by the operator's contract (benchmarks vs a corpus)
-    val benchGrams = wordGramTable(bench, n)
+    val benchGrams0 = wordGramTable(bench, n)
       .select(col("doc_id").as("bench_id"),
         TextAnalysis.hash60(col("gram")).as("bench_gram_h"))
-      .persist()
+    val benchGrams = if (persist) benchGrams0.persist() else benchGrams0
     val bits = graft.functions.BloomFunctions.buildSerialized(
       benchGrams, "bench_gram_h", benchGrams.count(), fpp)
     val grams = wordGramTable(corpus, n)
@@ -202,17 +222,10 @@ object Curation {
       if (excludeSelf)
         col("gram_h") === col("bench_gram_h") && col("doc_id") =!= col("bench_id")
       else col("gram_h") === col("bench_gram_h")
-    // Eager: localCheckpoint materializes the (small, O(contaminated
-    // pairs)) result so the benchGrams cache can be released before
-    // returning — mirrors Dedup.setSimJoinOf; without it the cached
-    // blocks leak for the life of the session.
-    val out = grams.join(benchGrams, cond)
+    (grams.join(benchGrams, cond)
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .localCheckpoint(true)
-    benchGrams.unpersist()
-    out
+      .filter(col("n_shared") >= minShared), benchGrams)
   }
 
   /** Self-contained c9 flavor: same corpus/bench slices as c2, with

@@ -57,8 +57,15 @@ class BloomSpec extends SparkSpec {
   }
 
   test("c9 plan probes the bloom filter below the gram join") {
-    val plan = Curation.queries("c9_decontaminate_bloom")(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    // the public c9 form checkpoints eagerly (cache-release contract),
+    // which hides its plan behind a Scan ExistingRDD — assert on the
+    // lazy plan the checkpoint materializes
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = Curation.decontaminateBloomPlan(docs,
+        docs.filter(col("doc_id") % 7 === 0), 8, 5L,
+        excludeSelf = true, fpp = 0.01, persist = false)
+      ._1.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"))
     // the probe must sit on the corpus scan side as a Filter, not be
     // computed post-join
