@@ -150,7 +150,10 @@ object Bench {
       // tracked, no floor: a seeded-literal codebook quantizes worse
       // than a fitted one BY DESIGN (s10 exists to oracle-gate the ADC
       // kernel plumbing); the number documents that trade
-      "s10_knn_pq" -> (5, "s1_knn_brute"))
+      "s10_knn_pq" -> (5, "s1_knn_brute"),
+      // same trade as s10 one level up: literal cells + codebooks gate
+      // the composed IVF-PQ plumbing; recall documents the quality cost
+      "s11_knn_ivfpq" -> (5, "s1_knn_brute"))
     // machine-checked quality gate: an ANN query whose recall slides
     // below its declared floor is FLAGGED in the artifact (and pinned
     // harder, on the fixture corpus, in LlmSpec) — correctness hashes

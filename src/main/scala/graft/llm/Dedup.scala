@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 import graft.core.Tables
 import TextAnalysis.hash60
@@ -721,7 +722,66 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
+  // -- d12: duplicated n-gram span detection -------------------------------
+  /** Span-gram width: a duplicated run must repeat at least this many
+    * consecutive tokens to register (the published substring-dedup
+    * setting is ~50 BPE tokens; 8 words suits the short test corpus —
+    * the plan is width-independent).
+    */
+  val SpanGram = 8
+
+  /** d12 — substring-level duplicate SPAN detection (the Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"
+    * operation, re-expressed relationally): find every maximal token
+    * range that repeats anywhere in the corpus — across documents or
+    * within one — so curation can CUT the repeated span instead of
+    * dropping whole near-duplicate documents (d2/d11 work at document
+    * granularity; this is the finer tier below them).
+    *
+    * Three stages, all narrow-keyed:
+    *  1. positioned [[SpanGram]]-gram inventory — grams are hashed to
+    *     60-bit longs IN the scan projection, so the shuffle carries
+    *     (hash, doc_id, pos) longs, never text;
+    *  2. repeated grams = hash groups with ≥ 2 occurrences (map-side
+    *     partial count, then an equi-join back — AQE broadcasts the
+    *     repeated-gram side when the corpus is mostly clean);
+    *  3. per-document island merge: positions whose gram ranges
+    *     [pos, pos+K-1] overlap or touch collapse into one maximal
+    *     span via a lag/cumsum window keyed by doc_id — millions of
+    *     small groups, the skew-free window shape (d11's precedent).
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val toks = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= SpanGram)
+    val grams = toks
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("t")) - (SpanGram - 1)),
+        p => array_join(slice(col("t"), p, lit(SpanGram)), " "))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        graft.llm.TextAnalysis.hash60(col("col")).as("g"))
+    val repeated = grams.groupBy("g")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(repeated, "g")
+      .select("doc_id", "pos")
+      .withColumn("ns",
+        when(col("pos") - lag("pos", 1).over(w) <= SpanGram, 0).otherwise(1))
+      .withColumn("island", sum("ns")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (SpanGram - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_dup_spans"   -> dupSpans _,
     "d1_exact_dedup"  -> exactDedup _,
     "d8_dedup_clusters" -> dedupClusters _,
     "d9_dedup_apply"  -> dedupApply _,
@@ -833,6 +893,35 @@ object Dedup {
       |    AND (simbsz.n <= 1000 OR x.doc_id = simbsz.rep))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // d12: positioned grams via the lockstep double-unnest (the s5
+    // precedent); the same md5-prefix hash, lag/cumsum island merge.
+    // DuckDB's lag() over the first row yields NULL, and NULL <= 8 is
+    // NULL → the ELSE arm, matching Spark's when().otherwise(1).
+    "d12_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |tk AS (SELECT doc_id, list_transform(
+         |    generate_series(1, len(t) - ${SpanGram - 1}),
+         |    i -> array_to_string(t[i:i+${SpanGram - 1}], ' ')) AS gs
+         |  FROM toks WHERE len(t) >= $SpanGram),
+         |grams AS (SELECT doc_id,
+         |  CAST(unnest(generate_series(1, len(gs))) - 1 AS BIGINT) AS pos,
+         |  CAST('0x' || substr(md5(unnest(gs)), 1, 15) AS BIGINT) AS g
+         |  FROM tk),
+         |rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |mk AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         |sp AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |    <= $SpanGram THEN 0 ELSE 1 END AS ns FROM mk),
+         |isl AS (SELECT doc_id, pos,
+         |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS island FROM sp)
+         |SELECT doc_id,
+         |  min(pos) AS span_start,
+         |  max(pos) + ${SpanGram - 1} AS span_end,
+         |  max(pos) + ${SpanGram - 1} - min(pos) + 1 AS span_tokens,
+         |  COUNT(*) AS n_dup_grams
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
     // d8: connected components as a recursive reachability closure —
     // r(node, reach) enumerates every node reachable from `node` over
     // the symmetric edge set (self-edge seeds include singletons), so

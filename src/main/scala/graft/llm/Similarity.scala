@@ -519,6 +519,111 @@ object Similarity {
     pqAdcSearch(codes, books, q, topK)
   }
 
+  // -- s11: composed IVF + residual PQ (the production ANN layout) --------
+  /** Coarse-quantizer cell count for the oracle-gated composed path.
+    * Tiny by design: what s11 gates is the COMPOSITION (coarse assign →
+    * residual encode → probe-filtered ADC), not cell geometry — the
+    * fitted paths (s2/s4) own partition quality.
+    */
+  val IvfPqCells = 4
+  /** Cells probed per query (nprobe). */
+  val IvfPqProbes = 2
+
+  /** Seeded literal coarse centroids, the [[pqBooks]] determinism
+    * pattern one level up: fixed gaussians shared verbatim with the
+    * DuckDB oracle so the cell assignment reproduces cross-engine.
+    */
+  lazy val coarseCells: Seq[(Int, Array[Double])] = {
+    val rnd = new scala.util.Random(1717L)
+    (0 until IvfPqCells).map(c => (c, Array.fill(Dims)(rnd.nextGaussian())))
+  }
+
+  /** s11 — IVF + residual-PQ ADC search, the two halves of this
+    * engine's ANN surface composed the way a production 100 TB index
+    * is actually built (the IVF-PQ layout of Jégou et al. 2011):
+    * every vector is assigned to its max-inner-product coarse cell,
+    * the RESIDUAL uv − cell is PQ-encoded (residuals are smaller than
+    * raw vectors, so the same codebook budget quantizes finer), and a
+    * query scores only the [[IvfPqProbes]] cells nearest to it —
+    * sim(q,x) ≈ q·c(x) + q·r̂(x), the first term a per-(query,cell)
+    * scalar, the second the [[graft.functions.PqAdc]] table lookup.
+    *
+    * Scale shape: the candidate stage is an equi-join on cell id
+    * (probe list broadcast — |Q|·nprobe rows), so the corpus never
+    * cross-joins; the codes table is 8 ints + a cell id per vector
+    * (the fp corpus is never read at search time); ranking is the
+    * bounded heap. At 100 TB, assignment+encode happen once at write
+    * time partitioned BY cell ([[buildPqIndex]] shows the persisted
+    * form), making the probe filter partition pruning, not a join.
+    *
+    * Quality note: literal random cells + codebooks quantize worse
+    * than fitted ones by design (the s10 trade: cross-engine
+    * determinism buys a full rows+schema+hash gate on the composed
+    * plumbing); recall is tracked in the bench artifact, and fit
+    * quality is owned by the KMeans paths (s4 and buildPqIndex).
+    */
+  def knnIvfPq(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    graft.functions.TopKFunctions.register(s)
+    val dsub = Dims / PqM
+    val cells = broadcast(coarseCells.toDF("cell", "ccv"))
+    val books = broadcast(pqBooks.toDF("sub", "code", "cv"))
+    val unit = emb(s, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
+    // coarse assignment: argmax cell dot, ties to the smallest cell id
+    val wCell = Window.partitionBy("vec_id").orderBy(desc("cd"), col("cell"))
+    val assigned = unit.crossJoin(cells)
+      .select(col("vec_id"), col("uv"), col("cell"), col("ccv"),
+        dot(col("uv"), col("ccv")).as("cd"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("uv"), col("ccv"), (a, b) => a - b).as("rv"))
+    // residual PQ encode: argmax codebook dot per subspace (s10 shape)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(desc("d"), col("code"))
+    val codes = assigned.crossJoin(books)
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"),
+        dot(slice(col("rv"), col("sub") * lit(dsub) + 1, lit(dsub)),
+          col("cv")).as("d"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val q = unit.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("uv").as("quv"))
+    // probe list: the nprobe best cells per query, with q·cell riding
+    // along as the ADC score's coarse term
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("qcd"), col("cell"))
+    val probes = q.crossJoin(cells)
+      .select(col("q_id"), col("cell"), dot(col("quv"), col("ccv")).as("qcd"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfPqProbes)
+      .select("q_id", "cell", "qcd")
+    // per-query distance table over the FULL query vector (q·r̂ needs
+    // q_sub · codebook, not the query's own residual) — s10's qdt
+    val qdt = q.crossJoin(books)
+      .select(col("q_id"), (col("sub") * PqK + col("code")).as("idx"),
+        dot(slice(col("quv"), col("sub") * lit(dsub) + 1, lit(dsub)),
+          col("cv")).as("d"))
+      .groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        x => x.getField("d")).as("dt"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qdt), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("qcd") + graft.functions.VectorFunctions
+          .pqAdc(col("codes"), col("dt")), 6).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("sim"), col("vec_id"), lit(topK)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
   // -- s6: SimHash-signature ANN (sign random projection + rerank) --------
   /** Signature bits (one 64-bit long per vector); the low [[LshPlanes]]
     * bits double as the index layout's partition bucket.
@@ -797,7 +902,8 @@ object Similarity {
     "s4_knn_ivf_kmeans" -> ((s: SparkSession, dir: String) => knnIvfKmeans(s, dir)),
     "s5_quantize" -> quantizeInt8 _,
     "s6_knn_lsh" -> ((s: SparkSession, dir: String) => knnLsh(s, dir)),
-    "s10_knn_pq" -> ((s: SparkSession, dir: String) => knnPqInline(s, dir)))
+    "s10_knn_pq" -> ((s: SparkSession, dir: String) => knnPqInline(s, dir)),
+    "s11_knn_ivfpq" -> ((s: SparkSession, dir: String) => knnIvfPq(s, dir)))
 
   private val cosSql =
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
@@ -944,6 +1050,61 @@ object Similarity {
          |  SELECT q_id, vec_id, sim,
          |    ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY sim DESC, vec_id) AS rk
+         |  FROM sc)
+         |WHERE rk <= 5""".stripMargin
+    },
+    "s11_knn_ivfpq" -> {
+      // cells and codebooks as flat literals (the s10 single-literal
+      // workaround); every dot is an explicit left-to-right sum, so
+      // assignment, probes, residual encode and ADC all reproduce
+      // cross-engine. The residual never materializes: its subtraction
+      // is inlined into each encode term.
+      val dsub = Dims / PqM
+      val cellsFlat = coarseCells.flatMap(_._2).mkString("[", ", ", "]")
+      val pqFlat = pqBooks.flatMap(_._3).mkString("[", ", ", "]")
+      val cellDot = (1 to Dims).map(i =>
+        s"u.uv[$i] * cf.flat[cg.cell*$Dims+$i]").mkString(" + ")
+      val resTerms = (1 to dsub).map(i =>
+        s"(u.uv[g.sub*$dsub+$i] - cf.flat[a.cell*$Dims + g.sub*$dsub+$i])" +
+          s" * f.flat[(g.sub*$PqK+g.code)*$dsub+$i]").mkString(" + ")
+      val qTerms = (1 to dsub).map(i =>
+        s"u.uv[g.sub*$dsub+$i] * f.flat[(g.sub*$PqK+g.code)*$dsub+$i]")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |u AS (SELECT vec_id,
+         |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+         |  FROM e),
+         |cf AS (SELECT $cellsFlat AS flat),
+         |f AS (SELECT $pqFlat AS flat),
+         |cg AS (SELECT range::INT AS cell FROM range($IvfPqCells)),
+         |cd0 AS (SELECT u.vec_id, cg.cell, $cellDot AS cd FROM u, cg, cf),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cd DESC, cell) AS rn FROM cd0) WHERE rn = 1),
+         |g AS (SELECT s.range::INT AS sub, c.range::INT AS code
+         |  FROM range($PqM) s, range($PqK) c),
+         |d0 AS (SELECT u.vec_id, a.cell, g.sub, g.code, $resTerms AS d
+         |  FROM u JOIN asg a ON a.vec_id = u.vec_id, g, f, cf),
+         |enc AS (SELECT vec_id, cell, sub, code FROM (
+         |  SELECT vec_id, cell, sub, code, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY d DESC, code) AS rn
+         |  FROM d0) WHERE rn = 1),
+         |qd0 AS (SELECT u.vec_id AS q_id, g.sub, g.code, $qTerms AS d
+         |  FROM u, g, f WHERE u.vec_id < 20),
+         |pr AS (SELECT q_id, cell, qcd FROM (
+         |  SELECT vec_id AS q_id, cell, cd AS qcd, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY cd DESC, cell) AS rn
+         |  FROM cd0 WHERE vec_id < 20) WHERE rn <= $IvfPqProbes),
+         |sc AS (SELECT p.q_id, enc.vec_id,
+         |  round(max(p.qcd) + SUM(q.d), 6) AS sim
+         |  FROM enc JOIN pr p ON p.cell = enc.cell AND enc.vec_id <> p.q_id
+         |    JOIN qd0 q ON q.q_id = p.q_id AND q.sub = enc.sub
+         |      AND q.code = enc.code
+         |  GROUP BY 1, 2)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT q_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rk
          |  FROM sc)
          |WHERE rk <= 5""".stripMargin
     },

@@ -400,8 +400,49 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  // -- t12: sliding-window chunking ----------------------------------------
+  /** Chunk window size (characters). Character-based windows keep the
+    * operator tokenizer-independent; a token-budget variant is the same
+    * plan with `tokens()` + `slice` in place of `substr` (t1 measures
+    * token counts for exactly that sizing decision).
+    */
+  val ChunkChars = 200
+  /** Stride between chunk starts; `ChunkChars - ChunkStride` characters
+    * of overlap carry context across chunk boundaries.
+    */
+  val ChunkStride = 150
+
+  /** t12 — sliding-window document chunking, the context-window prep
+    * step of a training pipeline: every document becomes ⌈len/stride⌉
+    * overlapping chunks of up to [[ChunkChars]] characters starting
+    * every [[ChunkStride]].
+    *
+    * Scale shape: one narrow projection per document — `sequence`
+    * enumerates chunk offsets (len/stride ints per doc, bounded by the
+    * doc itself), `explode` fans them out, `substr` cuts each chunk.
+    * No shuffle, no UDF; output rows inherit the scan's partitioning,
+    * so at 100 TB this is a map-only pass whose output is written
+    * partition-local. Offsets and lengths ride along so a downstream
+    * tokenizer can re-slice the source text without re-chunking.
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val txt = trim(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), txt.as("txt"), char_length(txt).as("len"))
+      .filter(col("len") >= 1)
+      .select(col("doc_id"), col("txt"),
+        explode(sequence(lit(0), col("len") - 1, lit(ChunkStride))).as("off"))
+      .select(
+        col("doc_id"),
+        (col("off") / ChunkStride).cast(LongType).as("chunk_idx"),
+        col("off").cast(LongType).as("chunk_start"),
+        col("txt").substr(col("off") + 1, lit(ChunkChars)).as("chunk_text"))
+      .withColumn("chunk_len", char_length(col("chunk_text")).cast(LongType))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t8_tfidf"       -> ((s: SparkSession, dir: String) => tfidf(s, dir)),
+    "t12_chunk"      -> chunkDocs _,
     "t11_bm25"       -> ((s: SparkSession, dir: String) => bm25(s, dir)),
     "t1_token_stats" -> tokenStats _,
     "t2_quality"     -> qualityScore _,
@@ -510,6 +551,22 @@ object TextAnalysis {
         |FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // t12: generate_series is stop-inclusive like Spark's sequence;
+    // substr/length are character-based in both engines, and the
+    // integer division is exact (offsets are stride multiples)
+    "t12_chunk" ->
+      s"""WITH d AS (SELECT doc_id, trim(text) AS txt,
+         |  length(trim(text)) AS len FROM documents),
+         |o AS (SELECT doc_id, txt,
+         |  unnest(generate_series(0, len - 1, $ChunkStride)) AS off
+         |  FROM d WHERE len >= 1)
+         |SELECT doc_id,
+         |  CAST(off // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(off AS BIGINT) AS chunk_start,
+         |  substr(txt, CAST(off + 1 AS INTEGER), $ChunkChars) AS chunk_text,
+         |  CAST(length(substr(txt, CAST(off + 1 AS INTEGER), $ChunkChars))
+         |    AS BIGINT) AS chunk_len
+         |FROM o""".stripMargin,
     // t10: same multiset gram counts; DuckDB lists are 1-based like the
     // Spark sequence, so gram i spans t[i..i+n-1] in both engines
     "t10_repetition" -> repetitionOracle(),

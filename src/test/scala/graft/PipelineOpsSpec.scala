@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Specs for the round-9 training-pipeline additions: t12 sliding-
+  * window chunking, d12 duplicated-span detection, s11 composed
+  * IVF + residual-PQ search. Each operator's CORRECTNESS row gates
+  * cross-engine value equality; these tests pin the SEMANTIC laws the
+  * hash can't express (reassembly, span maximality, probe discipline).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  // ---- t12 chunking ------------------------------------------------------
+
+  test("t12: chunks tile every document — strided starts, full coverage, " +
+      "and stride-prefixes reassemble the exact text") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextAnalysis.chunkDocs(spark, sfDir)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(chunks.keySet == docs.filter(_._2.nonEmpty).keySet)
+    val stride = TextAnalysis.ChunkStride
+    val width = TextAnalysis.ChunkChars
+    chunks.foreach { case (id, cs) =>
+      val txt = docs(id)
+      cs.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"doc $id chunk_idx gap at $i")
+        assert(r.getLong(2) == i.toLong * stride, s"doc $id start off")
+        val expected = txt.substring(i * stride,
+          math.min(txt.length, i * stride + width))
+        assert(r.getString(3) == expected, s"doc $id chunk $i text")
+        assert(r.getLong(4) == expected.length.toLong)
+      }
+      // last chunk reaches the end of the doc; one chunk per started
+      // stride window
+      assert(cs.size == (txt.length + stride - 1) / stride)
+      assert((cs.size - 1) * stride + cs.last.getLong(4) == txt.length)
+      // stride-prefixes concatenate back to the source text exactly
+      val rebuilt = cs.map(r => r.getString(3).take(stride)).mkString
+      assert(rebuilt == txt, s"doc $id reassembly")
+    }
+  }
+
+  // ---- d12 duplicated spans ---------------------------------------------
+
+  private def spansOf(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  test("d12: a shared boilerplate run is found as one maximal span per " +
+      "doc; unique text yields none; within-doc repetition counts") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10 shared tokens
+    val uniq = (c: Char) => (1 to 12).map(i => s"$c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq('x')}"),
+      (2L, s"${uniq('y')} $boiler"),
+      (3L, uniq('z')),
+      // within-doc repetition: the same 8-token run twice, no other doc
+      (4L, s"${(1 to 8).map(i => s"r$i").mkString(" ")} mid " +
+        (1 to 8).map(i => s"r$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = spansOf(dupSpansOf(docs))
+    // boilerplate is 10 tokens → grams at 3 positions; doc 1 has it at
+    // tokens 0..9, doc 2 at 12..21
+    assert(out.contains((1L, 0L, 9L, 10L, 3L)), out)
+    assert(out.contains((2L, 12L, 21L, 10L, 3L)), out)
+    assert(!out.exists(_._1 == 3L), out)
+    // doc 4: two copies of an 8-token run at 0..7 and 9..16 — the gap
+    // (9 - 0 = 9 > 8) keeps them separate islands
+    assert(out.contains((4L, 0L, 7L, 8L, 1L)), out)
+    assert(out.contains((4L, 9L, 16L, 8L, 1L)), out)
+    assert(out.size == 4)
+  }
+
+  test("d12: overlapping duplicated grams merge into one island") {
+    import spark.implicits._
+    // 12-token run shared verbatim by two docs → 5 gram positions
+    // (0..4), all within SpanGram of each other → ONE span 0..11
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, run), (2L, run)).toDF("doc_id", "text")
+    val out = spansOf(dupSpansOf(docs))
+    assert(out == Set((1L, 0L, 11L, 12L, 5L), (2L, 0L, 11L, 12L, 5L)), out)
+  }
+
+  /** d12's pipeline over an arbitrary (doc_id, text) frame — the query
+    * body with the table load swapped out, kept in the test because
+    * production entry is the registered query.
+    */
+  private def dupSpansOf(docs: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("d12fix").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.dupSpans(spark, dir)
+  }
+
+  // ---- s11 composed IVF + residual PQ -----------------------------------
+
+  test("s11: every neighbor honors the probe discipline and the ADC " +
+      "score arithmetic reproduces in Scala") {
+    val out = Similarity.knnIvfPq(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // recompute coarse assignment + residual-PQ encode + ADC in plain
+    // Scala from the same literals
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val cells = Similarity.coarseCells.toMap
+    val books = Similarity.pqBooks
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val m = Similarity.PqM
+    val dsub = Similarity.Dims / m
+    def cellOf(u: Array[Double]): Int =
+      cells.toSeq.map { case (c, cv) => (dot(u, cv), c) }
+        .sortBy { case (d, c) => (-d, c) }.head._2
+    def codesOf(u: Array[Double]): Array[Int] = {
+      val cv = cells(cellOf(u))
+      val r = u.indices.map(i => u(i) - cv(i)).toArray
+      (0 until m).map { sub =>
+        val seg = r.slice(sub * dsub, (sub + 1) * dsub)
+        (0 until Similarity.PqK)
+          .map(code => (dot(seg, books((sub, code))), code))
+          .sortBy { case (d, c) => (-d, c) }.head._2
+      }.toArray
+    }
+    val units = emb.view.mapValues(unit).toMap
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val qu = units(qid)
+      val probed = cells.toSeq
+        .map { case (c, cv) => (dot(qu, cv), c) }
+        .sortBy { case (d, c) => (-d, c) }
+        .take(Similarity.IvfPqProbes).map(_._2).toSet
+      rows.foreach { r =>
+        val vid = r.getLong(1)
+        assert(probed.contains(cellOf(units(vid))),
+          s"neighbor $vid of $qid outside probed cells")
+        val coarse = dot(qu, cells(cellOf(units(vid))))
+        val adc = codesOf(units(vid)).zipWithIndex.map { case (code, sub) =>
+          dot(qu.slice(sub * dsub, (sub + 1) * dsub), books((sub, code)))
+        }.sum
+        assert(math.abs(r.getDouble(2) - (coarse + adc)) < 1e-5,
+          s"ADC score mismatch for ($qid,$vid)")
+      }
+    }
+  }
+
+  test("s11: plan has no cartesian product and ranks via the bounded " +
+      "heap, not a window sort") {
+    val p = Similarity.knnIvfPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("topk_by"), p)
+    // the candidate stage is an equi-join on cell id with the tiny
+    // probe list broadcast — never a corpus-side cross join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
