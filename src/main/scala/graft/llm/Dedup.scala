@@ -750,12 +750,23 @@ object Dedup {
     *     span via a lag/cumsum window keyed by doc_id — millions of
     *     small groups, the skew-free window shape (d11's precedent).
     */
-  def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.HashFunctions.register(s)
-    val toks = Tables.load(s, dir, "documents")
+  /** The tokenized documents frame d12/d13 operate on: docs long
+    * enough to hold one [[SpanGram]]-gram.
+    */
+  private def spanToks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= SpanGram)
+
+  /** Maximal duplicated-gram islands over a (doc_id, t) token frame —
+    * the shared core of d12 (report) and d13 (apply): positioned gram
+    * inventory → corpus-repeated grams → per-doc lag/cumsum merge.
+    * Returns (doc_id, span_start, span_end, n_dup_grams); spans within
+    * a doc are disjoint by construction (islands merge any ranges that
+    * overlap or touch).
+    */
+  private[llm] def dupSpanIslands(toks: DataFrame): DataFrame = {
     val grams = toks
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(1), size(col("t")) - (SpanGram - 1)),
@@ -775,13 +786,83 @@ object Dedup {
       .agg(min("pos").as("span_start"),
         (max("pos") + (SpanGram - 1)).as("span_end"),
         count(lit(1)).as("n_dup_grams"))
+      .drop("island")
+  }
+
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    dupSpanIslands(spanToks(s, dir))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_dup_grams"))
   }
 
+  /** d13 — span-level dedup APPLIED: the corpus with every duplicated
+    * span cut except its first occurrence (the d9 analogue one
+    * granularity down — d9 drops whole duplicate documents, d13 cuts
+    * repeated runs out of otherwise-unique ones, which is how
+    * substring dedup actually ships training data). "First" is by
+    * span CONTENT: spans are hashed on their token text and the
+    * minimal (doc_id, span_start) occurrence of each distinct content
+    * survives; within-doc repeats keep their first copy too. Spans
+    * whose duplicated run extends differently in different documents
+    * hash differently and both survive — exact-span semantics,
+    * documented, deterministic.
+    *
+    * Scale shape on top of [[dupSpanIslands]]: span content is cut by
+    * a doc_id equi-join of the (small) span list against the token
+    * frame; only AFFECTED documents — those actually holding a cut —
+    * explode to (pos, token) rows for the rebuild, the rest pass
+    * through untouched, so the expensive path is proportional to the
+    * duplicated fraction, not the corpus. The keep/cut election
+    * windows over span-content hash — tiny groups (occurrences of one
+    * repeated run), no skew.
+    */
+  def spanDedupApply(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val toks = spanToks(s, dir)
+    val spans = dupSpanIslands(toks).drop("n_dup_grams")
+    val content = spans.join(toks, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        hash60(array_join(slice(col("t"), col("span_start") + 1,
+          col("span_end") - col("span_start") + 1), " ")).as("sh"))
+    val wKeep = Window.partitionBy("sh").orderBy("doc_id", "span_start")
+    val cuts = content
+      .withColumn("rn", row_number().over(wKeep))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val affected = cuts.select("doc_id").distinct()
+    val posToks = toks.join(affected, "doc_id")
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("col").as("tok"))
+    val kept = posToks.as("p").join(cuts.as("c"),
+        col("p.doc_id") === col("c.doc_id") &&
+          col("p.pos") >= col("c.span_start") &&
+          col("p.pos") <= col("c.span_end"),
+        "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), trim(col("text")).as("txt"))
+      .join(toks.select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_toks")), Seq("doc_id"), "left")
+      .join(affected.withColumn("aff", lit(1)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("aff").isNull, col("txt"))
+          .otherwise(coalesce(col("kept_text"), lit(""))).as("clean_text"),
+        when(col("aff").isNull, lit(0L))
+          .otherwise(col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_cut_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d12_dup_spans"   -> dupSpans _,
+    "d13_span_cut"    -> spanDedupApply _,
     "d1_exact_dedup"  -> exactDedup _,
     "d8_dedup_clusters" -> dedupClusters _,
     "d9_dedup_apply"  -> dedupApply _,
@@ -922,6 +1003,63 @@ object Dedup {
          |  max(pos) + ${SpanGram - 1} - min(pos) + 1 AS span_tokens,
          |  COUNT(*) AS n_dup_grams
          |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // d13: d12's span CTEs, then content-hash election (first
+    // occurrence by (doc_id, span_start) survives), position-level cut
+    // via NOT EXISTS over the cut ranges, and an ordered string_agg
+    // rebuild. A doc whose kept set is empty rebuilds as '' (the
+    // coalesce), matching the Spark side.
+    "d13_span_cut" ->
+      s"""WITH toks0 AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |tk0 AS (SELECT doc_id, t FROM toks0 WHERE len(t) >= $SpanGram),
+         |gsrc AS (SELECT doc_id, list_transform(
+         |    generate_series(1, len(t) - ${SpanGram - 1}),
+         |    i -> array_to_string(t[i:i+${SpanGram - 1}], ' ')) AS gs
+         |  FROM tk0),
+         |grams AS (SELECT doc_id,
+         |  CAST(unnest(generate_series(1, len(gs))) - 1 AS BIGINT) AS pos,
+         |  CAST('0x' || substr(md5(unnest(gs)), 1, 15) AS BIGINT) AS g
+         |  FROM gsrc),
+         |rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |mk AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         |sp AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |    <= $SpanGram THEN 0 ELSE 1 END AS ns FROM mk),
+         |isl AS (SELECT doc_id, pos,
+         |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS island FROM sp),
+         |spans AS (SELECT doc_id, min(pos) AS span_start,
+         |  max(pos) + ${SpanGram - 1} AS span_end
+         |  FROM isl GROUP BY doc_id, island),
+         |content AS (SELECT s.doc_id, s.span_start, s.span_end,
+         |  CAST('0x' || substr(md5(array_to_string(list_slice(t.t,
+         |    CAST(s.span_start + 1 AS INTEGER),
+         |    CAST(s.span_end + 1 AS INTEGER)), ' ')), 1, 15) AS BIGINT) AS sh
+         |  FROM spans s JOIN tk0 t ON t.doc_id = s.doc_id),
+         |cuts AS (SELECT doc_id, span_start, span_end FROM (
+         |  SELECT doc_id, span_start, span_end, ROW_NUMBER() OVER (
+         |    PARTITION BY sh ORDER BY doc_id, span_start) AS rn
+         |  FROM content) WHERE rn > 1),
+         |aff AS (SELECT DISTINCT doc_id FROM cuts),
+         |ptk AS (SELECT t.doc_id,
+         |  CAST(unnest(generate_series(1, len(t.t))) - 1 AS BIGINT) AS p,
+         |  unnest(t.t) AS tok
+         |  FROM tk0 t JOIN aff USING (doc_id)),
+         |kept AS (SELECT doc_id, p, tok FROM ptk WHERE NOT EXISTS (
+         |  SELECT 1 FROM cuts c WHERE c.doc_id = ptk.doc_id
+         |    AND ptk.p BETWEEN c.span_start AND c.span_end)),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS kept_text,
+         |  COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN trim(d.text)
+         |       ELSE coalesce(r.kept_text, '') END AS clean_text,
+         |  CAST(CASE WHEN a.doc_id IS NULL THEN 0
+         |       ELSE len(t.t) - coalesce(r.n_kept, 0) END AS BIGINT)
+         |    AS n_cut_tokens
+         |FROM documents d
+         |LEFT JOIN tk0 t ON t.doc_id = d.doc_id
+         |LEFT JOIN aff a ON a.doc_id = d.doc_id
+         |LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin,
     // d8: connected components as a recursive reachability closure —
     // r(node, reach) enumerates every node reachable from `node` over
     // the symmetric edge set (self-edge seeds include singletons), so

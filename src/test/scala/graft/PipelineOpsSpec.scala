@@ -88,17 +88,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 11L, 12L, 5L), (2L, 0L, 11L, 12L, 5L)), out)
   }
 
-  /** d12's pipeline over an arbitrary (doc_id, text) frame — the query
-    * body with the table load swapped out, kept in the test because
-    * production entry is the registered query.
+  /** Writes a (doc_id, text) frame as a documents fixture dir so the
+    * registered d12/d13 query entry points run against it.
     */
-  private def dupSpansOf(docs: DataFrame): DataFrame = {
+  private def fixtureDir(docs: DataFrame): String = {
     val dir = java.nio.file.Files
-      .createTempDirectory("d12fix").toString
+      .createTempDirectory("spanfix").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    Dedup.dupSpans(spark, dir)
+    dir
+  }
+
+  private def dupSpansOf(docs: DataFrame): DataFrame =
+    Dedup.dupSpans(spark, fixtureDir(docs))
+
+  // ---- d13 span-cut application -----------------------------------------
+
+  test("d13: each duplicated span survives only at its first " +
+      "occurrence; unaffected docs pass through verbatim") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val uniq = (c: Char) => (1 to 12).map(i => s"$c$i").mkString(" ")
+    val rrun = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq('x')}"),
+      (2L, s"${uniq('y')} $boiler"),
+      (3L, uniq('z')),
+      (4L, s"$rrun mid $rrun")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupApply(spark, fixtureDir(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // doc 1 holds the boilerplate's first occurrence → untouched
+    assert(out(1L) == (s"$boiler ${uniq('x')}", 0L))
+    // doc 2's copy is cut, its unique prefix survives
+    assert(out(2L) == (uniq('y'), 10L))
+    assert(out(3L) == (uniq('z'), 0L))
+    // doc 4 keeps the FIRST copy of its internal repeat
+    assert(out(4L) == (s"$rrun mid", 8L))
+  }
+
+  test("d13: a document that is entirely one duplicated span rebuilds " +
+      "as the empty string") {
+    import spark.implicits._
+    val run = (1 to 9).map(i => s"e$i").mkString(" ")
+    val docs = Seq((1L, run), (2L, run)).toDF("doc_id", "text")
+    val out = Dedup.spanDedupApply(spark, fixtureDir(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (run, 0L))
+    assert(out(2L) == (("", 9L)))
   }
 
   // ---- s11 composed IVF + residual PQ -----------------------------------
