@@ -18,9 +18,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics (backward as-of, the standard form): for every left row,
   * append the single right row with the greatest `rightTime <=
   * leftTime` among rows of the same key — ties on (key, time) resolved
-  * toward the greatest `tiebreak` — or nulls when no right row
-  * qualifies (left-outer posture). Null keys/times never match,
-  * mirroring SQL join-key semantics.
+  * toward the greatest `tiebreak`. An unmatched left row emits nulls
+  * in the default left-outer posture, or is dropped when `inner`
+  * (DuckDB's `ASOF JOIN` default vs its `ASOF LEFT JOIN`). Null
+  * keys/times never match, mirroring SQL join-key semantics.
   *
   * Why a physical operator when q30 already composes the semantics
   * from union + window: the window form funnels BOTH relations
@@ -40,10 +41,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    tiebreak: Seq[Expression]) extends BinaryNode {
+    tiebreak: Seq[Expression], inner: Boolean = false) extends BinaryNode {
 
+  // inner never emits a null-padded right side, so right attributes
+  // keep their declared nullability
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -93,7 +97,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-        j.tiebreak, planLater(j.left), planLater(j.right)) :: Nil
+        j.tiebreak, j.inner, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -115,11 +119,12 @@ object AsOfJoinStrategy extends SparkStrategy {
   */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression, tiebreak: Seq[Expression],
-    left: SparkPlan, right: SparkPlan)
+    inner: Boolean, left: SparkPlan, right: SparkPlan)
     extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)),
@@ -144,6 +149,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
     val outAttrs = output
+    val innerMode = inner
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition generated code: projections extract (key, time)
       // as single-field rows; natural orderings compare them
@@ -160,13 +166,18 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
 
       var matched: InternalRow = null // last qualifying right row (copy)
       var matchedKey: InternalRow = null
+      // left-outer pads unmatched rows; inner drops them. The emitted
+      // row reuses resultProj's buffer — standard operator-iterator
+      // contract (consumers copy if they buffer).
+      def unmatched(lRow: InternalRow): Option[InternalRow] =
+        if (innerMode) None else Some(resultProj(joined(lRow, nullRight)))
 
-      lIter.map { lRow =>
+      lIter.flatMap { lRow =>
         val lk = lKeyProj(lRow)
-        if (lk.isNullAt(0)) resultProj(joined(lRow, nullRight))
+        if (lk.isNullAt(0)) unmatched(lRow)
         else {
           val lt = lTimeProj(lRow)
-          if (lt.isNullAt(0)) resultProj(joined(lRow, nullRight))
+          if (lt.isNullAt(0)) unmatched(lRow)
           else {
             // advance the right cursor past everything at-or-before
             // (lk, lt); remember the last row that actually qualifies
@@ -189,7 +200,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
               }
             }
             val ok = matched != null && keyOrd.compare(matchedKey, lk) == 0
-            resultProj(joined(lRow, if (ok) matched else nullRight))
+            if (ok) Some(resultProj(joined(lRow, matched)))
+            else unmatched(lRow)
           }
         }
       }
@@ -227,9 +239,18 @@ object AsOfJoinApi {
       spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOfJoin
   }
 
+  /** `joinType`: "left" (default — unmatched left rows null-padded) or
+    * "inner" (unmatched left rows dropped, DuckDB `ASOF JOIN` default).
+    */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       key: (String, String), time: (String, String),
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[String] = Nil, joinType: String = "left"): DataFrame = {
+    val inner = joinType match {
+      case "left" => false
+      case "inner" => true
+      case other => throw new IllegalArgumentException(
+        s"asofJoin: joinType must be 'left' or 'inner', got '$other'")
+    }
     val spark = leftDf.sparkSession
     register(spark)
     val lPlan = GraftSqlBridge.logicalPlan(leftDf)
@@ -241,6 +262,6 @@ object AsOfJoinApi {
     GraftSqlBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       resolve(lPlan, key._1), resolve(rPlan, key._2),
       resolve(lPlan, time._1), resolve(rPlan, time._2),
-      tiebreak.map(resolve(rPlan, _))))
+      tiebreak.map(resolve(rPlan, _)), inner))
   }
 }

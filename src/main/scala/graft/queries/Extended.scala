@@ -265,6 +265,24 @@ object Extended {
       .select(col("event_id"), col("user_id"), col("ok").as("last_order"))
   }
 
+  /** q46 — q42's as-of enrichment in INNER posture: events with no
+    * prior order are dropped instead of null-padded (DuckDB's `ASOF
+    * JOIN` default vs `ASOF LEFT JOIN`). Same native operator, same
+    * plan shape — the merge just skips unmatched emissions, so the
+    * inner form is never more expensive than the outer one.
+    */
+  def q46AsofInner(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ott"),
+      col("o_orderkey").as("ok"))
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("ett"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(e, o, ("user_id", "k"), ("ett", "ott"),
+        tiebreak = Seq("ok"), joinType = "inner")
+      .select(col("event_id"), col("user_id"), col("ok").as("last_order"))
+  }
+
   /** q31 — interpolated percentiles per group (median, p90). */
   def q31Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -491,6 +509,7 @@ object Extended {
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
     "q42_asof_native"    -> q42AsofNative _,
+    "q46_asof_inner"     -> q46AsofInner _,
     "q44_topk_heap"      -> q44TopkHeap _,
     "q45_gap_fill"       -> q45GapFill _,
     "q31_percentiles"    -> q31Percentiles _,
@@ -579,6 +598,14 @@ object Extended {
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, o.ok AS last_order
         |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // q46: the INNER posture — DuckDB's default ASOF JOIN drops
+    // events with no prior order, exactly the operator's inner mode
+    "q46_asof_inner" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.ok AS last_order
+        |FROM events e ASOF JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q31_percentiles" ->
       """SELECT o_orderstatus,

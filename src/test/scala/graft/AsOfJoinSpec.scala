@@ -60,6 +60,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> None))
   }
 
+  test("inner mode drops exactly the rows left-outer null-pads") {
+    import spark.implicits._
+    val lRows = Seq((1L, 7L, 10L), (2L, 7L, 3L), (3L, 8L, 10L), (4L, 9L, 1L))
+    val rRows = Seq((100L, 7L, 8L), (101L, 8L, 5L), (102L, 9L, 50L))
+    val l = lRows.toDF("id", "k", "t")
+    val r = rRows.toDF("ok", "rk", "rt")
+    val outer = AsOfJoinApi
+      .asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"))
+    val inner = AsOfJoinApi
+      .asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"), joinType = "inner")
+    assert(inner.collect().map(_.toSeq).toSet ==
+      outer.filter(col("ok").isNotNull).collect().map(_.toSeq).toSet)
+    // rows 2 (key 7 before any order) and 4 (key 9 before its only
+    // order) are gone; matched rows carry identical payloads
+    assert(inner.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // null left keys/times are unmatched, so inner drops them too
+    val lNull = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 7L, 10L), (2L, null, 10L), (3L, 7L, null)).toDF("id", "k", "t")
+    val gotNull = AsOfJoinApi
+      .asofJoin(lNull, r, ("k", "rk"), ("t", "rt"), Seq("ok"),
+        joinType = "inner")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotNull == Set(1L))
+    intercept[IllegalArgumentException] {
+      AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"),
+        joinType = "full")
+    }
+  }
+
   test("result is partitioning-independent (shuffle provisioned by Exec)") {
     import spark.implicits._
     val lRows = (0L until 500L).map(i => (i, i % 13, i % 37))
