@@ -15,13 +15,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * registered per-session (`AsOfJoinApi.register`) or fleet-wide via
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   *
-  * Semantics (backward as-of, the standard form): for every left row,
-  * append the single right row with the greatest `rightTime <=
-  * leftTime` among rows of the same key — ties on (key, time) resolved
-  * toward the greatest `tiebreak`. An unmatched left row emits nulls
-  * in the default left-outer posture, or is dropped when `inner`
-  * (DuckDB's `ASOF JOIN` default vs its `ASOF LEFT JOIN`). Null
-  * keys/times never match, mirroring SQL join-key semantics.
+  * Semantics: for every left row, append one right row of the same
+  * key — backward (the default, the standard form): the row with the
+  * greatest `rightTime <= leftTime`, ties on (key, time) resolved
+  * toward the greatest `tiebreak`; forward: the row with the smallest
+  * `rightTime >= leftTime`, ties toward the SMALLEST tiebreak (the
+  * mirror — pandas merge_asof's direction='forward', DuckDB's ASOF
+  * with a `<=` comparator). An unmatched left row emits nulls in the
+  * default left-outer posture, or is dropped when `inner` (DuckDB's
+  * `ASOF JOIN` default vs its `ASOF LEFT JOIN`). Null keys/times
+  * never match, mirroring SQL join-key semantics.
   *
   * Why a physical operator when q30 already composes the semantics
   * from union + window: the window form funnels BOTH relations
@@ -41,7 +44,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    tiebreak: Seq[Expression], inner: Boolean = false) extends BinaryNode {
+    tiebreak: Seq[Expression], inner: Boolean = false,
+    forward: Boolean = false) extends BinaryNode {
 
   // inner never emits a null-padded right side, so right attributes
   // keep their declared nullability
@@ -97,7 +101,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-        j.tiebreak, j.inner, planLater(j.left), planLater(j.right)) :: Nil
+        j.tiebreak, j.inner, j.forward,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -119,7 +124,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression, tiebreak: Seq[Expression],
-    inner: Boolean, left: SparkPlan, right: SparkPlan)
+    inner: Boolean, forward: Boolean, left: SparkPlan, right: SparkPlan)
     extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -150,6 +155,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val timeType = leftTime.dataType
     val outAttrs = output
     val innerMode = inner
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition generated code: projections extract (key, time)
       // as single-field rows; natural orderings compare them
@@ -178,7 +184,34 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
         else {
           val lt = lTimeProj(lRow)
           if (lt.isNullAt(0)) unmatched(lRow)
-          else {
+          else if (fwd) {
+            // forward: discard right rows strictly before (lk, lt) —
+            // left times ascend, so a discarded row (rt < lt) can
+            // never match a later left row either. The match is then
+            // the CURRENT head if its key equals lk: the smallest
+            // qualifying time, smallest tiebreak (right sort order).
+            // The head is peeked, NOT consumed — later left rows at
+            // the same or earlier effective position may match it too.
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val rk = rKeyProj(rBuf.head)
+              val kc = if (rk.isNullAt(0)) -1 else keyOrd.compare(rk, lk)
+              if (kc < 0) rBuf.next() // earlier key (or null): discard
+              else if (kc > 0) advancing = false
+              else {
+                val rt = rTimeProj(rBuf.head)
+                if (rt.isNullAt(0) || timeOrd.compare(rt, lt) < 0)
+                  rBuf.next() // null or too-early time: discard
+                else advancing = false
+              }
+            }
+            val ok = rBuf.hasNext && {
+              val rk = rKeyProj(rBuf.head)
+              !rk.isNullAt(0) && keyOrd.compare(rk, lk) == 0
+            }
+            if (ok) Some(resultProj(joined(lRow, rBuf.head)))
+            else unmatched(lRow)
+          } else {
             // advance the right cursor past everything at-or-before
             // (lk, lt); remember the last row that actually qualifies
             var advancing = true
@@ -241,15 +274,25 @@ object AsOfJoinApi {
 
   /** `joinType`: "left" (default — unmatched left rows null-padded) or
     * "inner" (unmatched left rows dropped, DuckDB `ASOF JOIN` default).
+    * `direction`: "backward" (default — greatest rightTime <= leftTime,
+    * ties to greatest tiebreak) or "forward" (smallest rightTime >=
+    * leftTime, ties to smallest tiebreak).
     */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       key: (String, String), time: (String, String),
-      tiebreak: Seq[String] = Nil, joinType: String = "left"): DataFrame = {
+      tiebreak: Seq[String] = Nil, joinType: String = "left",
+      direction: String = "backward"): DataFrame = {
     val inner = joinType match {
       case "left" => false
       case "inner" => true
       case other => throw new IllegalArgumentException(
         s"asofJoin: joinType must be 'left' or 'inner', got '$other'")
+    }
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"asofJoin: direction must be 'backward' or 'forward', got '$other'")
     }
     val spark = leftDf.sparkSession
     register(spark)
@@ -262,6 +305,6 @@ object AsOfJoinApi {
     GraftSqlBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       resolve(lPlan, key._1), resolve(rPlan, key._2),
       resolve(lPlan, time._1), resolve(rPlan, time._2),
-      tiebreak.map(resolve(rPlan, _)), inner))
+      tiebreak.map(resolve(rPlan, _)), inner, forward))
   }
 }

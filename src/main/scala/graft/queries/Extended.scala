@@ -283,6 +283,25 @@ object Extended {
       .select(col("event_id"), col("user_id"), col("ok").as("last_order"))
   }
 
+  /** q47 — FORWARD as-of: every event enriched with its user's NEXT
+    * order at-or-after event time (the "time-to-next-action" shape —
+    * lead-time analyses, label-horizon joins in training pipelines).
+    * Same native operator with the direction mirrored; ties take the
+    * smallest order key, matching DuckDB's `ASOF LEFT JOIN ... ts <=
+    * date` after a min-collapse per (key, date).
+    */
+  def q47AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ott"),
+      col("o_orderkey").as("ok"))
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("ett"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(e, o, ("user_id", "k"), ("ett", "ott"),
+        tiebreak = Seq("ok"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ok").as("next_order"))
+  }
+
   /** q31 — interpolated percentiles per group (median, p90). */
   def q31Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -510,6 +529,7 @@ object Extended {
     "q30_asof_join"      -> q30AsofJoin _,
     "q42_asof_native"    -> q42AsofNative _,
     "q46_asof_inner"     -> q46AsofInner _,
+    "q47_asof_forward"   -> q47AsofForward _,
     "q44_topk_heap"      -> q44TopkHeap _,
     "q45_gap_fill"       -> q45GapFill _,
     "q31_percentiles"    -> q31Percentiles _,
@@ -599,6 +619,16 @@ object Extended {
         |SELECT e.event_id, e.user_id, o.ok AS last_order
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // q47: the FORWARD direction — DuckDB's ASOF with a <= comparator
+    // takes the smallest right time >= left time; min(ok) collapses
+    // (key, date) ties toward the smallest key like the operator's
+    // forward tiebreak order
+    "q47_asof_forward" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, min(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.ok AS next_order
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
     // q46: the INNER posture — DuckDB's default ASOF JOIN drops
     // events with no prior order, exactly the operator's inner mode
     "q46_asof_inner" ->

@@ -89,6 +89,69 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  private def asofFwd(lRows: Seq[(Long, Long, Long)],
+      rRows: Seq[(Long, Long, Long)]): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = lRows.toDF("id", "k", "t")
+    val r = rRows.toDF("ok", "rk", "rt")
+    AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"), Seq("ok"),
+        direction = "forward")
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getLong(3))))
+      .toMap
+  }
+
+  test("forward match: earliest right row at-or-after each left time; " +
+      "ties take the smallest tiebreak") {
+    val got = asofFwd(
+      lRows = Seq((1L, 7L, 10L), (2L, 7L, 25L), (3L, 7L, 35L)),
+      rRows = Seq((100L, 7L, 8L), (101L, 7L, 20L), (102L, 7L, 30L)))
+    assert(got == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None))
+    // equal right times compete on the SMALLEST key; inclusive match
+    val ties = asofFwd(
+      lRows = Seq((1L, 7L, 10L)),
+      rRows = Seq((105L, 7L, 10L), (100L, 7L, 10L), (90L, 7L, 12L)))
+    assert(ties == Map(1L -> Some(100L)))
+    // several left rows may share one right match (head is peeked,
+    // never consumed)
+    val shared = asofFwd(
+      lRows = Seq((1L, 7L, 1L), (2L, 7L, 2L), (3L, 7L, 3L)),
+      rRows = Seq((100L, 7L, 5L)))
+    assert(shared == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> Some(100L)))
+  }
+
+  test("property: forward as-of equals a brute-force oracle on random " +
+      "keys/times/ties, in both join types") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 99L), Gen.choose(0L, 3L), Gen.choose(0L, 9L)))
+    val prop = Prop.forAll(rowGen, rowGen) { (lRows, rRows) =>
+      val expect = lRows.map { case (id, k, t) =>
+        val cands = rRows.filter(r => r._2 == k && r._3 >= t)
+        (id, k, t) -> (if (cands.isEmpty) None
+                       else Some(cands.minBy(r => (r._3, r._1))._1))
+      }.toMap
+      val l = lRows.toDF("id", "k", "t")
+      val r = rRows.toDF("ok", "rk", "rt")
+      val outer = AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"),
+          Seq("ok"), direction = "forward")
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)) ->
+          (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+      val inner = AsOfJoinApi.asofJoin(l, r, ("k", "rk"), ("t", "rt"),
+          Seq("ok"), joinType = "inner", direction = "forward")
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)) ->
+          Some(row.getLong(3))).toMap
+      // duplicate (id,k,t) left rows collapse identically in map form
+      outer == expect.map { case (k2, v) => k2 -> v } &&
+        inner == expect.collect { case (k2, Some(v)) => k2 -> Some(v) }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("result is partitioning-independent (shuffle provisioned by Exec)") {
     import spark.implicits._
     val lRows = (0L until 500L).map(i => (i, i % 13, i % 37))
