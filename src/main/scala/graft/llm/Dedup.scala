@@ -827,10 +827,17 @@ object Dedup {
         hash60(array_join(slice(col("t"), col("span_start") + 1,
           col("span_end") - col("span_start") + 1), " ")).as("sh"))
     val wKeep = Window.partitionBy("sh").orderBy("doc_id", "span_start")
+    // cuts is referenced three ways (affected-doc election, the
+    // position anti-join, and through it the rebuild) — materialize
+    // the small span list once instead of recomputing the whole
+    // gram/island/content pipeline per reference (the d8/c8
+    // eager-checkpoint pattern; blocks are released by the bench's
+    // inter-query state sweep)
     val cuts = content
       .withColumn("rn", row_number().over(wKeep))
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("span_start"), col("span_end"))
+      .localCheckpoint()
     val affected = cuts.select("doc_id").distinct()
     val posToks = toks.join(affected, "doc_id")
       .select(col("doc_id"), posexplode(col("t")))
