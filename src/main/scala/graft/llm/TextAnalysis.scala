@@ -440,9 +440,39 @@ object TextAnalysis {
       .withColumn("chunk_len", char_length(col("chunk_text")).cast(LongType))
   }
 
+  /** Token budget per chunk for [[chunkDocsTokens]]. */
+  val ChunkTokens = 40
+  /** Token stride between chunk starts (10-token overlap). */
+  val TokenStride = 30
+
+  /** t13 — the token-budget sibling of [[chunkDocs]]: windows advance
+    * in TOKENS, so every chunk respects a model's context budget
+    * exactly instead of approximating it through characters (chunks
+    * never split a token, the failure mode of char windows). Same
+    * shuffle-free map-only plan — `tokens()` + `slice` replace
+    * `substr`, as the t12 scaladoc promises.
+    */
+  def chunkDocsTokens(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tk.as("t"), size(tk).as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n") - 1, lit(TokenStride))).as("off"))
+      .select(
+        col("doc_id"),
+        (col("off") / TokenStride).cast(LongType).as("chunk_idx"),
+        col("off").cast(LongType).as("tok_start"),
+        array_join(slice(col("t"), col("off") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("t"), col("off") + 1, lit(ChunkTokens)))
+          .cast(LongType).as("n_chunk_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t8_tfidf"       -> ((s: SparkSession, dir: String) => tfidf(s, dir)),
     "t12_chunk"      -> chunkDocs _,
+    "t13_chunk_tokens" -> chunkDocsTokens _,
     "t11_bm25"       -> ((s: SparkSession, dir: String) => bm25(s, dir)),
     "t1_token_stats" -> tokenStats _,
     "t2_quality"     -> qualityScore _,
@@ -566,6 +596,23 @@ object TextAnalysis {
          |  substr(txt, CAST(off + 1 AS INTEGER), $ChunkChars) AS chunk_text,
          |  CAST(length(substr(txt, CAST(off + 1 AS INTEGER), $ChunkChars))
          |    AS BIGINT) AS chunk_len
+         |FROM o""".stripMargin,
+    // t13: list_slice clamps at the list end exactly like Spark's
+    // slice; off is a stride multiple so the // division is exact
+    "t13_chunk_tokens" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |o AS (SELECT doc_id, t,
+         |  unnest(generate_series(0, len(t) - 1, $TokenStride)) AS off
+         |  FROM d WHERE len(t) >= 1)
+         |SELECT doc_id,
+         |  CAST(off // $TokenStride AS BIGINT) AS chunk_idx,
+         |  CAST(off AS BIGINT) AS tok_start,
+         |  array_to_string(list_slice(t, CAST(off + 1 AS INTEGER),
+         |    CAST(off + $ChunkTokens AS INTEGER)), ' ') AS chunk_text,
+         |  CAST(len(list_slice(t, CAST(off + 1 AS INTEGER),
+         |    CAST(off + $ChunkTokens AS INTEGER))) AS BIGINT)
+         |    AS n_chunk_tokens
          |FROM o""".stripMargin,
     // t10: same multiset gram counts; DuckDB lists are 1-based like the
     // Spark sequence, so gram i spans t[i..i+n-1] in both engines

@@ -46,6 +46,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("t13: token chunks tile every document — strided starts, exact " +
+      "budget, and stride-prefixes reassemble the token stream") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val chunks = TextAnalysis.chunkDocsTokens(spark, sfDir)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val stride = TextAnalysis.TokenStride
+    val budget = TextAnalysis.ChunkTokens
+    assert(chunks.keySet == docs.filter(_._2.nonEmpty).keySet)
+    chunks.foreach { case (id, cs) =>
+      val toks = docs(id)
+      cs.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i && r.getLong(2) == i.toLong * stride)
+        val expect = toks.slice(i * stride,
+          math.min(toks.size, i * stride + budget))
+        assert(r.getString(3) == expect.mkString(" "), s"doc $id chunk $i")
+        assert(r.getLong(4) == expect.size.toLong)
+        assert(r.getLong(4) <= budget.toLong)
+      }
+      assert(cs.size == (toks.size + stride - 1) / stride)
+      val rebuilt = cs.flatMap(r => r.getString(3).split(" ").take(stride))
+      assert(rebuilt.toVector == toks, s"doc $id token reassembly")
+    }
+  }
+
   // ---- d12 duplicated spans ---------------------------------------------
 
   private def spansOf(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
@@ -86,6 +114,31 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = Seq((1L, run), (2L, run)).toDF("doc_id", "text")
     val out = spansOf(dupSpansOf(docs))
     assert(out == Set((1L, 0L, 11L, 12L, 5L), (2L, 0L, 11L, 12L, 5L)), out)
+  }
+
+  test("d12: no keyed shuffle carries document text — the gram, repeat " +
+      "and island exchanges move hashed longs only") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val keyed = Dedup.dupSpans(spark, sfDir)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+      assert(keyed.nonEmpty)
+      keyed.foreach { e =>
+        val cols = e.child.output.map(_.name.toLowerCase)
+        // the only string-bearing exchange allowed is the corpus-spread
+        // round-robin repartition (excluded above): every semantic
+        // shuffle must be pre-hashed
+        assert(!cols.exists(c => c == "text" || c == "txt" || c == "t"),
+          s"document text crosses a keyed shuffle: ${cols.mkString(",")}")
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   /** Writes a (doc_id, text) frame as a documents fixture dir so the
