@@ -27,6 +27,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main layout compact <in> <out> [targetMB]
   *   graft.cli.Main ingest init-dedup <corpus> <indexTable>     // fp-index bootstrap
   *   graft.cli.Main ingest dedup <watchDir> <indexTable> <acceptedDir> <ckDir>
+  *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
   * }}}
   *
@@ -158,6 +159,16 @@ object Main {
       val q = graft.streaming.IngestDedup.run(
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), table, accepted, ck)
+      try q.processAllAvailable() finally q.stop()
+    // `curate`: the dedup ingest with the Gopher-rule quality gate in
+    // front — rejected docs are dropped (never indexed), duplicates of
+    // already-accepted docs anti-join away; the streaming form of the
+    // batch curation pipeline's first stages
+    case Seq("ingest", "curate", watch, table, accepted, ck) =>
+      val q = graft.streaming.IngestDedup.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), table, accepted, ck,
+        gate = graft.streaming.IngestDedup.qualityGate)
       try q.processAllAvailable() finally q.stop()
     case Seq("ingest", "ann", watch, idx, ck) =>
       val q = graft.streaming.IngestAnn.run(

@@ -52,16 +52,37 @@ object IngestDedup {
     * layout (bucketed by fp, `buckets` must match it). Accepted docs
     * land under `acceptedPath/batch_id=N/` (readable as one
     * partitioned parquet table with ingest provenance).
+    *
+    * `gate` is an optional curation stage applied to each micro-batch
+    * BEFORE fingerprinting: rejected docs are dropped without being
+    * indexed, so a rejected doc arriving again is simply rejected
+    * again. The gate MUST be deterministic and per-row (no cross-batch
+    * state) — that is what keeps crash-replays recomputing the
+    * identical survivor set, which the exactly-once reasoning above
+    * depends on. [[qualityGate]] is the stock choice.
     */
   def run(docs: DataFrame, indexTable: String, acceptedPath: String,
-      checkpoint: String, buckets: Int = 8): StreamingQuery =
+      checkpoint: String, buckets: Int = 8,
+      gate: DataFrame => DataFrame = identity): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        processBatch(batch.toDF(), id, indexTable, acceptedPath, buckets)
+        processBatch(batch.toDF(), id, indexTable, acceptedPath, buckets, gate)
       }
       .start()
+
+  /** Stateless Gopher-rule curation gate for [[run]]: only documents
+    * passing the t9 rule battery ([[graft.llm.TextAnalysis.qualityRulesOf]])
+    * are admitted to the dedup/index stage — the streaming composition
+    * of the batch c1/c8 pipelines' first stage. Deterministic per-row
+    * arithmetic, so replays agree (see [[run]]'s gate contract).
+    */
+  val qualityGate: DataFrame => DataFrame = docs =>
+    docs.join(
+      graft.llm.TextAnalysis.qualityRulesOf(docs)
+        .filter(col("pass") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
 
   /** One micro-batch of the ingest flow — public so the replay
     * idempotence the scaladoc claims is directly testable: calling it
@@ -69,12 +90,14 @@ object IngestDedup {
     * accepted table unchanged and add no new DISTINCT fp.
     */
   def processBatch(batch: DataFrame, id: Long, indexTable: String,
-      acceptedPath: String, buckets: Int = 8): Unit = {
+      acceptedPath: String, buckets: Int = 8,
+      gate: DataFrame => DataFrame = identity): Unit = {
     val s = batch.sparkSession
+    val admitted = gate(batch)
     val w = Window.partitionBy("fp").orderBy("doc_id")
     // one materialization feeds both sinks: the accepted semi-join
     // and the index append must see the SAME survivor set
-    val fresh = Dedup.fingerprintsOf(batch)
+    val fresh = Dedup.fingerprintsOf(admitted)
       .join(s.table(indexTable), Seq("fp"), "left_anti")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -85,7 +108,7 @@ object IngestDedup {
       // first attempt fully committed, overwriting would destroy the
       // committed accepted directory (see the crash-point analysis)
       if (!fresh.isEmpty) {
-        batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+        admitted.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$acceptedPath/batch_id=$id")
         fresh.select("fp")

@@ -257,6 +257,46 @@ class IoCliSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("cli ingest curate: quality-rejected docs never land or index; " +
+      "dedup still applies behind the gate") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ingcur").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val passing = graft.llm.TextAnalysis.qualityRules(spark, sfDir)
+      .filter(col("pass") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val table = "ingest_curate_fp"
+    docs.filter(col("doc_id") < 100).write.parquet(s"$dir/corpus")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "init-dedup", s"$dir/corpus", table))
+    // a doc that fails the hash-ratio rule deterministically
+    val bad = Seq((9000L, "#### #### #### ####")).toDF("doc_id", "text")
+    new java.io.File(s"$dir/watch").mkdirs()
+    docs.filter("doc_id >= 100 AND doc_id < 150")
+      .union(bad)
+      .union(docs.filter("doc_id < 20")) // dups of the known corpus
+      .write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "curate", s"$dir/watch", table, s"$dir/acc", s"$dir/ck"))
+    def accepted() = spark.read.parquet(s"$dir/acc")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect1 = (100L until 150L).filter(passing).toSet
+    assert(accepted() == expect1, s"run 1: ${accepted()}")
+    // the rejected doc was NOT indexed: re-feeding it (plus new docs)
+    // still rejects it, while new passers land exactly once
+    docs.filter("doc_id >= 150 AND doc_id < 175")
+      .union(bad)
+      .write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "curate", s"$dir/watch", table, s"$dir/acc", s"$dir/ck"))
+    val expect2 = expect1 ++ (150L until 175L).filter(passing)
+    assert(accepted() == expect2, s"run 2: ${accepted()}")
+    assert(!accepted().contains(9000L))
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("cli ingest ann: drained batches are searchable; equals one-shot build") {
     val dir = Files.createTempDirectory("graft_ingestann").toString
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
