@@ -519,6 +519,40 @@ object Similarity {
     pqAdcSearch(codes, books, q, topK)
   }
 
+  // -- s12: k-NN label vote / label-noise detection -----------------------
+  /** s12 — retrieval-based labeling: each query vector takes the
+    * majority label of its exact top-5 cosine neighbors (ties toward
+    * the smallest label id), and `agree` flags whether its OWN label
+    * matches the vote. The curation use is label-noise detection —
+    * documents whose assigned class disagrees with their embedding
+    * neighborhood are review/drop candidates (the classic k-NN noise
+    * filter, Wilson 1972 editing) — and the same query IS k-NN
+    * classification for unlabeled points.
+    *
+    * Scale shape: rides s9's heap-ranked exact search (queries
+    * broadcast, no corpus shuffle, ≤ k·|Q| exchange), then joins the
+    * tiny (q_id, vec_id) neighbor list back to labels — AQE
+    * broadcasts it — and aggregates |Q|·k rows. The production-scale
+    * variant swaps the s9 stage for any index-backed search (s2/s6/
+    * s10/s11) with identical downstream plumbing.
+    */
+  def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
+    val lbl = emb(s, dir).select(col("vec_id"), col("label"))
+    val own = lbl.select(col("vec_id").as("q_id"), col("label").as("own_label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("votes"), col("label"))
+    knnBruteTopK(s, dir)
+      .join(lbl, "vec_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(own, "q_id")
+      .select(col("q_id"), col("own_label"),
+        col("label").as("pred_label"), col("votes"),
+        when(col("own_label") === col("label"), 1).otherwise(0)
+          .cast("int").as("agree"))
+  }
+
   // -- s11: composed IVF + residual PQ (the production ANN layout) --------
   /** Coarse-quantizer cell count for the oracle-gated composed path.
     * Tiny by design: what s11 gates is the COMPOSITION (coarse assign →
@@ -903,7 +937,8 @@ object Similarity {
     "s5_quantize" -> quantizeInt8 _,
     "s6_knn_lsh" -> ((s: SparkSession, dir: String) => knnLsh(s, dir)),
     "s10_knn_pq" -> ((s: SparkSession, dir: String) => knnPqInline(s, dir)),
-    "s11_knn_ivfpq" -> ((s: SparkSession, dir: String) => knnIvfPq(s, dir)))
+    "s11_knn_ivfpq" -> ((s: SparkSession, dir: String) => knnIvfPq(s, dir)),
+    "s12_label_vote" -> knnLabelVote _)
 
   private val cosSql =
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
@@ -1052,6 +1087,28 @@ object Similarity {
          |      ORDER BY sim DESC, vec_id) AS rk
          |  FROM sc)
          |WHERE rk <= 5""".stripMargin
+    },
+    // s12: s1's exact top-5 as a CTE, neighbor labels voted with the
+    // same (votes DESC, label) argmax window, own label joined back
+    "s12_label_vote" -> {
+      val sim = s"round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6)"
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $sim DESC, e.vec_id) AS rk
+         |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |  WHERE rk <= 5),
+         |v AS (SELECT nn.q_id, e.label, COUNT(*) AS votes
+         |  FROM nn JOIN e ON e.vec_id = nn.vec_id GROUP BY 1, 2),
+         |p AS (SELECT q_id, label AS pred_label, votes FROM (
+         |  SELECT q_id, label, votes, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1)
+         |SELECT p.q_id, o.label AS own_label, p.pred_label, p.votes,
+         |  CAST(CASE WHEN o.label = p.pred_label THEN 1 ELSE 0 END
+         |    AS INTEGER) AS agree
+         |FROM p JOIN e o ON o.vec_id = p.q_id""".stripMargin
     },
     "s11_knn_ivfpq" -> {
       // cells and codebooks as flat literals (the s10 single-literal

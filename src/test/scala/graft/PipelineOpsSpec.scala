@@ -250,6 +250,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("s12: prediction is the neighbor-label mode with smallest-label " +
+      "ties, and agree compares it to the query's own label") {
+    def num(r: Row, i: Int): Long = r.get(i).asInstanceOf[Number].longValue
+    val labels = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> num(r, 1)).toMap
+    val nn = Similarity.knnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = Similarity.knnLabelVote(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((num(r, 1), num(r, 2), num(r, 3), r.getInt(4)))).toMap
+    assert(got.keySet == nn.keySet)
+    nn.foreach { case (q, neigh) =>
+      val votes = neigh.groupBy(labels).view.mapValues(_.size).toMap
+      val (pred, n) = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      val (ownL, predL, votesGot, agree) = got(q)
+      assert(ownL == labels(q) && predL == pred && votesGot == n.toLong,
+        s"query $q: got ${got(q)}, want ($pred, $n)")
+      assert(agree == (if (ownL == predL) 1 else 0))
+    }
+  }
+
   test("s11: plan has no cartesian product and ranks via the bounded " +
       "heap, not a window sort") {
     val p = Similarity.knnIvfPq(spark, sfDir)
