@@ -325,6 +325,49 @@ object Curation {
       denom: Int = 10000): DataFrame =
     weightedSampleOf(Tables.load(s, dir, "documents"), alpha, denom)
 
+  /** c11 — the temperature mix MATERIALIZED as epoch repetition: each
+    * source's ratio = weight / its natural share, so ratio > 1 sources
+    * (small, upweighted) repeat — every doc appears floor(ratio)
+    * times plus once more for a deterministic hash-selected fraction —
+    * and ratio < 1 sources thin to that fraction. The output is the
+    * actual training-order corpus a sampler would read (one row per
+    * (doc, epoch)), where c3 only reports the weights and c7 only
+    * draws a single weighted subset.
+    *
+    * Determinism: the fractional inclusion reuses the c7 hash-bucket
+    * scheme under a distinct salt, so the materialization is identical
+    * across partitionings, reruns, and engines. Scale shape: the
+    * ratio table is |sources| rows (broadcast); repetition is a
+    * scan-side `sequence`+`explode` on ids only — the text column
+    * never enters the plan, downstream readers join it back by doc_id.
+    */
+  def sourceEpochsOf(docs: DataFrame, alpha: Double = 0.7,
+      denom: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    val w = mixWeightsOf(docs, alpha)
+      .withColumn("total_chars", sum(col("n_chars")).over(Window.partitionBy()))
+      .select(col("source"),
+        round(col("weight") * col("total_chars") / col("n_chars"), 6)
+          .as("ratio"))
+    docs.select(col("doc_id"), col("source"))
+      .join(w, "source")
+      .withColumn("n_rep",
+        (floor(col("ratio")) +
+          when(TextAnalysis.hash60(
+              concat(lit("epoch:"), col("doc_id").cast("string"))) % denom
+            < (col("ratio") - floor(col("ratio"))) * denom, 1).otherwise(0))
+          .cast("int"))
+      .filter(col("n_rep") >= 1)
+      .select(col("doc_id"), col("source"), col("ratio"),
+        explode(sequence(lit(1), col("n_rep"))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+  }
+
+  def sourceEpochs(s: SparkSession, dir: String, alpha: Double = 0.7,
+      denom: Int = 10000): DataFrame =
+    sourceEpochsOf(Tables.load(s, dir, "documents"), alpha, denom)
+
   /** Buckets per source for the hierarchical pack cumsum — the
     * intra-source parallelism of the packers.
     */
@@ -555,6 +598,8 @@ object Curation {
     "c6_decontaminate_apply" ->
       ((s: SparkSession, dir: String) => decontaminateApply(s, dir)),
     "c3_mix_weights" -> ((s: SparkSession, dir: String) => mixWeights(s, dir)),
+    "c11_source_epochs" ->
+      ((s: SparkSession, dir: String) => sourceEpochs(s, dir)),
     "c7_weighted_sample" ->
       ((s: SparkSession, dir: String) => weightedSample(s, dir)),
     "c4_pack" -> ((s: SparkSession, dir: String) => packShards(s, dir)))
@@ -738,6 +783,27 @@ object Curation {
         |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |        power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
         |      FROM documents GROUP BY source)""".stripMargin,
+    // c11: c3's weight arithmetic → ratio vs the source's natural
+    // char share, floor + hash-fraction repetition, generate_series
+    // materialization (stop-inclusive like Spark's sequence; the
+    // n_rep >= 1 filter is load-bearing on the Spark side, where
+    // sequence(1, 0) would count DOWN)
+    "c11_source_epochs" ->
+      """WITH w0 AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS sc,
+        |  power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source,
+        |  round(round(w_raw / sum(w_raw) OVER (), 6)
+        |    * sum(sc) OVER () / sc, 6) AS ratio FROM w0),
+        |r AS (SELECT d.doc_id, d.source, w.ratio,
+        |  CAST(floor(w.ratio) + CASE WHEN
+        |      CAST(('0x' || substr(md5('epoch:' || d.doc_id), 1, 15)) AS BIGINT)
+        |        % 10000 < (w.ratio - floor(w.ratio)) * 10000
+        |    THEN 1 ELSE 0 END AS INTEGER) AS n_rep
+        |  FROM documents d JOIN w USING (source))
+        |SELECT doc_id, source, ratio,
+        |  CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS epoch
+        |FROM r WHERE n_rep >= 1""".stripMargin,
     // c7: identical weight arithmetic to c3, identical md5-prefix hash
     // to the Spark kernel — selection agrees by construction
     "c7_weighted_sample" ->

@@ -194,6 +194,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == (("", 9L)))
   }
 
+  // ---- c11 source-epoch materialization ---------------------------------
+
+  test("c11: each doc repeats floor(ratio) or ceil(ratio) times with " +
+      "contiguous epochs, and realized repetition tracks the ratio") {
+    val rows = graft.llm.Curation.sourceEpochs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_._1)
+    perDoc.foreach { case (id, rs) =>
+      val ratio = rs.head._3
+      val epochs = rs.map(_._4).sorted.toSeq
+      assert(epochs == (1L to rs.size.toLong), s"doc $id epochs: $epochs")
+      assert(rs.size == math.floor(ratio).toInt ||
+        rs.size == math.ceil(ratio).toInt, s"doc $id: ${rs.size} vs $ratio")
+    }
+    // realized per-source expansion approximates the ratio (hash
+    // selection is a fixed-denominator bucket draw, so allow slack)
+    val docsPerSource = graft.core.Tables.load(spark, sfDir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val ratio = rs.head._3
+      val realized = rs.size.toDouble / docsPerSource(src)
+      assert(math.abs(realized - ratio) <= 0.25 + 1.0 / docsPerSource(src),
+        s"$src: realized $realized vs ratio $ratio")
+    }
+  }
+
   // ---- s11 composed IVF + residual PQ -----------------------------------
 
   test("s11: every neighbor honors the probe discipline and the ADC " +
