@@ -319,6 +319,31 @@ object TextAnalysis {
       .orderBy(desc("df"), desc("tf"), col("token"))
       .limit(topK)
 
+  // -- t14: vocabulary coverage / OOV rate ---------------------------------
+  /** t14 — per-document out-of-vocabulary rate against the [[vocabulary]]
+    * top-k: the standard tokenizer-coverage QA metric (a doc whose
+    * tokens mostly miss the vocabulary is noise, wrong-language, or
+    * evidence the vocabulary is too small — and the aggregate OOV
+    * distribution sizes the vocab itself).
+    *
+    * Scale shape: the vocabulary is a top-k aggregate (|vocab| rows,
+    * explicitly broadcast), so coverage is one exploded-token scan
+    * with a broadcast left join and a per-doc partial-agg count —
+    * no corpus-keyed shuffle beyond the per-doc aggregation.
+    */
+  def oovRate(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val vocab = broadcast(
+      vocabulary(s, dir, topK).select(col("token"), lit(1).as("in_vocab")))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens").cast("double"), 4))
+  }
+
   // -- t8: per-document TF-IDF keywords ------------------------------------
   /** Top-`topK` characteristic terms per document by TF-IDF (smoothed
     * idf = ln((N+1)/(df+1)) + 1, the scikit-learn convention). Two
@@ -473,6 +498,7 @@ object TextAnalysis {
     "t8_tfidf"       -> ((s: SparkSession, dir: String) => tfidf(s, dir)),
     "t12_chunk"      -> chunkDocs _,
     "t13_chunk_tokens" -> chunkDocsTokens _,
+    "t14_oov"        -> ((s: SparkSession, dir: String) => oovRate(s, dir)),
     "t11_bm25"       -> ((s: SparkSession, dir: String) => bm25(s, dir)),
     "t1_token_stats" -> tokenStats _,
     "t2_quality"     -> qualityScore _,
@@ -695,6 +721,24 @@ object TextAnalysis {
         |  GROUP BY token)
         |ORDER BY df DESC, tf DESC, token
         |LIMIT 100""".stripMargin,
+    // t14: t7's deterministic top-100 cut as the vocab, left join +
+    // null-count for OOV; same double division before the round
+    "t14_oov" ->
+      """WITH v AS (SELECT token FROM (
+        |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id,
+        |          lower(unnest(string_split_regex(trim(text), '\s+'))) AS token
+        |        FROM documents)
+        |  GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT 100)),
+        |tk AS (SELECT doc_id,
+        |  lower(unnest(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+        |FROM tk LEFT JOIN v USING (token) GROUP BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(n) AS fp,
         |CAST(('0x' || substr(md5(n), 1, 15)) AS BIGINT) AS fp60,

@@ -194,6 +194,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == (("", 9L)))
   }
 
+  test("t14: OOV counts equal a Scala recount against the t7 vocabulary") {
+    val vocab = TextAnalysis.vocabulary(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val got = TextAnalysis.oovRate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val oov = toks.count(!vocab.contains(_)).toLong
+      val (n, nOov, rate) = got(id)
+      assert(n == toks.size.toLong && nOov == oov, s"doc $id")
+      assert(math.abs(rate -
+        BigDecimal(oov.toDouble / toks.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   // ---- c11 source-epoch materialization ---------------------------------
 
   test("c11: each doc repeats floor(ratio) or ceil(ratio) times with " +
