@@ -29,6 +29,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest dedup <watchDir> <indexTable> <acceptedDir> <ckDir>
   *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
+  *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
+  *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   * }}}
   *
   * `<model>` ∈ lr, dt, rf, gbt, svc, nb, mlp. Inputs are header CSV (parity
@@ -106,6 +108,20 @@ object Main {
 
     case Seq("curate", in, out) => curate(spark, in, out, budget = 2000L)
     case Seq("curate", in, out, budget) => curate(spark, in, out, budget.toLong)
+
+    // chunking + span dedup as batch jobs over a documents table dir
+    case Seq("chunk", in, out) =>
+      graft.llm.TextAnalysis.chunkDocs(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("chunk", in, out, "tokens") =>
+      graft.llm.TextAnalysis.chunkDocsTokens(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("spans", in, out) =>
+      graft.llm.Dedup.dupSpans(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("spans", in, out, "cut") =>
+      graft.llm.Dedup.spanDedupApply(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
 
     // ANN index lifecycle as batch jobs: `index` is the once-per-
     // corpus write step (KMeans IVF cells + centroid table, or LSH

@@ -220,6 +220,24 @@ class IoCliSpec extends SparkSpec {
     assert(ivf.columns.toSet == Set("q_id", "vec_id", "sim", "rk"))
   }
 
+  test("cli chunk and spans jobs write parquet equal to the library queries") {
+    val dir = Files.createTempDirectory("graft_chunkspan").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    graft.cli.Main.run(spark, Seq("chunk", sfDir, s"$dir/c"))
+    assert(rows(spark.read.parquet(s"$dir/c")) ==
+      rows(graft.llm.TextAnalysis.chunkDocs(spark, sfDir)))
+    graft.cli.Main.run(spark, Seq("chunk", sfDir, s"$dir/ct", "tokens"))
+    assert(rows(spark.read.parquet(s"$dir/ct")) ==
+      rows(graft.llm.TextAnalysis.chunkDocsTokens(spark, sfDir)))
+    graft.cli.Main.run(spark, Seq("spans", sfDir, s"$dir/s"))
+    assert(rows(spark.read.parquet(s"$dir/s")) ==
+      rows(graft.llm.Dedup.dupSpans(spark, sfDir)))
+    graft.cli.Main.run(spark, Seq("spans", sfDir, s"$dir/sc", "cut"))
+    assert(rows(spark.read.parquet(s"$dir/sc")) ==
+      rows(graft.llm.Dedup.spanDedupApply(spark, sfDir)))
+  }
+
   test("cli ingest dedup: drain-and-exit runs accept each doc exactly once") {
     val dir = Files.createTempDirectory("graft_ingest").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -106,6 +106,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("d12: corpus-wide boilerplate is linear, not quadratic — one " +
+      "maximal span per doc on the 600-doc templated corpus") {
+    import spark.implicits._
+    // the DedupSkewSpec regime: a gram shared by ALL 600 docs costs
+    // d12 600 position rows (per-occurrence), where pair-based
+    // detectors pay up to 600² candidate pairs — span detection has
+    // no pair stage to flood. Docs 2k/2k+1 of the first 40 also share
+    // their tails except the last token, extending THEIR spans.
+    val boiler = (0 until 60).map(i => s"boiler$i").mkString(" ")
+    def tail(i: Int): String = {
+      val base = if (i < 40) i / 2 * 2 else i
+      ((0 until 19).map(j => s"u${base}_$j") :+ s"v$i").mkString(" ")
+    }
+    val docs = (0 until 600).map(i => (i.toLong, s"$boiler ${tail(i)}"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = spansOf(dupSpansOf(docs))
+    info(f"600-doc boilerplate corpus: ${out.size} spans in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    assert(out.size == 600) // exactly one maximal span per doc
+    out.foreach { case (id, start, end, toks, grams) =>
+      assert(start == 0L)
+      if (id < 40L) // shared tail: span runs to the second-last token
+        assert(end == 78L && toks == 79L && grams == 72L, s"doc $id")
+      else          // unique tail: span covers the boilerplate only
+        assert(end == 59L && toks == 60L && grams == 53L, s"doc $id")
+    }
+  }
+
   test("d12: overlapping duplicated grams merge into one island") {
     import spark.implicits._
     // 12-token run shared verbatim by two docs → 5 gram positions
