@@ -22,7 +22,8 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Curation.queries ++
-      graft.llm.Multimodal.queries
+      graft.llm.Multimodal.queries ++
+      graft.ops.Maintenance.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.Curation.oracleSql ++
-      graft.llm.Multimodal.oracleSql
+      graft.llm.Multimodal.oracleSql ++
+      graft.ops.Maintenance.oracleSql
 }

@@ -358,13 +358,25 @@ object Similarity {
   }
 
   // -- PQ: product-quantized index + ADC search ---------------------------
-  /** Product quantization geometry: [[Dims]] = 64 dims → 8 subspaces
-    * × 8 dims, 16 centroids per subspace — 8 small ints per stored
-    * vector (vs 256 bytes of fp32), the compression tier below int8
-    * (Jégou et al., TPAMI 2011; the FAISS storage workhorse).
+  /** Product quantization geometry: [[Dims]] = 64 dims → 16 subspaces
+    * × 4 dims, 64 centroids per subspace — 16 six-bit codes (96 bits)
+    * per stored vector vs 256 bytes of fp32 (Jégou et al., TPAMI
+    * 2011; the FAISS storage workhorse). Sized to the corpus: the
+    * synthetic embeddings are near-isotropic in cosine (documented at
+    * [[knnIvfKmeans]]), the hardest quantization regime — at the
+    * round-8 geometry (8×16 = 32 bits) even k-means-fitted codebooks
+    * cap raw-ADC recall@5 near 0.14, while 96-bit codes plus the
+    * [[PqRerank]] exact tier measure ≥ 0.9.
     */
-  val PqM = 8
-  val PqK = 16
+  val PqM = 16
+  val PqK = 64
+  /** ADC candidates kept per query for the exact rerank tier (the
+    * FAISS refine posture): ADC ranks the WHOLE corpus from codes
+    * alone — that cheap full scan is the point of PQ — then only the
+    * top [[PqRerank]] ids fetch their fp vector for exact scoring.
+    * O(C·|Q|) id lookups at any scale; 2.5% of this corpus.
+    */
+  val PqRerank = 50
 
   /** Fits the per-subspace codebooks and writes the PQ index: a
     * `codes` table (vec_id, codes array — each entry the vector's
@@ -417,44 +429,50 @@ object Similarity {
     * centroids ONCE into a flat distance table (|Q|·m·k doubles,
     * broadcast), then every stored vector is scored by the native
     * `pq_adc` kernel — m array lookups in one codegen loop over the
-    * 8-int codes column; the fp corpus is never read. Ranking is the
-    * `topk_by` bounded heap, so nothing sorts and the exchange
-    * carries k rows per query per task. Each tier here is this
-    * engine's own machinery: vec_div/vec_dot build the table, pq_adc
-    * scores, topk_by ranks.
+    * codes column; the ADC scan never reads the fp corpus. With
+    * `rerank` > 0 (the default, the production posture) the top
+    * `rerank` ADC candidates then fetch their fp vector BY ID for an
+    * exact-cosine final ranking; `rerank = 0` returns the raw ADC
+    * scores (the reconstruction-identity form the specs pin).
+    * Ranking at both tiers is the `topk_by` bounded heap, so nothing
+    * sorts and each exchange carries ≤ k rows per query per task.
     */
   def knnPqFromIndex(s: SparkSession, dir: String, indexDir: String,
-      topK: Int = 5): DataFrame = {
-    val q = emb(s, dir).filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"),
-        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("quv"))
-    pqAdcSearch(s.read.parquet(s"$indexDir/codes"),
-      s.read.parquet(s"$indexDir/codebooks"), q, topK)
+      topK: Int = 5, m: Int = PqM, k: Int = PqK,
+      rerank: Int = PqRerank): DataFrame = {
+    val unit = unitVecs(s, dir)
+    val q = unit.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("uv").as("quv"))
+    val codes = s.read.parquet(s"$indexDir/codes")
+    val cb = s.read.parquet(s"$indexDir/codebooks")
+    if (rerank <= 0) pqAdcSearch(codes, cb, q, topK, m, k)
+    else rerankExact(
+      pqAdcSearch(codes, cb, q, rerank, m, k).select(col("q_id"), col("vec_id")),
+      unit, q, topK)
   }
+
+  /** (vec_id, uv) unit-normalized corpus — the frame every PQ stage
+    * (codebook sampling, encode, queries, rerank) reads.
+    */
+  private def unitVecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
 
   /** The ADC scoring core over a codes table (vec_id, codes), a
     * codebook (sub, code, cv) and unit-normalized queries
     * (q_id, quv) — shared verbatim by the fitted-index path
     * ([[knnPqFromIndex]]) and the deterministic-codebook s10 query
     * ([[knnPqInline]]), so the kernel plumbing is identical whether
-    * the codebook came from a KMeans fit or from literals.
+    * the codebook came from a KMeans fit or from corpus samples.
+    * ADC scores round to 6 dp BEFORE ranking so the candidate cutoff
+    * is tie-stable cross-engine (ties to the smaller vec_id).
     */
   private def pqAdcSearch(codes: DataFrame, cb: DataFrame, q: DataFrame,
-      topK: Int): DataFrame = {
+      topK: Int, m: Int = PqM, k: Int = PqK): DataFrame = {
     val s = codes.sparkSession
     graft.functions.TopKFunctions.register(s)
-    val dsub = Dims / PqM
-    // per-query flat table: idx = sub·k + code, value = q_sub · c
-    val qdt = q.crossJoin(broadcast(cb))
-      .select(col("q_id"), col("quv"),
-        (col("sub") * PqK + col("code")).as("idx"),
-        dot(slice(col("quv"), col("sub") * lit(dsub) + 1, lit(dsub)),
-          col("cv")).as("d"))
-      .groupBy("q_id")
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
-        x => x.getField("d")).as("dt"))
     codes
-      .crossJoin(broadcast(qdt))
+      .crossJoin(broadcast(pqDistTable(q, cb, m, k)))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(graft.functions.VectorFunctions
@@ -467,56 +485,124 @@ object Similarity {
         col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
   }
 
-  /** Seeded literal PQ codebooks for the oracle-gated s10 path: PqM
-    * subspaces × PqK centroids × (Dims/PqM) dims of fixed gaussians —
-    * shared verbatim with the DuckDB oracle SQL, the [[sigPlanes]]
-    * precedent. A random codebook quantizes WORSE than a fitted one
-    * (tracked, not gated, by the bench recall key); what it buys is
-    * cross-engine determinism, which a KMeans fit cannot give — so
-    * the ADC kernel plumbing (encode → distance table → pq_adc →
-    * heap) gets a full rows+schema+hash CORRECTNESS row, while fit
-    * quality stays covered by the KMeans-PQ spec tests.
+  /** Per-query flat ADC distance table: idx = sub·k + code, value =
+    * q_sub · c — |Q| rows of m·k doubles, built once and broadcast.
     */
-  // lazy: Dims is declared further down the object body — an eager
-  // val here would read it as 0 mid-initialization and bake empty
-  // centroids
-  lazy val pqBooks: Seq[(Int, Int, Array[Double])] = {
-    val rnd = new scala.util.Random(4242L)
-    for { sub <- 0 until PqM; code <- 0 until PqK }
-      yield (sub, code, Array.fill(Dims / PqM)(rnd.nextGaussian()))
+  private def pqDistTable(q: DataFrame, cb: DataFrame,
+      m: Int = PqM, k: Int = PqK): DataFrame = {
+    val dsub = Dims / m
+    q.crossJoin(broadcast(cb))
+      .select(col("q_id"),
+        (col("sub") * k + col("code")).as("idx"),
+        dot(slice(col("quv"), col("sub") * lit(dsub) + 1, lit(dsub)),
+          col("cv")).as("d"))
+      .groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        x => x.getField("d")).as("dt"))
   }
 
-  /** s10 — PQ ADC search with the deterministic literal codebooks:
-    * unit-normalize, encode every vector per subspace as its
-    * max-inner-product centroid (ties to the smallest code — argmax
-    * over identical left-to-right dots is engine-independent), build
-    * each query's flat distance table, score with the `pq_adc`
-    * codegen kernel, rank with the `topk_by` heap. Same plan shape as
-    * [[knnPqFromIndex]] with the encode step inlined (at 100 TB the
-    * encode is a write-time projection; the fitted-index path shows
-    * that form).
+  /** The exact rerank tier shared by s10/s11 and the fitted-index
+    * path: each (q_id, vec_id) candidate fetches its fp unit vector
+    * by id — a broadcast-join lookup of C·|Q| rows, never a corpus
+    * scan — and the final top-k ranks by exact cosine through the
+    * bounded heap (ties to the smaller vec_id, the s1 discipline).
     */
-  def knnPqInline(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+  private def rerankExact(cands: DataFrame, unit: DataFrame, q: DataFrame,
+      topK: Int): DataFrame =
+    unit.join(broadcast(cands), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("quv"), col("uv")), 6).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("sim"), col("vec_id"), lit(topK)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
+
+  /** vec_ids whose unit subvectors ARE the deterministic codebooks:
+    * code c ↦ vec_id (21 + 29·c) mod 500 — 29 is coprime to 500 so
+    * the [[PqK]] ids are distinct, and every id exists at every SF
+    * (the smallest corpus has 500 vectors). Sampling centroids FROM
+    * the data replaces the round-8 seeded gaussians: a gaussian
+    * centroid has norm ≈ √dsub while a unit vector's subvector has
+    * norm ≈ √(dsub/Dims) — an 8× scale mismatch that made
+    * nearest-centroid assignment direction-only and ADC sums
+    * meaningless (measured s10 recall 0.13 at sf0.1). Sampled
+    * centroids sit at the data's own scale, and on this isotropic
+    * corpus k-means fitting buys almost nothing over them (0.43 vs
+    * 0.43 raw-ADC recall at equal bit budget) — while preserving
+    * what the gaussians bought: cross-engine determinism, so the
+    * full encode → ADC → rerank pipeline keeps its
+    * rows+schema+hash oracle row.
+    */
+  val PqSampleIds: Seq[Long] =
+    (0 until PqK).map(c => ((21 + 29 * c) % 500).toLong)
+
+  /** The (sub, code, cv, cc) codebook table built from the corpus
+    * itself per [[PqSampleIds]]: centroid (sub, c) is subspace `sub`
+    * of sample c's unit vector; cc = ‖cv‖² rides along for the L2
+    * assignment rule. PqK corpus rows fanned to PqM·PqK rows —
+    * broadcast-sized by construction.
+    */
+  private def pqCodebooks(unit: DataFrame): DataFrame = {
+    val s = unit.sparkSession
     import s.implicits._
     val dsub = Dims / PqM
-    val books = broadcast(pqBooks.toDF("sub", "code", "cv"))
-    val unit = emb(s, dir)
-      .select(col("vec_id"),
-        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
-    val wEnc = Window.partitionBy("vec_id", "sub")
-      .orderBy(desc("d"), col("code"))
-    val codes = unit.crossJoin(books)
-      .select(col("vec_id"), col("sub"), col("code"),
-        dot(slice(col("uv"), col("sub") * lit(dsub) + 1, lit(dsub)),
-          col("cv")).as("d"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
+    val codeOf = PqSampleIds.zipWithIndex.toDF("vec_id", "code")
+    val subs = (0 until PqM).toDF("sub")
+    unit.join(broadcast(codeOf), "vec_id")
+      .crossJoin(broadcast(subs))
+      .select(col("sub"), col("code"),
+        slice(col("uv"), col("sub") * lit(dsub) + 1, lit(dsub)).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+  }
+
+  /** min-L2 PQ encode of `xs` (vec_id, `xcol` vector, plus `keep`
+    * columns) against a (sub, code, cv, cc) codebook: per subspace,
+    * code = argmin ‖x_sub − c‖² = argmax (x_sub·c − ½‖c‖²), ties to
+    * the smallest code. Shaped as two hash aggregates (struct-max
+    * argmax, then code collection) rather than a row_number window:
+    * both stages combine map-side, so the exchange carries one row
+    * per (vec, sub) — not the k-centroid fanout the window form
+    * would sort and shuffle.
+    */
+  private def pqEncode(xs: DataFrame, books: DataFrame, xcol: String,
+      keep: Seq[String]): DataFrame = {
+    val dsub = Dims / PqM
+    val gcols = "vec_id" +: keep
+    xs.crossJoin(books)
+      .select(gcols.map(col) ++ Seq(col("sub"), col("code"),
+        (dot(slice(col(xcol), col("sub") * lit(dsub) + 1, lit(dsub)),
+          col("cv")) - col("cc") / 2).as("d")): _*)
+      .groupBy((gcols :+ "sub").map(col): _*)
+      .agg(max(struct(col("d"), (-col("code")).as("nc"))).as("mx"))
+      .groupBy(gcols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("sub"),
+        (-col("mx.nc")).as("code")))), x => x.getField("code")).as("codes"))
+  }
+
+  /** s10 — PQ ADC search with the deterministic data-sampled
+    * codebooks ([[PqSampleIds]]): unit-normalize, min-L2-encode every
+    * vector per subspace (ties to the smallest code), build each
+    * query's flat distance table, score the whole corpus with the
+    * `pq_adc` codegen kernel, keep the ADC top [[PqRerank]] through
+    * the `topk_by` heap, and rank those candidates by exact cosine.
+    * Same plan shape as [[knnPqFromIndex]] with the encode step
+    * inlined (at 100 TB the encode is a write-time projection; the
+    * fitted-index path shows that form). Measured recall@5 ≥ 0.9 at
+    * both sf0.01 and sf0.1 — floor-gated in the bench artifact.
+    */
+  def knnPqInline(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val unit = unitVecs(s, dir)
+    val books = broadcast(pqCodebooks(unit))
+    val codes = pqEncode(unit, books, "uv", Nil)
     val q = unit.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("uv").as("quv"))
-    pqAdcSearch(codes, books, q, topK)
+    rerankExact(
+      pqAdcSearch(codes, books, q, PqRerank).select(col("q_id"), col("vec_id")),
+      unit, q, topK)
   }
 
   // -- s12: k-NN label vote / label-noise detection -----------------------
@@ -556,56 +642,66 @@ object Similarity {
   // -- s11: composed IVF + residual PQ (the production ANN layout) --------
   /** Coarse-quantizer cell count for the oracle-gated composed path.
     * Tiny by design: what s11 gates is the COMPOSITION (coarse assign →
-    * residual encode → probe-filtered ADC), not cell geometry — the
-    * fitted paths (s2/s4) own partition quality.
+    * residual encode → probe-filtered ADC → exact rerank), not cell
+    * geometry — the fitted paths (s2/s4) own partition quality.
     */
   val IvfPqCells = 4
-  /** Cells probed per query (nprobe). */
-  val IvfPqProbes = 2
-
-  /** Seeded literal coarse centroids, the [[pqBooks]] determinism
-    * pattern one level up: fixed gaussians shared verbatim with the
-    * DuckDB oracle so the cell assignment reproduces cross-engine.
+  /** Cells probed per query (nprobe): 3 of 4 — the same ~75% scanned
+    * fraction s4's defaults pick, and for the same reason: this
+    * synthetic corpus is near-isotropic in cosine, the regime where
+    * ANY space-partitioning index's recall is ceiling-limited by the
+    * fraction it scans (Weber, Schek & Blott, VLDB'98). Measured
+    * probe-stage ceiling ≈ 0.8 here; on a corpus with real cluster
+    * structure the same nprobe/cells ratio probes far less.
     */
-  lazy val coarseCells: Seq[(Int, Array[Double])] = {
-    val rnd = new scala.util.Random(1717L)
-    (0 until IvfPqCells).map(c => (c, Array.fill(Dims)(rnd.nextGaussian())))
-  }
+  val IvfPqProbes = 3
 
-  /** s11 — IVF + residual-PQ ADC search, the two halves of this
-    * engine's ANN surface composed the way a production 100 TB index
-    * is actually built (the IVF-PQ layout of Jégou et al. 2011):
-    * every vector is assigned to its max-inner-product coarse cell,
-    * the RESIDUAL uv − cell is PQ-encoded (residuals are smaller than
-    * raw vectors, so the same codebook budget quantizes finer), and a
-    * query scores only the [[IvfPqProbes]] cells nearest to it —
-    * sim(q,x) ≈ q·c(x) + q·r̂(x), the first term a per-(query,cell)
-    * scalar, the second the [[graft.functions.PqAdc]] table lookup.
+  /** vec_ids whose unit vectors ARE the coarse cells — the
+    * [[PqSampleIds]] determinism pattern one level up. Data-sampled
+    * cells are unit-norm by construction, so max-dot assignment IS
+    * min-L2 on the sphere (no ‖c‖² term needed), and residuals
+    * uv − cell sit at the same scale as the codebook samples.
+    */
+  val CoarseCellIds: Seq[Long] = Seq(100L, 200L, 300L, 400L)
+
+  /** s11 — IVF + residual-PQ ADC search with exact rerank, the two
+    * halves of this engine's ANN surface composed the way a
+    * production 100 TB index is actually built (the IVF-PQ + refine
+    * layout of Jégou et al. 2011 / FAISS): every vector is assigned
+    * to its nearest coarse cell (data-sampled unit vectors, so
+    * max-dot IS min-L2), the RESIDUAL uv − cell is min-L2 PQ-encoded
+    * (residuals are smaller than raw vectors, so the same codebook
+    * budget quantizes finer), a query ADC-scores only the
+    * [[IvfPqProbes]] cells nearest to it — sim(q,x) ≈ q·c(x) +
+    * q·r̂(x), the first term a per-(query,cell) scalar, the second
+    * the [[graft.functions.PqAdc]] table lookup — and the ADC top
+    * [[PqRerank]] rerank by exact cosine.
     *
     * Scale shape: the candidate stage is an equi-join on cell id
     * (probe list broadcast — |Q|·nprobe rows), so the corpus never
-    * cross-joins; the codes table is 8 ints + a cell id per vector
-    * (the fp corpus is never read at search time); ranking is the
+    * cross-joins; the codes table is 16 small ints + a cell id per
+    * vector (the ADC scan never reads the fp corpus; the rerank
+    * fetches C·|Q| vectors by id); ranking at both tiers is the
     * bounded heap. At 100 TB, assignment+encode happen once at write
     * time partitioned BY cell ([[buildPqIndex]] shows the persisted
     * form), making the probe filter partition pruning, not a join.
     *
-    * Quality note: literal random cells + codebooks quantize worse
-    * than fitted ones by design (the s10 trade: cross-engine
-    * determinism buys a full rows+schema+hash gate on the composed
-    * plumbing); recall is tracked in the bench artifact, and fit
-    * quality is owned by the KMeans paths (s4 and buildPqIndex).
+    * Quality: recall is ceiling-limited by the probed fraction on
+    * this isotropic corpus (see [[IvfPqProbes]]) — measured ≈ 0.71 at
+    * sf0.1 against a ≈ 0.8 probe-stage ceiling, floor-gated at 0.6 in
+    * the bench artifact; partition quality on clusterable corpora is
+    * owned by the fitted paths (s4 and [[buildIvfIndex]]).
     */
   def knnIvfPq(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     import s.implicits._
     graft.functions.TopKFunctions.register(s)
-    val dsub = Dims / PqM
-    val cells = broadcast(coarseCells.toDF("cell", "ccv"))
-    val books = broadcast(pqBooks.toDF("sub", "code", "cv"))
-    val unit = emb(s, dir)
-      .select(col("vec_id"),
-        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
-    // coarse assignment: argmax cell dot, ties to the smallest cell id
+    val unit = unitVecs(s, dir)
+    val cellIdx = CoarseCellIds.zipWithIndex.toDF("vec_id", "cell")
+    val cells = broadcast(unit.join(broadcast(cellIdx), "vec_id")
+      .select(col("cell"), col("uv").as("ccv")))
+    val books = broadcast(pqCodebooks(unit))
+    // coarse assignment: argmax cell dot (= min-L2, cells unit-norm),
+    // ties to the smallest cell id; 4 candidate rows per vector
     val wCell = Window.partitionBy("vec_id").orderBy(desc("cd"), col("cell"))
     val assigned = unit.crossJoin(cells)
       .select(col("vec_id"), col("uv"), col("cell"), col("ccv"),
@@ -614,17 +710,8 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"),
         zip_with(col("uv"), col("ccv"), (a, b) => a - b).as("rv"))
-    // residual PQ encode: argmax codebook dot per subspace (s10 shape)
-    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(desc("d"), col("code"))
-    val codes = assigned.crossJoin(books)
-      .select(col("vec_id"), col("cell"), col("sub"), col("code"),
-        dot(slice(col("rv"), col("sub") * lit(dsub) + 1, lit(dsub)),
-          col("cv")).as("d"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .groupBy("vec_id", "cell")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
+    // residual PQ encode, the s10 min-L2 rule, cell riding along
+    val codes = pqEncode(assigned, books, "rv", Seq("cell"))
     val q = unit.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("uv").as("quv"))
     // probe list: the nprobe best cells per query, with q·cell riding
@@ -637,25 +724,18 @@ object Similarity {
       .select("q_id", "cell", "qcd")
     // per-query distance table over the FULL query vector (q·r̂ needs
     // q_sub · codebook, not the query's own residual) — s10's qdt
-    val qdt = q.crossJoin(books)
-      .select(col("q_id"), (col("sub") * PqK + col("code")).as("idx"),
-        dot(slice(col("quv"), col("sub") * lit(dsub) + 1, lit(dsub)),
-          col("cv")).as("d"))
-      .groupBy("q_id")
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
-        x => x.getField("d")).as("dt"))
-    codes.join(broadcast(probes), Seq("cell"))
+    val cands = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(qdt), Seq("q_id"))
+      .join(broadcast(pqDistTable(q, books)), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(col("qcd") + graft.functions.VectorFunctions
           .pqAdc(col("codes"), col("dt")), 6).as("sim"))
       .groupBy("q_id")
       .agg(graft.functions.TopKFunctions
-        .topkBy(col("sim"), col("vec_id"), lit(topK)).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")))
-      .select(col("q_id"), col("col.id").as("vec_id"),
-        col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
+        .topkBy(col("sim"), col("vec_id"), lit(PqRerank)).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"))
+    rerankExact(cands, unit, q, topK)
   }
 
   // -- s6: SimHash-signature ANN (sign random projection + rerank) --------
@@ -1052,40 +1132,60 @@ object Similarity {
          |WHERE rk <= 3""".stripMargin
     },
     "s10_knn_pq" -> {
-      // the same 128 codebook centroids as ONE flat 1024-double
-      // literal (a multi-row VALUES of arrays trips a DuckDB 1.0
-      // vectorizer assertion), with each subspace dot spelled as an
-      // explicit 8-term sum — left-to-right, the same accumulation
-      // order as vec_dot, so encode, distance table, ADC sum and
-      // final ranking all reproduce cross-engine
-      val flatLit = pqBooks.flatMap(_._3).mkString("[", ", ", "]")
-      val terms = (1 to Dims / PqM).map(i =>
-        s"uv[g.sub*8+$i] * f.flat[(g.sub*16+g.code)*8+$i]").mkString(" + ")
+      // codebooks come FROM the embeddings table (PqSampleIds), so no
+      // literals: the cb CTE slices the sampled unit vectors exactly
+      // like pqCodebooks. Every dot is list_dot_product over the same
+      // left-to-right order as vec_dot; ADC scores round to 6 dp
+      // BEFORE the candidate cutoff (ties to the smaller vec_id) so
+      // the rerank set is tie-stable cross-engine, and the final
+      // ranking is exact cosine of unit vectors — the s1 discipline.
+      val dsub = Dims / PqM
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |u AS (SELECT vec_id,
          |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
          |  FROM e),
-         |f AS (SELECT $flatLit AS flat),
-         |g AS (SELECT s.range::INT AS sub, c.range::INT AS code
-         |  FROM range(8) s, range(16) c),
-         |d0 AS (SELECT u.vec_id, g.sub, g.code, $terms AS d FROM u, g, f),
+         |sm AS (SELECT c.range::INT AS code,
+         |  CAST((21 + 29 * c.range) % 500 AS BIGINT) AS sid
+         |  FROM range($PqK) c),
+         |cb AS (SELECT g.range::INT AS sub, sm.code,
+         |    list_slice(u.uv, g.range * $dsub + 1, g.range * $dsub + $dsub)
+         |      AS cv
+         |  FROM sm JOIN u ON u.vec_id = sm.sid CROSS JOIN range($PqM) g),
+         |cbn AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc
+         |  FROM cb),
+         |enc0 AS (SELECT u.vec_id, b.sub, b.code,
+         |    list_dot_product(
+         |      list_slice(u.uv, b.sub * $dsub + 1, b.sub * $dsub + $dsub),
+         |      b.cv) - b.cc / 2 AS d
+         |  FROM u CROSS JOIN cbn b),
          |enc AS (SELECT vec_id, sub, code FROM (
          |  SELECT vec_id, sub, code,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
          |      ORDER BY d DESC, code) AS rn
-         |  FROM d0) WHERE rn = 1),
-         |qdt AS (SELECT vec_id AS q_id, sub, code, d FROM d0
-         |  WHERE vec_id < 20),
-         |sc AS (SELECT q.q_id, enc.vec_id, round(SUM(q.d), 6) AS sim
+         |  FROM enc0) WHERE rn = 1),
+         |qdt AS (SELECT u.vec_id AS q_id, b.sub, b.code,
+         |    list_dot_product(
+         |      list_slice(u.uv, b.sub * $dsub + 1, b.sub * $dsub + $dsub),
+         |      b.cv) AS d
+         |  FROM u CROSS JOIN cbn b WHERE u.vec_id < 20),
+         |adc AS (SELECT q.q_id, enc.vec_id, round(SUM(q.d), 6) AS adc
          |  FROM enc JOIN qdt q ON q.sub = enc.sub AND q.code = enc.code
          |    AND enc.vec_id <> q.q_id
-         |  GROUP BY 1, 2)
-         |SELECT q_id, vec_id, sim, rk FROM (
-         |  SELECT q_id, vec_id, sim,
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
          |    ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY sim DESC, vec_id) AS rk
-         |  FROM sc)
+         |      ORDER BY adc DESC, vec_id) AS cr
+         |  FROM adc) WHERE cr <= $PqRerank)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(list_dot_product(qu.uv, eu.uv), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |      ORDER BY round(list_dot_product(qu.uv, eu.uv), 6) DESC,
+         |        c.vec_id) AS rk
+         |  FROM cand c JOIN u eu ON eu.vec_id = c.vec_id
+         |    JOIN u qu ON qu.vec_id = c.q_id)
          |WHERE rk <= 5""".stripMargin
     },
     // s12: s1's exact top-5 as a CTE, neighbor labels voted with the
@@ -1111,58 +1211,77 @@ object Similarity {
          |FROM p JOIN e o ON o.vec_id = p.q_id""".stripMargin
     },
     "s11_knn_ivfpq" -> {
-      // cells and codebooks as flat literals (the s10 single-literal
-      // workaround); every dot is an explicit left-to-right sum, so
-      // assignment, probes, residual encode and ADC all reproduce
-      // cross-engine. The residual never materializes: its subtraction
-      // is inlined into each encode term.
+      // cells AND codebooks come from the embeddings table
+      // (CoarseCellIds / PqSampleIds), so no literals. The residual
+      // never materializes: its subtraction is inlined into each
+      // encode term as an explicit left-to-right sum — the same
+      // accumulation order as zip_with(a-b) fed to vec_dot. ADC
+      // scores (coarse term + table sum) round to 6 dp before the
+      // candidate cutoff; the final ranking is exact cosine.
       val dsub = Dims / PqM
-      val cellsFlat = coarseCells.flatMap(_._2).mkString("[", ", ", "]")
-      val pqFlat = pqBooks.flatMap(_._3).mkString("[", ", ", "]")
-      val cellDot = (1 to Dims).map(i =>
-        s"u.uv[$i] * cf.flat[cg.cell*$Dims+$i]").mkString(" + ")
+      val cellLit = CoarseCellIds.mkString("[", ", ", "]")
       val resTerms = (1 to dsub).map(i =>
-        s"(u.uv[g.sub*$dsub+$i] - cf.flat[a.cell*$Dims + g.sub*$dsub+$i])" +
-          s" * f.flat[(g.sub*$PqK+g.code)*$dsub+$i]").mkString(" + ")
-      val qTerms = (1 to dsub).map(i =>
-        s"u.uv[g.sub*$dsub+$i] * f.flat[(g.sub*$PqK+g.code)*$dsub+$i]")
+        s"(u.uv[b.sub*$dsub+$i] - k.ccv[b.sub*$dsub+$i]) * b.cv[$i]")
         .mkString(" + ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |u AS (SELECT vec_id,
          |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
          |  FROM e),
-         |cf AS (SELECT $cellsFlat AS flat),
-         |f AS (SELECT $pqFlat AS flat),
-         |cg AS (SELECT range::INT AS cell FROM range($IvfPqCells)),
-         |cd0 AS (SELECT u.vec_id, cg.cell, $cellDot AS cd FROM u, cg, cf),
+         |ci AS (SELECT c.range::INT AS cell,
+         |  CAST(($cellLit)[c.range + 1] AS BIGINT) AS sid
+         |  FROM range($IvfPqCells) c),
+         |cc AS (SELECT ci.cell, u.uv AS ccv
+         |  FROM ci JOIN u ON u.vec_id = ci.sid),
+         |sm AS (SELECT c.range::INT AS code,
+         |  CAST((21 + 29 * c.range) % 500 AS BIGINT) AS sid
+         |  FROM range($PqK) c),
+         |cb AS (SELECT g.range::INT AS sub, sm.code,
+         |    list_slice(u.uv, g.range * $dsub + 1, g.range * $dsub + $dsub)
+         |      AS cv
+         |  FROM sm JOIN u ON u.vec_id = sm.sid CROSS JOIN range($PqM) g),
+         |cbn AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc
+         |  FROM cb),
+         |cd0 AS (SELECT u.vec_id, c.cell, list_dot_product(u.uv, c.ccv) AS cd
+         |  FROM u CROSS JOIN cc c),
          |asg AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cd DESC, cell) AS rn FROM cd0) WHERE rn = 1),
-         |g AS (SELECT s.range::INT AS sub, c.range::INT AS code
-         |  FROM range($PqM) s, range($PqK) c),
-         |d0 AS (SELECT u.vec_id, a.cell, g.sub, g.code, $resTerms AS d
-         |  FROM u JOIN asg a ON a.vec_id = u.vec_id, g, f, cf),
+         |enc0 AS (SELECT u.vec_id, a.cell, b.sub, b.code,
+         |    $resTerms - b.cc / 2 AS d
+         |  FROM u JOIN asg a ON a.vec_id = u.vec_id
+         |    JOIN cc k ON k.cell = a.cell CROSS JOIN cbn b),
          |enc AS (SELECT vec_id, cell, sub, code FROM (
          |  SELECT vec_id, cell, sub, code, ROW_NUMBER() OVER (
          |    PARTITION BY vec_id, sub ORDER BY d DESC, code) AS rn
-         |  FROM d0) WHERE rn = 1),
-         |qd0 AS (SELECT u.vec_id AS q_id, g.sub, g.code, $qTerms AS d
-         |  FROM u, g, f WHERE u.vec_id < 20),
+         |  FROM enc0) WHERE rn = 1),
+         |qd0 AS (SELECT u.vec_id AS q_id, b.sub, b.code,
+         |    list_dot_product(
+         |      list_slice(u.uv, b.sub * $dsub + 1, b.sub * $dsub + $dsub),
+         |      b.cv) AS d
+         |  FROM u CROSS JOIN cbn b WHERE u.vec_id < 20),
          |pr AS (SELECT q_id, cell, qcd FROM (
          |  SELECT vec_id AS q_id, cell, cd AS qcd, ROW_NUMBER() OVER (
          |    PARTITION BY vec_id ORDER BY cd DESC, cell) AS rn
          |  FROM cd0 WHERE vec_id < 20) WHERE rn <= $IvfPqProbes),
-         |sc AS (SELECT p.q_id, enc.vec_id,
-         |  round(max(p.qcd) + SUM(q.d), 6) AS sim
+         |adc AS (SELECT p.q_id, enc.vec_id,
+         |  round(max(p.qcd) + SUM(q.d), 6) AS adc
          |  FROM enc JOIN pr p ON p.cell = enc.cell AND enc.vec_id <> p.q_id
          |    JOIN qd0 q ON q.q_id = p.q_id AND q.sub = enc.sub
          |      AND q.code = enc.code
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adc DESC, vec_id) AS cr
+         |  FROM adc) WHERE cr <= $PqRerank)
          |SELECT q_id, vec_id, sim, rk FROM (
-         |  SELECT q_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, vec_id) AS rk
-         |  FROM sc)
+         |  SELECT c.q_id, c.vec_id,
+         |    round(list_dot_product(qu.uv, eu.uv), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |      ORDER BY round(list_dot_product(qu.uv, eu.uv), 6) DESC,
+         |        c.vec_id) AS rk
+         |  FROM cand c JOIN u eu ON eu.vec_id = c.vec_id
+         |    JOIN u qu ON qu.vec_id = c.q_id)
          |WHERE rk <= 5""".stripMargin
     },
     "s5_quantize" ->

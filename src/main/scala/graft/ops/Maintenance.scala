@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Table-maintenance operators for a long-lived corpus: keyed upsert,
+  * keyed delete, snapshot diff, incremental aggregate maintenance,
+  * and a salted join for skewed keys. A 100 TB training corpus is not
+  * written once — it takes continuous ingest (upsert), takedown /
+  * GDPR erasure (delete), release auditing (diff), and rolling stats
+  * that must not reprocess the base on every batch (incremental agg).
+  *
+  * All five are logical operators over DataFrames; the write-side
+  * twins compose with [[Partitioning]]'s layouts (partitioned /
+  * bucketed parquet + dynamic-partition overwrite), which confine a
+  * physical rewrite to the partitions an upsert or delete touches.
+  */
+object Maintenance {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** MERGE-style keyed upsert: rows of `updates` win on key collision,
+    * unmatched `base` rows pass through, new keys insert. Shaped as
+    * anti-join + union — ONE shuffle of each side on the key (and the
+    * anti-join broadcasts whenever `updates` is batch-sized, the
+    * common ingest case) — rather than a full-outer join whose
+    * coalesce would materialize both row shapes wide. Equal-schema
+    * inputs, aligned by name.
+    *
+    * At scale the logical form feeds a partition-pruned rewrite:
+    * project the touched partition values from `updates`, rewrite
+    * only those partitions via dynamic-partition overwrite.
+    */
+  def upsertByKey(base: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
+
+  /** Keyed erasure (takedown / right-to-be-forgotten): drop every base
+    * row whose key appears in `victims`. A left-anti join — the
+    * victim list is batch-sized in practice and broadcasts, so the
+    * corpus streams through one scan unshuffled.
+    */
+  def deleteByKeys(base: DataFrame, victims: DataFrame,
+      keys: Seq[String]): DataFrame =
+    base.join(victims.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Snapshot diff between two versions of a keyed table: one row per
+    * key whose state changed, labeled `added` / `removed` /
+    * `changed`. Rows are compared by an md5 over the non-key columns
+    * (computed scan-side, so the full-outer join carries key + one
+    * hash instead of every column twice). `concat_ws` with an
+    * unprintable separator keeps multi-column values unambiguous;
+    * note it folds NULL and '' together — diff columns with NULLs
+    * should be coalesced by the caller first.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, hname: String): DataFrame = {
+      val rest = df.columns.filterNot(keys.contains).sorted
+      df.select(keys.map(col) :+
+        md5(concat_ws("", rest.map(c => col(c).cast("string")): _*))
+          .as(hname): _*)
+    }
+    hashed(oldDf, "h_old").join(hashed(newDf, "h_new"), keys, "full_outer")
+      .withColumn("change",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
+  /** Per-source corpus stats as a MERGEABLE aggregate state —
+    * count and char sum are algebraic, so states from disjoint
+    * slices merge by addition without touching the slices again.
+    */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
+  /** Incremental aggregate maintenance: the [[sourceStats]] of
+    * base ∪ delta computed by MERGING the two partial states —
+    * `agg(base ⊎ delta) = merge(agg(base), agg(delta))` for
+    * algebraic aggregates. This is the rolling-stats posture at
+    * 100 TB: the base state is a few rows per source read from the
+    * previous release, only the delta is scanned; the oracle-gated
+    * query proves the merged state equals a from-scratch aggregate.
+    */
+  def incrementalSourceStats(base: DataFrame, delta: DataFrame): DataFrame =
+    sourceStats(base).unionByName(sourceStats(delta))
+      .groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
+  /** Salted equi-join for skewed keys: the dimension side is
+    * replicated `salts` times (explode over the salt range) and the
+    * fact side picks a deterministic salt from a hash of its own
+    * row, so a hot key's rows spread over `salts` reduce partitions
+    * instead of hammering one. Result is identical to the plain join
+    * for ANY salt assignment — the salt only routes.
+    *
+    * When to reach for it: Spark's AQE skew-join already splits
+    * skewed SORT-MERGE partitions at runtime, but salting is the
+    * form that works where AQE can't see or act — skewed
+    * aggregations feeding joins, stream-stream joins, or engines/
+    * modes without runtime re-planning. `salts` multiplies the dim
+    * side, so it suits small-dim/big-fact shapes (broadcast-sized
+    * dims should just broadcast; this is for the middle ground where
+    * the dim exceeds broadcast but the fact side is key-skewed).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val sdim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    val sfact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    sfact.join(sdim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  // -- oracle-gated query faces -------------------------------------------
+
+  /** q50 — keyed upsert over the documents table: every doc_id
+    * divisible by 7 receives a new version with adjusted stats; the
+    * rest pass through.
+    */
+  def q50Upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("version", lit(1))
+    val updates = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .withColumn("version", lit(2))
+    upsertByKey(base, updates, Seq("doc_id"))
+  }
+
+  /** q51 — snapshot diff: version 2 of the corpus drops every 11th
+    * doc, edits every 5th, and adds a shifted clone of every 13th —
+    * the diff must label exactly those.
+    */
+  def q51SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars")))
+      .unionByName(v1.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    snapshotDiff(v1, v2, Seq("doc_id"))
+  }
+
+  /** q52 — incremental aggregate maintenance: per-source stats of the
+    * 80% base slice merged with the 20% delta slice; the oracle is a
+    * from-scratch aggregate over the whole table, proving the
+    * algebraic merge identity.
+    */
+  def q52IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    incrementalSourceStats(
+      docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** q53 — salted join: orders against the customer dim on custkey
+    * through [[saltedJoin]], aggregated per market segment; the
+    * oracle is the plain join, proving salting is result-invariant.
+    */
+  def q53SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    saltedJoin(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        dim, "o_custkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_upsert" -> q50Upsert _,
+    "q51_snapshot_diff" -> q51SnapshotDiff _,
+    "q52_incr_agg" -> q52IncrAgg _,
+    "q53_salted_join" -> q53SaltedJoin _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_upsert" ->
+      """SELECT doc_id, source, n_chars + 1000 AS n_chars,
+        |  CAST(2 AS INTEGER) AS version
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, CAST(1 AS INTEGER) AS version
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+    "q51_snapshot_diff" ->
+      """SELECT doc_id, 'removed' AS change FROM documents
+        |WHERE doc_id % 11 = 0
+        |UNION ALL
+        |SELECT doc_id, 'changed' AS change FROM documents
+        |WHERE doc_id % 11 <> 0 AND doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'added' AS change
+        |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    "q52_incr_agg" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "q53_salted_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(SUM(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+}

@@ -515,6 +515,47 @@ object Extended {
       .groupBy("l_returnflag", "metric")
       .agg(count(lit(1)).as("n"), round(avg(col("val")), 4).as("avg_val"))
 
+  /** q48 — DETERMINISTIC Bernoulli sample, the reproducible twin of
+    * q11's RNG `sample()`: keep a row iff hash60 of its salted key
+    * lands in the first 1% of hash space. RNG sampling is
+    * partitioning-dependent (why q11 is rows-only checked); the
+    * hash-bucket form selects the SAME rows under any partitioning,
+    * any engine, any rerun — the property a resumable 100 TB pipeline
+    * actually needs (and the c7 weighted-sample scheme, applied to
+    * the relational face). Scale shape: a scan-side codegen filter —
+    * no shuffle, no state, pushdown-friendly surrounding columns.
+    */
+  def q48HashSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    t(s, dir, "lineitem")
+      .filter(graft.llm.TextAnalysis.hash60(concat(lit("q48:"),
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))) % 10000 < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+  }
+
+  /** q49 — deterministic STRATIFIED sample, the reproducible twin of
+    * q36's `sampleBy`: per-stratum keep rates (O→10%, F→5%, P→50%)
+    * applied through the q48 hash-bucket rule, so each stratum thins
+    * to its own rate and the selection replays identically anywhere.
+    * The rate lookup is a codegen CASE on the stratum column — still
+    * a scan-side filter, no shuffle, no per-stratum pass.
+    */
+  def q49StratifiedHash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    // integer bucket thresholds (of 10000), not rate * denom: a
+    // fractional rate in DOUBLE (0.10 * 10000 = 1000.0000000000001)
+    // would disagree with an exact-decimal engine on boundary hashes
+    val keep = when(col("o_orderstatus") === "O", 1000)
+      .when(col("o_orderstatus") === "F", 500)
+      .otherwise(5000)
+    t(s, dir, "orders")
+      .filter(graft.llm.TextAnalysis.hash60(concat(lit("q49:"),
+        col("o_orderkey").cast("string"))) % 10000 < keep)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_interval_join"  -> q40IntervalJoin _,
     "q41_unpivot"        -> q41Unpivot _,
@@ -524,6 +565,8 @@ object Extended {
     "q43_range_join_binned" -> q43RangeJoinBinned _,
     "q35_approx_stats"   -> q35ApproxStats _,
     "q36_stratified"     -> q36StratifiedSample _,
+    "q48_hash_sample"    -> q48HashSample _,
+    "q49_stratified_hash" -> q49StratifiedHash _,
     "q33_grouping_sets"  -> q33GroupingSets _,
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
@@ -744,5 +787,20 @@ object Extended {
         |  round(AVG(val), 4) AS avg_val
         |FROM (UNPIVOT lineitem ON l_quantity, l_discount, l_tax
         |      INTO NAME metric VALUE val)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // q48/q49: the c7 md5-prefix hash verbatim — selection agrees with
+    // the Spark hash60 kernel by construction
+    "q48_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag
+        |FROM lineitem
+        |WHERE CAST(('0x' || substr(md5(
+        |    'q48:' || l_orderkey || ':' || l_linenumber), 1, 15)) AS BIGINT)
+        |  % 10000 < 100""".stripMargin,
+    "q49_stratified_hash" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE CAST(('0x' || substr(md5('q49:' || o_orderkey), 1, 15)) AS BIGINT)
+        |  % 10000 < (CASE o_orderstatus WHEN 'O' THEN 1000
+        |             WHEN 'F' THEN 500 ELSE 5000 END)""".stripMargin)
 }

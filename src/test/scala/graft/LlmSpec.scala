@@ -53,14 +53,17 @@ class LlmSpec extends SparkSpec {
     assert(inc == brute)
   }
 
-  test("PQ index: ADC equals dot(query, reconstruction); usable recall vs brute") {
+  test("PQ index: raw ADC equals dot(query, reconstruction); rerank tier is exact over the ADC candidates") {
     val base = java.nio.file.Files.createTempDirectory("graft_pq").toString
-    Similarity.buildPqIndex(spark, sfDir, s"$base/pq")
-    val res = Similarity.knnPqFromIndex(spark, sfDir, s"$base/pq")
+    // small fitted geometry (8×16) keeps the 8 KMeans fits fast; the
+    // production defaults (16×64) are exercised by s10/s11
+    Similarity.buildPqIndex(spark, sfDir, s"$base/pq", m = 8, k = 16)
+    val res = Similarity.knnPqFromIndex(spark, sfDir, s"$base/pq",
+        m = 8, k = 16, rerank = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(res.nonEmpty)
-    // independent reconstruction: ADC must equal the dot of the unit
-    // query against the concatenated subspace centroids — the
+    // independent reconstruction: raw ADC must equal the dot of the
+    // unit query against the concatenated subspace centroids — the
     // decomposition identity PQ rests on
     val cb = spark.read.parquet(s"$base/pq/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
@@ -73,25 +76,44 @@ class LlmSpec extends SparkSpec {
         val n = math.sqrt(v.map(x => x * x).sum)
         r.getLong(0) -> v.map(_ / n)
       }.toMap
-    assert(codes.values.forall(_.size == Similarity.PqM))
-    assert(cb.size == Similarity.PqM * Similarity.PqK)
+    assert(codes.values.forall(_.size == 8))
+    assert(cb.size == 8 * 16)
     res.take(20).foreach { case (qid, vid, sim) =>
       val recon = codes(vid).zipWithIndex.flatMap { case (c, sub) => cb((sub, c)) }
       val expected = unit(qid).zip(recon).map { case (a, b) => a * b }.sum
       assert(math.abs(sim - expected) < 1e-5,
         s"ADC $sim != reconstruction dot $expected for ($qid, $vid)")
     }
-    // regression tripwire, not a quality claim: this synthetic corpus
-    // is near-random in cosine (documented at knnIvfKmeans), so 32×
-    // compression keeps only a fraction of the true top-5 — measured
-    // 0.22 here (cf. s6 hyperplane LSH at 0.40 with fp vectors); on a
-    // corpus with real cluster structure PQ recall is far higher.
-    // The floor catches a broken encoder, which scores ~0.0.
+    // rerank tier: every returned sim must be the EXACT unit-dot of
+    // the pair (not an ADC estimate), and the default path must beat
+    // the raw-ADC ranking's recall vs brute
     val brute = Similarity.queries("s1_knn_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = res.map(x => (x._1, x._2)).toSet
+    val rr = Similarity.knnPqFromIndex(spark, sfDir, s"$base/pq",
+        m = 8, k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rr.foreach { case (qid, vid, sim) =>
+      val exact = unit(qid).zip(unit(vid)).map { case (a, b) => a * b }.sum
+      // sim is exact rounded to 6 dp, so it sits within half a grid
+      // step of the recomputed dot (no rounding-mode sensitivity)
+      assert(math.abs(sim - exact) <= 5.000001e-7,
+        s"rerank sim $sim is not the exact cosine for ($qid, $vid)")
+    }
+    val rawRecall = res.map(x => (x._1, x._2)).toSet.intersect(brute).size
+    val rrRecall = rr.map(x => (x._1, x._2)).toSet.intersect(brute).size
+    assert(rrRecall >= rawRecall,
+      s"rerank recall $rrRecall fell below raw ADC $rawRecall")
+    assert(rrRecall.toDouble / brute.size >= 0.2,
+      s"fitted-PQ rerank recall too low: $rrRecall/${brute.size}")
+  }
+
+  test("s10: recall@5 vs brute holds the bench floor on the fixture corpus") {
+    val brute = Similarity.queries("s1_knn_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.knnPqInline(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(got).size.toDouble / brute.size
-    assert(recall >= 0.15, s"PQ recall vs brute too low: $recall")
+    assert(recall >= 0.8, s"s10 recall vs brute too low: $recall")
   }
 
   test("s10 inline-PQ plans the ADC kernel and the bounded heap, not a pair-set window") {

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Maintenance
+
+/** Behavioral tests for the table-maintenance operators: MERGE
+  * semantics, erasure, snapshot diff labeling, algebraic agg merge,
+  * and the salted join's skew spreading (the part the DuckDB oracle
+  * can't see — q53 only proves result invariance).
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("id", "name", "v")
+  }
+
+  test("upsertByKey: updates win on collision, new keys insert, rest pass") {
+    val base = df(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val upd = df(Seq((2L, "b2", 21L), (9L, "i", 90L)))
+    val got = Maintenance.upsertByKey(base, upd, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b2", 21L), (3L, "c", 30L),
+      (9L, "i", 90L)))
+  }
+
+  test("deleteByKeys: exactly the victim keys vanish") {
+    val base = df(Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)))
+    import spark.implicits._
+    val victims = Seq(2L, 7L).toDF("id")
+    val got = Maintenance.deleteByKeys(base, victims, Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("snapshotDiff labels added/removed/changed and suppresses unchanged") {
+    val v1 = df(Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)))
+    val v2 = df(Seq((1L, "a", 1L), (2L, "b", 99L), (4L, "d", 4L)))
+    val got = Maintenance.snapshotDiff(v1, v2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("incremental agg merge equals a from-scratch aggregate on any split") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val full = Maintenance.sourceStats(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Seq(3L, 10L).foreach { m =>
+      val merged = Maintenance.incrementalSourceStats(
+          docs.filter(col("doc_id") % m =!= 0),
+          docs.filter(col("doc_id") % m === 0))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == full, s"merge identity failed for split mod $m")
+    }
+  }
+
+  test("saltedJoin: result equals the plain join and the hot key spreads " +
+      "over multiple reduce partitions") {
+    import spark.implicits._
+    // 10k facts, 90% on ONE key — the shape that stalls a plain
+    // shuffle join on its hot partition
+    val fact = spark.range(10000)
+      .select((when(col("id") % 10 < 9, 1L).otherwise(col("id")))
+        .as("k"), col("id").as("payload"))
+    val dim = (1L +: (10L to 9999L by 10).toSeq).map(k => (k, s"d$k"))
+      .toDF("k", "attr")
+    val plain = fact.join(dim, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Maintenance.saltedJoin(fact, dim, "k", 8)
+    assert(salted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == plain)
+    // spreading: force a shuffle join (no broadcast, no AQE skew
+    // rescue) and count reduce partitions holding the hot key
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      def hotParts(j: org.apache.spark.sql.DataFrame): Long =
+        j.filter(col("k") === 1L)
+          .select(spark_partition_id().as("pid"))
+          .distinct().count()
+      val unsalted = hotParts(fact.join(dim, "k"))
+      val spread = hotParts(Maintenance.saltedJoin(fact, dim, "k", 8))
+      assert(unsalted == 1L, s"plain join should confine the hot key, got $unsalted")
+      assert(spread > 1L, s"salted join should spread the hot key, got $spread")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+}

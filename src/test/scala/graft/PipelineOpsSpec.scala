@@ -273,12 +273,12 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- s11 composed IVF + residual PQ -----------------------------------
 
-  test("s11: every neighbor honors the probe discipline and the ADC " +
-      "score arithmetic reproduces in Scala") {
+  test("s11: every neighbor honors the probe discipline, sits in the " +
+      "ADC top-C candidate set, and scores by exact cosine") {
     val out = Similarity.knnIvfPq(spark, sfDir).collect()
     assert(out.nonEmpty)
-    // recompute coarse assignment + residual-PQ encode + ADC in plain
-    // Scala from the same literals
+    // recompute coarse assignment + residual-PQ encode + ADC ranking
+    // in plain Scala from the same data-sampled cells/codebooks
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
@@ -288,41 +288,65 @@ class PipelineOpsSpec extends SparkSpec {
     }
     def dot(a: Array[Double], b: Array[Double]): Double =
       a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
-    val cells = Similarity.coarseCells.toMap
-    val books = Similarity.pqBooks
-      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val units = emb.view.mapValues(unit).toMap
+    val cells = Similarity.CoarseCellIds.zipWithIndex
+      .map { case (id, c) => c -> units(id) }.toMap
+    val books = (for {
+      sub <- 0 until Similarity.PqM
+      (id, code) <- Similarity.PqSampleIds.zipWithIndex
+    } yield {
+      val dsub = Similarity.Dims / Similarity.PqM
+      (sub, code) -> units(id).slice(sub * dsub, (sub + 1) * dsub)
+    }).toMap
     val m = Similarity.PqM
     val dsub = Similarity.Dims / m
     def cellOf(u: Array[Double]): Int =
       cells.toSeq.map { case (c, cv) => (dot(u, cv), c) }
         .sortBy { case (d, c) => (-d, c) }.head._2
+    // min-L2 encode of the residual: argmax (r·c − ½‖c‖²), ties to
+    // the smallest code — the pqEncode rule
     def codesOf(u: Array[Double]): Array[Int] = {
       val cv = cells(cellOf(u))
       val r = u.indices.map(i => u(i) - cv(i)).toArray
       (0 until m).map { sub =>
         val seg = r.slice(sub * dsub, (sub + 1) * dsub)
         (0 until Similarity.PqK)
-          .map(code => (dot(seg, books((sub, code))), code))
+          .map { code =>
+            val b = books((sub, code))
+            (dot(seg, b) - dot(b, b) / 2, code)
+          }
           .sortBy { case (d, c) => (-d, c) }.head._2
       }.toArray
     }
-    val units = emb.view.mapValues(unit).toMap
+    val allCodes = units.view.mapValues(codesOf).toMap
     out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
       val qu = units(qid)
       val probed = cells.toSeq
         .map { case (c, cv) => (dot(qu, cv), c) }
         .sortBy { case (d, c) => (-d, c) }
         .take(Similarity.IvfPqProbes).map(_._2).toSet
+      // the ADC top-C candidate set this query's rerank may draw from
+      val qcd = cells.view.mapValues(dot(qu, _)).toMap
+      val cand = units.keys.toSeq
+        .filter(v => v != qid && probed.contains(cellOf(units(v))))
+        .map { v =>
+          val adc = allCodes(v).zipWithIndex.map { case (code, sub) =>
+            dot(qu.slice(sub * dsub, (sub + 1) * dsub), books((sub, code)))
+          }.sum
+          val score = qcd(cellOf(units(v))) + adc
+          (math.rint(score * 1e6) / 1e6, v)
+        }
+        .sortBy { case (a, v) => (-a, v) }
+        .take(Similarity.PqRerank).map(_._2).toSet
       rows.foreach { r =>
         val vid = r.getLong(1)
         assert(probed.contains(cellOf(units(vid))),
           s"neighbor $vid of $qid outside probed cells")
-        val coarse = dot(qu, cells(cellOf(units(vid))))
-        val adc = codesOf(units(vid)).zipWithIndex.map { case (code, sub) =>
-          dot(qu.slice(sub * dsub, (sub + 1) * dsub), books((sub, code)))
-        }.sum
-        assert(math.abs(r.getDouble(2) - (coarse + adc)) < 1e-5,
-          s"ADC score mismatch for ($qid,$vid)")
+        assert(cand.contains(vid),
+          s"neighbor $vid of $qid outside the ADC top-C candidates")
+        val exact = dot(qu, units(vid))
+        assert(math.abs(r.getDouble(2) - exact) <= 5.000001e-7,
+          s"s11 sim for ($qid,$vid) is not the exact cosine")
       }
     }
   }

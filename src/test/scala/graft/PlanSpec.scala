@@ -90,6 +90,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
   }
 
+  test("q48/q49 hash sampling: scan-side filter with no exchange; " +
+      "selection identical under any repartitioning") {
+    Seq(Extended.q48HashSample _, Extended.q49StratifiedHash _).foreach { q =>
+      val df = q(spark, sfDir)
+      assert(!plan(df).contains("Exchange"),
+        s"hash sample must be a scan-side filter:\n${plan(df)}")
+      // content-keyed selection — the property q11/q36's RNG forms
+      // lack: each row's fate depends only on its own key, so the
+      // kept set restricted to any subset equals the subset sampled
+      // on its own (row independence ⇒ partitioning independence)
+      val once = df.collect().map(_.toSeq).toSet
+      assert(once.nonEmpty)
+      val firstCol = df.columns.head
+      val cut = df.agg(
+        org.apache.spark.sql.functions.expr(s"approx_percentile($firstCol, 0.5)"))
+        .collect()(0).get(0).toString.toDouble
+      val sub = q(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col(firstCol) <= cut)
+        .collect().map(_.toSeq).toSet
+      assert(sub == once.filter(r =>
+        r.head.asInstanceOf[Number].doubleValue <= cut),
+        "subset sampling disagrees with restricted full sample")
+    }
+    // realized rates track the declared per-stratum thresholds
+    val byStatus = Extended.q49StratifiedHash(spark, sfDir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toDouble).toMap
+    val totals = graft.core.Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    Map("O" -> 0.10, "F" -> 0.05, "P" -> 0.50).foreach { case (st, rate) =>
+      val got = byStatus.getOrElse(st, 0.0) / totals(st)
+      // binomial tolerance: 5 sigma at the smallest stratum size
+      val tol = 5 * math.sqrt(rate * (1 - rate) / totals(st))
+      assert(math.abs(got - rate) <= tol,
+        s"stratum $st realized $got vs declared $rate (tol $tol)")
+    }
+  }
+
   test("c2 decontaminate: equi-join (broadcast or shuffle by size), no cartesian") {
     // no forced broadcast: AQE picks broadcast for a genuinely small
     // bench side and falls back to a shuffle join for a big one — both
