@@ -31,6 +31,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
+  *   graft.cli.Main maintain upsert|delete|diff <base> <other> <k1[,k2…]> <out>
   * }}}
   *
   * `<model>` ∈ lr, dt, rf, gbt, svc, nb, mlp. Inputs are header CSV (parity
@@ -206,6 +207,23 @@ object Main {
     case Seq("layout", "compact", in, out, mb) =>
       graft.ops.Partitioning.writeCompacted(read(spark, in), out,
         mb.toLong << 20)
+
+    // table-maintenance jobs ([[graft.ops.Maintenance]]): MERGE-style
+    // upsert, keyed erasure (takedown), and release diffing as the
+    // same argv-job shape the layout/ingest families use. Keys are a
+    // comma list for composite keys.
+    case Seq("maintain", "upsert", base, updates, keys, out) =>
+      graft.ops.Maintenance.upsertByKey(read(spark, base),
+          read(spark, updates), keys.split(",").toSeq)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("maintain", "delete", base, victims, keys, out) =>
+      graft.ops.Maintenance.deleteByKeys(read(spark, base),
+          read(spark, victims), keys.split(",").toSeq)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("maintain", "diff", oldT, newT, keys, out) =>
+      graft.ops.Maintenance.snapshotDiff(read(spark, oldT),
+          read(spark, newT), keys.split(",").toSeq)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")

@@ -118,6 +118,39 @@ class IoCliSpec extends SparkSpec {
     }
   }
 
+  test("cli maintain jobs: upsert then delete then diff, chained through parquet") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_maintain").toString
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val base = spark.read.parquet(src).select("doc_id", "source", "n_chars")
+    base.write.parquet(s"$dir/base")
+    base.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + 1)
+      .write.parquet(s"$dir/upd")
+    base.filter(col("doc_id") % 11 === 0).select("doc_id")
+      .write.parquet(s"$dir/victims")
+    graft.cli.Main.run(spark,
+      Seq("maintain", "upsert", s"$dir/base", s"$dir/upd", "doc_id", s"$dir/v2"))
+    graft.cli.Main.run(spark,
+      Seq("maintain", "delete", s"$dir/v2", s"$dir/victims", "doc_id", s"$dir/v3"))
+    graft.cli.Main.run(spark,
+      Seq("maintain", "diff", s"$dir/base", s"$dir/v3", "doc_id", s"$dir/d"))
+    val n = base.count()
+    val n7 = base.filter(col("doc_id") % 7 === 0).count()
+    val n11 = base.filter(col("doc_id") % 11 === 0).count()
+    assert(spark.read.parquet(s"$dir/v2").count() == n)
+    assert(spark.read.parquet(s"$dir/v3").count() == n - n11)
+    // diff vs the original: the erased docs read as removed; the
+    // surviving updated docs as changed
+    val d = spark.read.parquet(s"$dir/d").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(d.count(_._2 == "removed") == n11)
+    val changed = base.filter(
+      col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0).count()
+    assert(d.count(_._2 == "changed") == changed)
+    assert(d.count(_._2 == "added") == 0)
+  }
+
   test("cli clean job writes viz + cleaned parity CSVs") {
     val dir = Files.createTempDirectory("graft_cli").toString
     val fixture = s"$dir/raw"
