@@ -515,6 +515,50 @@ object Extended {
       .groupBy("l_returnflag", "metric")
       .agg(count(lit(1)).as("n"), round(avg(col("val")), 4).as("avg_val"))
 
+  /** q54 — PageRank over the supplier↔customer trade graph, the
+    * iterative-graph-analytics face next to d8's connected
+    * components: nodes are suppliers (id + 1,000,000 — disjoint from
+    * the customer key space) and customers, undirected edges from
+    * DISTINCT (supplier, customer) lineitem⋈orders pairs, three
+    * power-method iterations of per-node rank = 0.15 + 0.85 ·
+    * Σ rank(in-neighbor)/deg(in-neighbor). Every node has out-edges
+    * (both directions emitted), so there is no dangling mass.
+    *
+    * Scale shape per iteration: one equi-join of the edge list
+    * against the (id, rank) table + one keyed sum — both map-side
+    * combining, carrying only (id, double). The edge list and degree
+    * table build ONCE (eager checkpoint cuts the join lineage the
+    * three iterations would otherwise replay); an open-ended
+    * convergence loop would checkpoint per pass exactly like the d8
+    * pointer-jumping discipline. Ranks round to 6 dp only at the
+    * END: intermediate sums stay full-precision, so cross-engine
+    * summation-order noise (~1e-13 after 3 passes) dies against the
+    * 1e-6 grid.
+    */
+  def q54PageRank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("pr"))
+    (1 to 3).foreach { _ =>
+      val contribs = edges.join(deg, "src")
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = deg.select(col("src").as("id"))
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
+    }
+    ranks.select(col("id"), round(col("pr"), 6).as("pr"))
+  }
+
   /** q48 — DETERMINISTIC Bernoulli sample, the reproducible twin of
     * q11's RNG `sample()`: keep a row iff hash60 of its salted key
     * lands in the first 1% of hash space. RNG sampling is
@@ -567,6 +611,7 @@ object Extended {
     "q36_stratified"     -> q36StratifiedSample _,
     "q48_hash_sample"    -> q48HashSample _,
     "q49_stratified_hash" -> q49StratifiedHash _,
+    "q54_pagerank"       -> q54PageRank _,
     "q33_grouping_sets"  -> q33GroupingSets _,
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
@@ -788,6 +833,31 @@ object Extended {
         |FROM (UNPIVOT lineitem ON l_quantity, l_discount, l_tax
         |      INTO NAME metric VALUE val)
         |GROUP BY 1, 2""".stripMargin,
+    // q54: the three power iterations unrolled as chained CTEs — the
+    // fixed iteration count is what makes an iterative algorithm
+    // SQL-expressible. r0's 1.0 casts to DOUBLE so pr/deg divides in
+    // floating point like Spark (DuckDB would otherwise run the whole
+    // recurrence in exact DECIMAL); rounding happens only at the end.
+    "q54_pagerank" -> {
+      def iter(n: Int): String =
+        s"""r$n AS (SELECT d.src AS id, 0.15 + 0.85 * COALESCE(c.s, 0) AS pr
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst, SUM(r.pr / g.deg) AS s
+           |    FROM e JOIN deg g ON g.src = e.src
+           |      JOIN r${n - 1} r ON r.id = e.src
+           |    GROUP BY e.dst) c ON c.dst = d.src)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS src,
+         |    o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, round(pr, 6) AS pr FROM r3""".stripMargin
+    },
     // q48/q49: the c7 md5-prefix hash verbatim — selection agrees with
     // the Spark hash60 kernel by construction
     "q48_hash_sample" ->

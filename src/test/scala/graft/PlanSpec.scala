@@ -90,6 +90,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
   }
 
+  test("q54 pagerank: rank mass is conserved each pass, floor holds, " +
+      "and the iterations plan equi-joins only") {
+    val df = Extended.q54PageRank(spark, sfDir)
+    assert(!plan(df).contains("CartesianProduct"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    // no dangling nodes (every node has out-edges), so total rank is
+    // invariant: sum_new = 0.15·N + 0.85·sum_old = N from the 1.0 init
+    val n = rows.length
+    assert(math.abs(rows.map(_._2).sum - n) < 1e-3 * n,
+      s"rank mass drifted: ${rows.map(_._2).sum} vs $n")
+    // every rank carries at least the teleport floor
+    assert(rows.forall(_._2 >= 0.15 - 1e-9))
+    // both node families present (suppliers offset by 1e6)
+    assert(rows.exists(_._1 >= 1000000L) && rows.exists(_._1 < 1000000L))
+  }
+
   test("q48/q49 hash sampling: scan-side filter with no exchange; " +
       "selection identical under any repartitioning") {
     Seq(Extended.q48HashSample _, Extended.q49StratifiedHash _).foreach { q =>
