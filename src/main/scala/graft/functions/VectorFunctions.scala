@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -126,6 +126,53 @@ object VectorOps {
       b += 1
     }
     java.lang.Long.valueOf(sig)
+  }
+
+  /** min-L2 PQ encoder for [[PqEncode]]: with m subspaces of
+    * dsub = |v|/m dims and k = |books| / |v| centroids per subspace
+    * laid out flat[(sub·k + code)·dsub + i], emits per subspace
+    * argmax_code Σ_i v[sub·dsub+i]·c[i] − ½‖c‖² (= the nearest
+    * centroid by L2), ties to the smallest code. Both the dot and
+    * ‖c‖² accumulate left-to-right — the exact arithmetic of the
+    * crossJoin + argmax-aggregation plan this kernel replaces and of
+    * the oracle SQL's list_dot_product, so codes are bit-identical.
+    * Malformed geometry (|v| not divisible by m, |books| not a
+    * multiple of |v|) or any null element yields null.
+    */
+  def pqEncode(v: ArrayData, books: ArrayData, m: Int): ArrayData = {
+    val d = v.numElements()
+    if (m <= 0 || d == 0 || d % m != 0) return null
+    val nb = books.numElements()
+    if (nb == 0 || nb % d != 0) return null
+    if (anyNull(v) || anyNull(books)) return null
+    val k = nb / d
+    val dsub = d / m
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * dsub
+      var best = 0.0
+      var bestCode = -1
+      var code = 0
+      while (code < k) {
+        val off = (sub * k + code) * dsub
+        var s = 0.0
+        var cc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val c = books.getDouble(off + j)
+          s += v.getDouble(base + j) * c
+          cc += c * c
+          j += 1
+        }
+        val score = s - cc / 2
+        if (bestCode < 0 || score > best) { best = score; bestCode = code }
+        code += 1
+      }
+      out(sub) = bestCode
+      sub += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** `round(x * s)` per element as int, HALF_UP away from zero,
@@ -302,6 +349,49 @@ case class PqAdc(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_encode(v: array<double>, books: array<double>, m: int) ->
+  * array<int>` — the write-time half of the PQ pair ([[PqAdc]] is the
+  * read half): min-L2 nearest-centroid code per subspace in ONE
+  * projection pass over the vector, with the codebooks riding as a
+  * flat plan literal (the [[SimHash64]] planes pattern). Replaces the
+  * crossJoin-by-(m·k-centroids) + two-aggregation encode plan — per
+  * vector that plan materialized m·k rows through a shuffle pair,
+  * this kernel is m·k fused dot loops and no exchange at all, which
+  * is also exactly the "broadcast the codebooks, assign in one pass"
+  * posture a 100 TB write path wants.
+  */
+case class PqEncode(vec: Expression, books: Expression, m: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  override def first: Expression = vec
+  override def second: Expression = books
+  override def third: Expression = m
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any, b: Any, mm: Any): Any =
+    VectorOps.pqEncode(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      mm.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b, mm) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.VectorOps.pqEncode($v, $b, $mm);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqEncode =
+    copy(vec = newFirst, books = newSecond, m = newThird)
+}
+
 /** `simhash64(v: array<double>, planes: array<double>) -> bigint` —
   * the SimHash signature kernel (Charikar, STOC 2002): 64 sign bits
   * of hyperplane projections in ONE fused loop over the unsafe array
@@ -349,6 +439,7 @@ object VectorFunctions {
   val divName = "vec_div"
   val quantName = "vec_quant_int8"
   val adcName = "pq_adc"
+  val encodeName = "pq_encode"
   val simhashName = "simhash64"
 
   private def injections = Seq(
@@ -366,7 +457,11 @@ object VectorFunctions {
       (children: Seq[Expression]) => VecQuantInt8(children(0), children(1))),
     (FunctionIdentifier(adcName),
       new ExpressionInfo(classOf[PqAdc].getName, adcName),
-      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))),
+    (FunctionIdentifier(encodeName),
+      new ExpressionInfo(classOf[PqEncode].getName, encodeName),
+      (children: Seq[Expression]) =>
+        PqEncode(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -392,6 +487,14 @@ object VectorFunctions {
   /** Column-API entry: ADC lookup-sum `Σ dt[i·k + codes[i]]`. */
   def pqAdc(codes: Column, dt: Column): Column =
     call_function(adcName, codes, dt)
+
+  /** Column-API entry: min-L2 PQ codes of `v` against row-major
+    * flattened `books` (a plan literal, like the SimHash planes).
+    */
+  def pqEncode(v: Column, booksFlat: Array[Double], m: Int): Column =
+    call_function(encodeName, v,
+      org.apache.spark.sql.functions.lit(booksFlat),
+      org.apache.spark.sql.functions.lit(m))
 
   /** Column-API entry: 64-bit SimHash of `v` against row-major
     * flattened `planes` (a plan literal, like the Bloom filter bits).

@@ -539,69 +539,67 @@ object Similarity {
   val PqSampleIds: Seq[Long] =
     (0 until PqK).map(c => ((21 + 29 * c) % 500).toLong)
 
-  /** The (sub, code, cv, cc) codebook table built from the corpus
-    * itself per [[PqSampleIds]]: centroid (sub, c) is subspace `sub`
-    * of sample c's unit vector; cc = ‖cv‖² rides along for the L2
-    * assignment rule. PqK corpus rows fanned to PqM·PqK rows —
-    * broadcast-sized by construction.
+  /** The [[PqK]] sampled unit vectors collected ONCE, code-ordered —
+    * a tiny driver-side read of the s2-centroid class (codebooks are
+    * index-build metadata): folding them into the plan as literals is
+    * what lets the encode run as one scan-side `pq_encode` kernel
+    * call instead of a centroid-fanout join.
     */
-  private def pqCodebooks(unit: DataFrame): DataFrame = {
-    val s = unit.sparkSession
-    import s.implicits._
-    val dsub = Dims / PqM
-    val codeOf = PqSampleIds.zipWithIndex.toDF("vec_id", "code")
-    val subs = (0 until PqM).toDF("sub")
-    unit.join(broadcast(codeOf), "vec_id")
-      .crossJoin(broadcast(subs))
-      .select(col("sub"), col("code"),
-        slice(col("uv"), col("sub") * lit(dsub) + 1, lit(dsub)).as("cv"))
-      .withColumn("cc", dot(col("cv"), col("cv")))
+  private def pqSampleUnits(unit: DataFrame): Array[Array[Double]] = {
+    val byId = unit.filter(col("vec_id").isin(PqSampleIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    PqSampleIds.map(byId).toArray
   }
 
-  /** min-L2 PQ encode of `xs` (vec_id, `xcol` vector, plus `keep`
-    * columns) against a (sub, code, cv, cc) codebook: per subspace,
-    * code = argmin ‖x_sub − c‖² = argmax (x_sub·c − ½‖c‖²), ties to
-    * the smallest code. Shaped as two hash aggregates (struct-max
-    * argmax, then code collection) rather than a row_number window:
-    * both stages combine map-side, so the exchange carries one row
-    * per (vec, sub) — not the k-centroid fanout the window form
-    * would sort and shuffle.
+  /** Row-major flat codebooks for the `pq_encode` kernel:
+    * flat[(sub·PqK + code)·dsub + i] = sample(code).uv[sub·dsub + i].
     */
-  private def pqEncode(xs: DataFrame, books: DataFrame, xcol: String,
-      keep: Seq[String]): DataFrame = {
+  private def pqBooksFlatOf(samples: Array[Array[Double]]): Array[Double] = {
     val dsub = Dims / PqM
-    val gcols = "vec_id" +: keep
-    xs.crossJoin(books)
-      .select(gcols.map(col) ++ Seq(col("sub"), col("code"),
-        (dot(slice(col(xcol), col("sub") * lit(dsub) + 1, lit(dsub)),
-          col("cv")) - col("cc") / 2).as("d")): _*)
-      .groupBy((gcols :+ "sub").map(col): _*)
-      .agg(max(struct(col("d"), (-col("code")).as("nc"))).as("mx"))
-      .groupBy(gcols.map(col): _*)
-      .agg(transform(array_sort(collect_list(struct(col("sub"),
-        (-col("mx.nc")).as("code")))), x => x.getField("code")).as("codes"))
+    val flat = new Array[Double](PqM * PqK * dsub)
+    for { sub <- 0 until PqM; code <- 0 until PqK; j <- 0 until dsub }
+      flat((sub * PqK + code) * dsub + j) = samples(code)(sub * dsub + j)
+    flat
+  }
+
+  /** The same codebooks as a (sub, code, cv) table for the distance-
+    * table build ([[pqDistTable]] dots each QUERY against every
+    * centroid — |Q|·PqM·PqK rows, join-shaped, not kernel-shaped).
+    */
+  private def pqBooksDfOf(s: SparkSession,
+      samples: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val dsub = Dims / PqM
+    (for { sub <- 0 until PqM; code <- 0 until PqK }
+      yield (sub, code,
+        samples(code).slice(sub * dsub, (sub + 1) * dsub).toSeq))
+      .toDF("sub", "code", "cv")
   }
 
   /** s10 — PQ ADC search with the deterministic data-sampled
     * codebooks ([[PqSampleIds]]): unit-normalize, min-L2-encode every
-    * vector per subspace (ties to the smallest code), build each
-    * query's flat distance table, score the whole corpus with the
-    * `pq_adc` codegen kernel, keep the ADC top [[PqRerank]] through
-    * the `topk_by` heap, and rank those candidates by exact cosine.
-    * Same plan shape as [[knnPqFromIndex]] with the encode step
-    * inlined (at 100 TB the encode is a write-time projection; the
-    * fitted-index path shows that form). Measured recall@5 ≥ 0.9 at
-    * both sf0.01 and sf0.1 — floor-gated in the bench artifact.
+    * vector with the `pq_encode` codegen kernel (one scan-side
+    * projection — no encode shuffle at all; ties to the smallest
+    * code), build each query's flat distance table, score the whole
+    * corpus with the `pq_adc` kernel, keep the ADC top [[PqRerank]]
+    * through the `topk_by` heap, and rank those candidates by exact
+    * cosine. Same plan shape as [[knnPqFromIndex]] with the encode
+    * step inlined (at 100 TB the encode is a write-time projection;
+    * the fitted-index path shows that form). Measured recall@5 ≥ 0.9
+    * at both sf0.01 and sf0.1 — floor-gated in the bench artifact.
     */
   def knnPqInline(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     graft.functions.TopKFunctions.register(s)
     val unit = unitVecs(s, dir)
-    val books = broadcast(pqCodebooks(unit))
-    val codes = pqEncode(unit, books, "uv", Nil)
+    val samples = pqSampleUnits(unit)
+    val codes = unit.select(col("vec_id"),
+      graft.functions.VectorFunctions.pqEncode(col("uv"),
+        pqBooksFlatOf(samples), PqM).as("codes"))
     val q = unit.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("uv").as("quv"))
     rerankExact(
-      pqAdcSearch(codes, books, q, PqRerank).select(col("q_id"), col("vec_id")),
+      pqAdcSearch(codes, broadcast(pqBooksDfOf(s, samples)), q, PqRerank)
+        .select(col("q_id"), col("vec_id")),
       unit, q, topK)
   }
 
@@ -699,7 +697,7 @@ object Similarity {
     val cellIdx = CoarseCellIds.zipWithIndex.toDF("vec_id", "cell")
     val cells = broadcast(unit.join(broadcast(cellIdx), "vec_id")
       .select(col("cell"), col("uv").as("ccv")))
-    val books = broadcast(pqCodebooks(unit))
+    val samples = pqSampleUnits(unit)
     // coarse assignment: argmax cell dot (= min-L2, cells unit-norm),
     // ties to the smallest cell id; 4 candidate rows per vector
     val wCell = Window.partitionBy("vec_id").orderBy(desc("cd"), col("cell"))
@@ -710,8 +708,11 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"),
         zip_with(col("uv"), col("ccv"), (a, b) => a - b).as("rv"))
-    // residual PQ encode, the s10 min-L2 rule, cell riding along
-    val codes = pqEncode(assigned, books, "rv", Seq("cell"))
+    // residual PQ encode, the s10 min-L2 kernel — residual subtraction
+    // and code assignment fuse into the SAME projection, no exchange
+    val codes = assigned.select(col("vec_id"), col("cell"),
+      graft.functions.VectorFunctions.pqEncode(col("rv"),
+        pqBooksFlatOf(samples), PqM).as("codes"))
     val q = unit.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("uv").as("quv"))
     // probe list: the nprobe best cells per query, with q·cell riding
@@ -726,7 +727,7 @@ object Similarity {
     // q_sub · codebook, not the query's own residual) — s10's qdt
     val cands = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(pqDistTable(q, books)), Seq("q_id"))
+      .join(broadcast(pqDistTable(q, pqBooksDfOf(s, samples))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(col("qcd") + graft.functions.VectorFunctions
           .pqAdc(col("codes"), col("dt")), 6).as("sim"))

@@ -196,6 +196,66 @@ class FunctionsSpec extends SparkSpec {
     assert(bad3.isNullAt(0))
   }
 
+  test("pq_encode picks the min-L2 centroid per subspace, ties to the " +
+      "smallest code; malformed geometry yields null") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // m=2 subspaces of 2 dims, k=2 centroids each, flat layout
+    // (sub·k + code)·dsub + i:
+    //   sub0: c0=(1,0)  c1=(0,1)   sub1: c0=(2,2)  c1=(1,1)
+    // v=(1,0 | 1,1): sub0 → c0 (exact hit); sub1: c0 score
+    // 4−½·8 = 0, c1 score 2−½·2 = 1 → c1
+    val books = "array(1d,0d, 0d,1d, 2d,2d, 1d,1d)"
+    val r = spark.sql(
+      s"SELECT pq_encode(array(1d, 0d, 1d, 1d), $books, 2) AS c").head
+    assert(r.getSeq[Int](0) == Seq(0, 1))
+    // tie: v=(0,0 | 0,0) scores −½‖c‖² — sub0 ties at c0=(1,0) vs a
+    // duplicated norm? use distinct norms then exact tie via equal
+    // centroids: both centroids identical → tie → smallest code
+    val tie = spark.sql(
+      "SELECT pq_encode(array(5d, 5d), array(1d, 1d, 1d, 1d), 1) AS c").head
+    assert(tie.getSeq[Int](0) == Seq(0), "tie must go to the smallest code")
+    // oracle-parity on real data: kernel codes == the join+argmax form
+    val unit = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .selectExpr("vec_id",
+        "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a*b), 0d, (s, x) -> s + x))) uv")
+    val ids = graft.llm.Similarity.PqSampleIds
+    val m = graft.llm.Similarity.PqM
+    val k = graft.llm.Similarity.PqK
+    val dsub = graft.llm.Similarity.Dims / m
+    val samples = unit.filter($"vec_id".isin(ids: _*)).collect()
+      .map(row => row.getLong(0) -> row.getSeq[Double](1).toArray).toMap
+    val flat = new Array[Double](m * k * dsub)
+    for { sub <- 0 until m; code <- 0 until k; j <- 0 until dsub }
+      flat((sub * k + code) * dsub + j) = samples(ids(code))(sub * dsub + j)
+    val got = unit.limit(50).select($"vec_id",
+        graft.functions.VectorFunctions.pqEncode($"uv", flat, m).as("c"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Int](1)).toMap
+    got.foreach { case (id, codes) =>
+      val u = unit.filter($"vec_id" === id).head.getSeq[Double](1).toArray
+      val want = (0 until m).map { sub =>
+        (0 until k).map { code =>
+          val off = (sub * k + code) * dsub
+          var s = 0.0; var cc = 0.0
+          (0 until dsub).foreach { j =>
+            s += u(sub * dsub + j) * flat(off + j)
+            cc += flat(off + j) * flat(off + j)
+          }
+          (s - cc / 2, code)
+        }.sortBy { case (d, c) => (-d, c) }.head._2
+      }
+      assert(codes == want, s"kernel codes diverge for vec $id")
+    }
+    // |v| not divisible by m -> null; |books| not multiple of |v| -> null
+    assert(spark.sql(
+      "SELECT pq_encode(array(1d, 2d, 3d), array(1d, 2d, 3d), 2) AS c")
+      .head.isNullAt(0))
+    assert(spark.sql(
+      "SELECT pq_encode(array(1d, 2d), array(1d, 2d, 3d), 1) AS c")
+      .head.isNullAt(0))
+  }
+
   test("simhash64 equals the unfused CASE-WHEN-dot form it replaces") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
