@@ -386,11 +386,14 @@ object Similarity {
     * and ADC approximates cosine directly.
     *
     * Build cost: m seeded KMeans fits over (n × Dims/m)-dim points —
-    * at 100 TB the fits run once on a sample (like the IVF build) and
-    * encoding is a write-time projection; the m assignment joins here
-    * keep the test-scale build simple (a production encoder would
-    * broadcast all m codebooks and assign in ONE pass — the search
-    * path below shows that shape).
+    * at 100 TB the fits run once on a sample (like the IVF build) —
+    * then ONE `pq_encode` projection writes every vector's codes: the
+    * fitted centroids fold into the plan as a flat literal, so the
+    * encode is a single scan with no joins (the round-8 form chained
+    * m assignment joins). `pq_encode`'s exact min-L2 argmax agrees
+    * with `KMeans.transform`'s nearest-centroid rule (min distance,
+    * then min index — the [[appendToIvfIndex]] parity argument one
+    * level down).
     */
   def buildPqIndex(s: SparkSession, dir: String, indexDir: String,
       m: Int = PqM, k: Int = PqK): Unit = {
@@ -400,25 +403,23 @@ object Similarity {
       .select(col("vec_id"),
         graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var codes = unit.select(col("vec_id"))
-    val centroids = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Double])]()
-    (0 until m).foreach { sub =>
-      val sv = unit.select(col("vec_id"),
+    val centroids = (0 until m).flatMap { sub =>
+      val sv = unit.select(
         org.apache.spark.ml.functions.array_to_vector(
           slice(col("uv"), sub * dsub + 1, dsub)).as("features"))
-      val model = fitKmeans(sv, k)
-      codes = codes.join(
-        model.transform(sv).select(col("vec_id"),
-          col("prediction").as(s"c$sub")), "vec_id")
-      centroids ++= model.clusterCenters.zipWithIndex
+      fitKmeans(sv, k).clusterCenters.zipWithIndex
         .map { case (c, i) => (sub, i, c.toArray) }
     }
-    codes
-      .select(col("vec_id"),
-        array((0 until m).map(i => col(s"c$i")): _*).as("codes"))
+    val flat = new Array[Double](m * k * dsub)
+    centroids.foreach { case (sub, code, cv) =>
+      cv.indices.foreach(j => flat((sub * k + code) * dsub + j) = cv(j))
+    }
+    unit.select(col("vec_id"),
+        graft.functions.VectorFunctions.pqEncode(col("uv"), flat, m)
+          .as("codes"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/codes")
-    centroids.toSeq.toDF("sub", "code", "cv")
+    centroids.toDF("sub", "code", "cv")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/codebooks")
     unit.unpersist()

@@ -95,6 +95,28 @@ object Maintenance {
       .groupBy("source")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"))
 
+  /** SCD Type-2 versioning of a change log: each (key, ts) state row
+    * becomes a validity interval — `valid_from` = its own timestamp,
+    * `valid_to` = the key's NEXT change (null while current, flagged
+    * `is_current`). The slowly-changing-dimension build every
+    * warehouse needs when a mutable entity must be joinable AS OF any
+    * past time (the q30/q42 as-of joins are the read side of this
+    * write shape). One window per key — a single shuffle on the key,
+    * bounded state per key, `tie` columns pinning the order of
+    * same-timestamp changes.
+    */
+  def scdType2(changes: DataFrame, keys: Seq[String], ts: String,
+      tie: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ts) +: tie.map(col)): _*)
+    changes
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
+  }
+
   /** Salted equi-join for skewed keys: the dimension side is
     * replicated `salts` times (explode over the salt range) and the
     * fact side picks a deterministic salt from a hash of its own
@@ -179,11 +201,25 @@ object Maintenance {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** q55 — SCD2 over the event stream: each user's events become
+    * versioned validity intervals (epoch-second bounds, the q19
+    * timestamp convention; event_id breaks same-timestamp ties).
+    */
+  def q55Scd2(s: SparkSession, dir: String): DataFrame =
+    scdType2(t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      Seq("user_id"), "ts", Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("valid_from")).as("valid_from_s"),
+        unix_timestamp(col("valid_to")).as("valid_to_s"),
+        col("is_current"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_upsert" -> q50Upsert _,
     "q51_snapshot_diff" -> q51SnapshotDiff _,
     "q52_incr_agg" -> q52IncrAgg _,
-    "q53_salted_join" -> q53SaltedJoin _)
+    "q53_salted_join" -> q53SaltedJoin _,
+    "q55_scd2" -> q55Scd2 _)
 
   val oracleSql: Map[String, String] = Map(
     "q50_upsert" ->
@@ -210,5 +246,14 @@ object Maintenance {
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(SUM(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q55_scd2" ->
+      """SELECT user_id, event_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_s,
+        |  CAST(epoch(date_trunc('second', lead(ts, 1) OVER w)) AS BIGINT)
+        |    AS valid_to_s,
+        |  CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END
+        |    AS INTEGER) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
 }

@@ -54,6 +54,37 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("scdType2: per-key intervals chain gaplessly, exactly one current " +
+      "version, as-of lookup at any probe time returns the then-valid row") {
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val got = Maintenance.scdType2(ev, Seq("user_id"), "ts", Seq("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getInt(5)))
+    val byUser = got.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._4.getTime, r._3))
+      // exactly one open (current) interval per key — the last
+      assert(sorted.count(_._5.isEmpty) == 1, s"user $u current count")
+      assert(sorted.last._5.isEmpty && sorted.last._6 == 1)
+      // each interval closes at the next one's start (gapless chain)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5.contains(b._4),
+          s"user $u: interval of ${a._3} does not close at ${b._3}'s start")
+      }
+      // as-of probe: the row valid at a mid-chain instant is the one
+      // whose interval contains it
+      if (sorted.length >= 2) {
+        val probe = sorted(sorted.length / 2)._4
+        val valid = sorted.filter(r =>
+          !r._4.after(probe) && r._5.forall(_.after(probe)))
+        assert(valid.nonEmpty, s"user $u: no interval covers $probe")
+      }
+    }
+  }
+
   test("saltedJoin: result equals the plain join and the hot key spreads " +
       "over multiple reduce partitions") {
     import spark.implicits._
