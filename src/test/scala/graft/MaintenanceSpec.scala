@@ -54,6 +54,41 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("property: upsert/diff algebra on random tables — updates win, " +
+      "diff(base, upsert(base, u)) labels exactly u's effect, " +
+      "delete erases exactly the victims") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 99L)))
+    val prop = Prop.forAll(rowGen, rowGen) { (baseRows, updRows) =>
+      // distinct keys per table (keyed-table contract)
+      val base = baseRows.distinctBy(_._1)
+      val upd = updRows.distinctBy(_._1)
+      val baseDf = base.toDF("id", "v")
+      val updDf = upd.toDF("id", "v")
+      val merged = Maintenance.upsertByKey(baseDf, updDf, Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = base.toMap ++ upd.toMap
+      val diff = Maintenance.snapshotDiff(baseDf, merged.toSeq.toDF("id", "v"),
+          Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val wantDiff = (
+        upd.toMap.keySet.filterNot(base.toMap.contains).map(_ -> "added") ++
+        upd.collect { case (k, v)
+          if base.toMap.get(k).exists(_ != v) => k -> "changed" }).toMap
+      val victims = base.take(5).map(_._1)
+      val afterDelete = Maintenance.deleteByKeys(baseDf,
+          victims.toDF("id"), Seq("id"))
+        .collect().map(_.getLong(0)).toSet
+      merged == want && diff == wantDiff &&
+        afterDelete == base.map(_._1).toSet.diff(victims.toSet)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scdType2: per-key intervals chain gaplessly, exactly one current " +
       "version, as-of lookup at any probe time returns the then-valid row") {
     val ev = graft.core.Tables.load(spark, sfDir, "events")
