@@ -29,6 +29,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest dedup <watchDir> <indexTable> <acceptedDir> <ckDir>
   *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
+  *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   *   graft.cli.Main maintain upsert|delete|diff <base> <other> <k1[,k2…]> <out>
@@ -191,6 +192,13 @@ object Main {
       val q = graft.streaming.IngestAnn.run(
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), idx, ck)
+      try q.processAllAvailable() finally q.stop()
+    // `upsert`: CDC apply — the watched change stream merges into the
+    // keyed state table per micro-batch (latest orderCol wins)
+    case Seq("ingest", "upsert", watch, table, keys, orderCol, ck) =>
+      val q = graft.streaming.IngestUpsert.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), table, keys.split(",").toSeq, orderCol, ck)
       try q.processAllAvailable() finally q.stop()
 
     // data-layout maintenance jobs — the write-time half of the data-

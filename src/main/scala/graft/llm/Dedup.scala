@@ -611,7 +611,7 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  private[llm] def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     checkpointRdd(df).foreach(_.unpersist(false))
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {

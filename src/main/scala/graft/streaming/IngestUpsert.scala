@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous keyed upsert — the streaming face of
+  * [[graft.ops.Maintenance.upsertByKey]]: a change stream is merged
+  * into a keyed parquet table per micro-batch, updates winning on key
+  * collision, so the table is always the latest-state view of the
+  * stream (a CDC apply / materialized upsert sink, the third member
+  * of the ingest trio next to [[IngestDedup]] and [[IngestAnn]]).
+  *
+  * Layout: the table is Hive-partitioned by `__bucket` =
+  * pmod(hash(keys), buckets). A micro-batch touches only the buckets
+  * its keys hash into — the batch reads exactly those partitions of
+  * the base (partition pruning, not a full scan), merges, and
+  * dynamic-partition-overwrites exactly those directories. Per-trigger
+  * cost is O(batch + touched-bucket data), independent of table size
+  * once buckets outnumber the per-batch key spread.
+  *
+  * Exactly-once reasoning, SIMPLER than IngestDedup's two-sink
+  * analysis because the merge is idempotent: replaying a committed
+  * batch recomputes the identical merged bucket contents and
+  * overwrites them with themselves; a crash that committed only some
+  * bucket directories is healed the same way (each replayed bucket
+  * converges to the same bytes). The only contract is that the WITHIN-
+  * batch winner is deterministic — [[processBatch]] keeps, per key,
+  * the row with the greatest `orderCol` (ties to that ordering's
+  * last), so replays elect the same winner regardless of partitioning.
+  */
+object IngestUpsert {
+
+  /** The bucket-routing column — exposed so tests and offline jobs
+    * can derive the same layout.
+    */
+  def bucketOf(keys: Seq[String], buckets: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(buckets))
+
+  /** Starts the upsert query: `updates` is a streaming frame whose
+    * schema is the table's row shape (keys + attributes + `orderCol`).
+    */
+  def run(updates: DataFrame, tablePath: String, keys: Seq[String],
+      orderCol: String, checkpoint: String, buckets: Int = 16)
+      : StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        processBatch(batch.toDF(), tablePath, keys, orderCol, buckets)
+      }
+      .start()
+
+  /** One micro-batch merge — public so replay idempotence is directly
+    * testable: applying the same batch twice must leave the table
+    * byte-identical in content.
+    */
+  def processBatch(batch: DataFrame, tablePath: String, keys: Seq[String],
+      orderCol: String, buckets: Int = 16): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    // within-batch winner per key: greatest orderCol (deterministic
+    // under replay and any partitioning)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    val latest = batch
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .withColumn("__bucket", bucketOf(keys, buckets))
+      .persist()
+    try {
+      val touched = latest.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(tablePath))
+      // the merge READS the very partitions the write then overwrites:
+      // materialize the merged buckets first (eager checkpoint cuts
+      // the lineage back to the input files), then write from blocks
+      val merged =
+        if (bootstrap) latest
+        else graft.ops.Maintenance.upsertByKey(
+          s.read.parquet(tablePath)
+            .filter(col("__bucket").isin(touched: _*)),
+          latest, keys).localCheckpoint(true)
+      try {
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode(SaveMode.Overwrite)
+          .partitionBy("__bucket").parquet(tablePath)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      } finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)
+    } finally latest.unpersist()
+  }
+
+  /** The table's current state without the routing column. */
+  def readTable(s: org.apache.spark.sql.SparkSession,
+      tablePath: String): DataFrame =
+    s.read.parquet(tablePath).drop("__bucket")
+}

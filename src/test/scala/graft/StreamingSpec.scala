@@ -357,6 +357,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ing_idx").count() == before + 3)
   }
 
+  test("streaming upsert: latest state per key across batches, within-batch " +
+      "winner by orderCol, replay of a committed batch changes nothing") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$base/state"
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.IngestUpsert.run(
+      mem.toDF().toDF("id", "seq", "v"),
+      table, Seq("id"), "seq", s"$base/ck", buckets = 4)
+    def state(): Map[Long, (Long, String)] =
+      graft.streaming.IngestUpsert.readTable(spark, table)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+    try {
+      // batch 1 bootstraps; id=1 appears twice — seq 2 must win
+      mem.addData((1L, 1L, "a1"), (1L, 2L, "a2"), (2L, 1L, "b1"))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(table)
+      assert(state() == Map(1L -> ((2L, "a2")), 2L -> ((1L, "b1"))))
+      // batch 2 updates one key, inserts another; untouched key persists
+      mem.addData((2L, 2L, "b2"), (3L, 1L, "c1"))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(table)
+      assert(state() == Map(1L -> ((2L, "a2")), 2L -> ((2L, "b2")),
+        3L -> ((1L, "c1"))))
+    } finally q.stop()
+    // crash-replay: reapplying batch 2 directly must be a no-op
+    import spark.implicits._
+    graft.streaming.IngestUpsert.processBatch(
+      Seq((2L, 2L, "b2"), (3L, 1L, "c1")).toDF("id", "seq", "v"),
+      table, Seq("id"), "seq", buckets = 4)
+    spark.catalog.refreshByPath(table)
+    assert(state() == Map(1L -> ((2L, "a2")), 2L -> ((2L, "b2")),
+      3L -> ((1L, "c1"))))
+  }
+
   test("ingest replay after a full commit changes nothing; compaction dedupes the index") {
     import graft.streaming.IngestDedup
     val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
