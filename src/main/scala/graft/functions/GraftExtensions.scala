@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // point, so moved filters keep sinking toward the scan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // optimizer-rule tier: marked interval joins rewrite to binned
+    // equi-joins (see graft.plans.BinRangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BinRangeJoinRule)
     VectorFunctions.injectAll(ext)
     ext.injectFunction((
       FunctionIdentifier(HashFunctions.fnName),

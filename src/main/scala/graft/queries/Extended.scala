@@ -515,6 +515,29 @@ object Extended {
       .groupBy("l_returnflag", "metric")
       .agg(count(lit(1)).as("n"), round(avg(col("val")), 4).as("avg_val"))
 
+  /** q56 — q37's range join through the AUTOMATIC binning rule
+    * ([[graft.plans.BinRangeJoinRule]]): the interval side is marked
+    * (`RangeJoinApi.markBinned`) and the optimizer rewrites the
+    * nested-loop range join into q43's binned equi-join shape — the
+    * user keeps the declarative range predicate; the manual explode/
+    * bin arithmetic q43 spells out becomes the rule's job. Oracle =
+    * q37's SQL verbatim: the hash match proves the rewrite changes
+    * the plan, never the relation (`RangeBinSpec` property-tests the
+    * rewrite itself, including empty/inverted/null-bound intervals).
+    */
+  def q56RangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    val tiers = t(s, dir, "region").select(
+      col("r_regionkey").as("tier"),
+      (col("r_regionkey") * 100000.0).as("lo"),
+      ((col("r_regionkey") + 1) * 100000.0).as("hi"))
+    t(s, dir, "orders")
+      .join(graft.plans.RangeJoinApi.markBinned(tiers, 50000.0),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** q54 — PageRank over the supplier↔customer trade graph, the
     * iterative-graph-analytics face next to d8's connected
     * components: nodes are suppliers (id + 1,000,000 — disjoint from
@@ -612,6 +635,7 @@ object Extended {
     "q48_hash_sample"    -> q48HashSample _,
     "q49_stratified_hash" -> q49StratifiedHash _,
     "q54_pagerank"       -> q54PageRank _,
+    "q56_range_join_auto" -> q56RangeJoinAuto _,
     "q33_grouping_sets"  -> q33GroupingSets _,
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
@@ -672,6 +696,16 @@ object Extended {
     // oracle is q37's SQL verbatim; the hash match proves binning
     // changes the plan shape, not the relation
     "q43_range_join_binned" ->
+      """WITH tiers AS (SELECT r_regionkey AS tier,
+        |  r_regionkey * 100000.0 AS lo, (r_regionkey + 1) * 100000.0 AS hi
+        |  FROM region)
+        |SELECT tier, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+        |FROM orders JOIN tiers
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1""".stripMargin,
+    // q56: the automatic-rule form of the same range join — q37's
+    // oracle once more (the rule is plan-only)
+    "q56_range_join_auto" ->
       """WITH tiers AS (SELECT r_regionkey AS tier,
         |  r_regionkey * 100000.0 AS lo, (r_regionkey + 1) * 100000.0 AS hi
         |  FROM region)
