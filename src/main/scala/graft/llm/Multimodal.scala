@@ -157,12 +157,76 @@ object Multimodal {
       .groupBy("kind", "content_hash")
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n"))
 
+  /** m4 — NEAR-dup media pairs by positional chunk fingerprints: the
+    * payload splits into `chunks` equal slices, each slice is hashed,
+    * and two media match when ≥ `minShared` same-position slices are
+    * byte-identical — the block-hash dedup that catches truncated /
+    * partially-corrupted re-uploads exact hashing (m3) misses. The
+    * pair stage is an equi-join on (position, slice-hash) — blocking,
+    * never all-pairs — and only (id, position, 32-byte hash) rows
+    * shuffle; payload bytes are scanned once. `n_shared` grades the
+    * match: byte-identical payloads score `chunks`, partial overlaps
+    * less — the default `minShared` = 1 emits every candidate pair
+    * (a verify tier thresholds downstream; on the synthetic corpus
+    * near-dup edits are spread through the text, so positional blocks
+    * rarely align more than twice).
+    *
+    * Fixture note: payloads here are UTF-8 text, and this DuckDB
+    * can't slice or hash BLOBs — so the slicing is CHARACTER-based on
+    * both engines (identical md5 of the identical substring's UTF-8
+    * bytes). A real media kernel slices bytes; the plan shape is the
+    * same. Payloads shorter than `chunks` slices are skipped (they
+    * are m3's exact-hash territory).
+    */
+  def mediaChunkDedup(s: SparkSession, dir: String, chunks: Int = 8,
+      minShared: Int = 1): DataFrame =
+    mediaChunkDedupOf(Tables.load(s, dir, "documents"), chunks, minShared)
+
+  /** [[mediaChunkDedup]] over an arbitrary (doc_id, text) frame. */
+  def mediaChunkDedupOf(docsIn: DataFrame, chunks: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id").as("media_id"), col("text"),
+        length(col("text")).cast(LongType).as("n"))
+      .filter(col("text").isNotNull && col("n") >= chunks)
+    val ch = docs
+      .select(col("media_id"), col("text"), col("n"),
+        explode(sequence(lit(0L), lit((chunks - 1).toLong))).as("ci"))
+      .select(col("media_id"), col("ci"),
+        md5(expr(s"substring(text, cast(ci * n div $chunks as int) + 1, " +
+          s"cast((ci + 1) * n div $chunks - ci * n div $chunks as int))"))
+          .as("fp"))
+    ch.as("a").join(ch.as("b"),
+        col("a.ci") === col("b.ci") && col("a.fp") === col("b.fp") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> binaryMeta _,
     "m2_media_process" -> mediaProcess _,
-    "m3_media_dedup" -> mediaDedup _)
+    "m3_media_dedup" -> mediaDedup _,
+    "m4_media_chunkdup" -> ((s: SparkSession, dir: String) =>
+      mediaChunkDedup(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    // m4: character-based slicing on both engines (see the Spark-side
+    // note); `//` is DuckDB's BIGINT floor division = Spark's `div`
+    "m4_media_chunkdup" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+        |ch AS (SELECT media_id, c.range AS ci,
+        |  md5(substring(text, CAST((c.range * n) // 8 AS BIGINT) + 1,
+        |    CAST(((c.range + 1) * n) // 8 - (c.range * n) // 8 AS BIGINT)))
+        |    AS fp
+        |  FROM d CROSS JOIN range(8) c)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM ch a JOIN ch b ON a.ci = b.ci AND a.fp = b.fp
+        |  AND a.media_id < b.media_id
+        |GROUP BY 1, 2""".stripMargin,
     // m3: md5 of the VARCHAR is md5 of its UTF-8 bytes — exactly the
     // payload Spark hashes (encode(text, 'UTF-8'))
     "m3_media_dedup" ->

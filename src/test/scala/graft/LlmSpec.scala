@@ -866,6 +866,24 @@ class LlmSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 3L))
   }
 
+  test("m4 chunk dedup: identical payloads score all chunks, a half-" +
+      "replaced payload scores the intact half, disjoint payloads none") {
+    import spark.implicits._
+    val base = "a" * 64 + "b" * 64     // 128 chars, 8 chunks of 16
+    val halfNew = "a" * 64 + "z" * 64  // first 4 chunks intact
+    val docs = Seq((1L, base), (2L, base), (3L, halfNew),
+      (4L, "q" * 128)).toDF("doc_id", "text")
+    val got = Multimodal.mediaChunkDedupOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // NOTE: all-'a' chunks collide across positions too, but the join
+    // is position-keyed, so per-pair counts stay per-position
+    assert(got((1L, 2L)) == 8L, s"exact dup must share all 8: $got")
+    assert(got((1L, 3L)) == 4L && got((2L, 3L)) == 4L,
+      s"half-replaced must share exactly the intact half: $got")
+    assert(!got.contains((1L, 4L)) && !got.contains((3L, 4L)),
+      s"disjoint payloads must not pair: $got")
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
