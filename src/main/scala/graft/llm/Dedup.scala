@@ -702,6 +702,45 @@ object Dedup {
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
   }
 
+  /** d14 — leakage-free train/val/test assignment: every document is
+    * routed to a split by a hash of its near-dup CLUSTER id (d8's
+    * connected components; untouched docs are their own cluster), so
+    * a near-duplicate pair can never straddle splits. Splitting by
+    * doc_id hash — the naive reproducible split — leaks: a test doc's
+    * near-duplicate sits in train and the eval overstates
+    * generalization (the contamination Lee et al. 2022 measure).
+    * Buckets of 10 on the c7 hash-bucket scheme under a `split:`
+    * salt — 8/1/1 train/val/test, deterministic across engines,
+    * partitionings and reruns.
+    *
+    * Scale shape: d8's cost plus one broadcast-or-hash left join of
+    * the cluster table (near-dup fraction of the corpus) and a
+    * scan-side hash projection; text is never read past d8's own
+    * shingling.
+    *
+    * Fixture note: the synthetic corpus is adversarially dense —
+    * ~88% of docs sit in a handful of near-dup mega-clusters — so the
+    * realized split mix follows a few cluster-level coin flips rather
+    * than the 8/1/1 expectation (LlmSpec pins the mix on the
+    * SINGLETON population, where the law of large numbers applies,
+    * and the co-routing invariant on everything). A production corpus
+    * deduplicates BEFORE splitting; this operator exists for the
+    * near-dups that survive any threshold.
+    */
+  def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val cl = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val h = graft.llm.TextAnalysis.hash60(concat(lit("split:"),
+      col("cluster_id").cast("string"))) % 10
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(h < 8, "train").when(h === 8, "val").otherwise("test")
+          .as("split"))
+  }
+
   /** Applies the d8 keep/drop list: the deduplicated corpus itself —
     * documents minus every non-representative member of a duplicate
     * cluster — which is what a training run actually reads (the
@@ -873,6 +912,7 @@ object Dedup {
     "d1_exact_dedup"  -> exactDedup _,
     "d8_dedup_clusters" -> dedupClusters _,
     "d9_dedup_apply"  -> dedupApply _,
+    "d14_split_leakfree" -> splitLeakfree _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d3_jaccard_verify" -> jaccardVerify _,
     "d11_setsim_join" -> setSimJoin _,
@@ -1090,6 +1130,35 @@ object Dedup {
          |SELECT node AS doc_id, min(reach) AS cluster_id,
          |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM r GROUP BY node""".stripMargin,
+    // d14: d8's reachability closure once more, every document joined
+    // to its cluster (its own id when untouched), split by the c7
+    // md5-prefix hash of the CLUSTER id — near-dups co-routed
+    "d14_split_leakfree" ->
+      s"""WITH RECURSIVE $sigCte,
+         |${simCandCteFrom()},
+         |$cgCandCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |  UNION SELECT doc_a, doc_b FROM simcand
+         |  UNION SELECT doc_b, doc_a FROM simcand
+         |  UNION SELECT doc_a, doc_b FROM cgcand
+         |  UNION SELECT doc_b, doc_a FROM cgcand),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |r AS (SELECT id AS node, id AS reach FROM nodes
+         |  UNION
+         |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+         |  FROM r GROUP BY node),
+         |asg AS (SELECT d.doc_id,
+         |  coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  CAST(('0x' || substr(md5('split:' || cluster_id), 1, 15))
+         |    AS BIGINT) % 10 AS h
+         |  FROM asg)""".stripMargin,
     // d9: d8's reachability closure, then the complement — documents
     // whose id is NOT a dropped (non-minimum) cluster member
     "d9_dedup_apply" ->

@@ -866,6 +866,38 @@ class LlmSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 3L))
   }
 
+  test("d14 leakage-free splits: every near-dup cluster routes to ONE " +
+      "split, assignment is deterministic, singleton mix tracks 8/1/1") {
+    val out = Dedup.splitLeakfree(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val clusters = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    // invariant: two docs in the same cluster share a split — a
+    // doc-id-hash split would scatter them (leakage)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val splits = members.keys.map(splitOf).toSet
+      assert(splits.size == 1,
+        s"cluster $cid straddles splits: $splits")
+    }
+    // assigned cluster matches d8 for clustered docs, self for the rest
+    out.foreach { case (doc, cid, _) =>
+      assert(cid == clusters.getOrElse(doc, doc)) }
+    // the singleton population is hash-uniform: 8/1/1 within binomial
+    // tolerance (the clustered mass follows a few cluster coin flips
+    // by design — see the operator scaladoc)
+    val singles = out.filter(r => !clusters.contains(r._1))
+    if (singles.length >= 30) {
+      val frac = singles.count(_._3 == "train").toDouble / singles.length
+      val tol = 5 * math.sqrt(0.8 * 0.2 / singles.length)
+      assert(math.abs(frac - 0.8) <= tol,
+        s"singleton train fraction $frac off 0.8 (n=${singles.length})")
+    }
+    // determinism: a second evaluation reproduces the assignment
+    assert(Dedup.splitLeakfree(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap == splitOf)
+  }
+
   test("m4 chunk dedup: identical payloads score all chunks, a half-" +
       "replaced payload scores the intact half, disjoint payloads none") {
     import spark.implicits._
