@@ -32,6 +32,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
+  *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
   *   graft.cli.Main maintain upsert|delete|diff <base> <other> <k1[,k2…]> <out>
   * }}}
   *
@@ -123,6 +124,11 @@ object Main {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("spans", in, out, "cut") =>
       graft.llm.Dedup.spanDedupApply(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    // leakage-free split assignment (d14): split routed by near-dup
+    // cluster so no near-duplicate pair straddles train/val/test
+    case Seq("split", in, out) =>
+      graft.llm.Dedup.splitLeakfree(spark, in)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
 
     // ANN index lifecycle as batch jobs: `index` is the once-per-

@@ -269,6 +269,9 @@ class IoCliSpec extends SparkSpec {
     graft.cli.Main.run(spark, Seq("spans", sfDir, s"$dir/sc", "cut"))
     assert(rows(spark.read.parquet(s"$dir/sc")) ==
       rows(graft.llm.Dedup.spanDedupApply(spark, sfDir)))
+    graft.cli.Main.run(spark, Seq("split", sfDir, s"$dir/sp"))
+    assert(rows(spark.read.parquet(s"$dir/sp")) ==
+      rows(graft.llm.Dedup.splitLeakfree(spark, sfDir)))
   }
 
   test("cli ingest dedup: drain-and-exit runs accept each doc exactly once") {
