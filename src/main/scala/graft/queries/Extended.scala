@@ -538,6 +538,61 @@ object Extended {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** q57 — ORDERED funnel conversion (view → click → purchase, each
+    * step within a 24 h conversion window of the previous step's
+    * entry): a user reaches a stage only via a strictly later event
+    * than their entry into the previous stage — the sequenced,
+    * windowed form real funnel analytics needs (an unordered
+    * type-count funnel would credit a purchase that preceded the
+    * first view; an unwindowed one saturates on any long-lived user —
+    * on this fixture every user eventually does everything, while the
+    * 24 h funnel reads 150 → 60 → 25). Each stage is one filtered
+    * min-aggregate keyed by user joined to the previous stage's entry
+    * times — three scans of a single-column slice, no window over raw
+    * events, each join keyed on user_id (AQE broadcasts the per-user
+    * stage tables when small).
+    */
+  def q57Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    def stage(tpe: String, after: Option[DataFrame]): DataFrame = {
+      val base = ev.filter(col("event_type") === tpe)
+      after.fold(base)(prev =>
+          base.join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+            .filter(col("ts") > col("pt") &&
+              col("ts") <= col("pt") + expr("INTERVAL 24 HOURS")))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    val v = stage("view", None)
+    val c = stage("click", Some(v))
+    val p = stage("purchase", Some(c))
+    Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      .map { case (name, df) =>
+        df.agg(lit(name).as("stage"),
+          count(lit(1)).cast(LongType).as("n_users")) }
+      .reduce(_ unionByName _)
+  }
+
+  /** q58 — cohort retention triangle: users cohorted by FIRST-seen
+    * day, then distinct-active counted per (cohort, day offset) — the
+    * canonical retention matrix. Two aggregations (first-seen per
+    * user, distinct user-days) and one join keyed on user_id; offsets
+    * come from date arithmetic, never a window over raw events.
+    */
+  def q58Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("c0"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      // cohort day as a formatted string: a raw DATE column round-trips
+      // through parquet/pandas as python dates while the oracle yields
+      // datetime64 — value-equal but dtype-incomparable in the gate
+      .groupBy(date_format(col("c0"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("c0")).as("day_offset"))
+      .agg(count(lit(1)).cast(LongType).as("n_users"))
+  }
+
   /** q54 — PageRank over the supplier↔customer trade graph, the
     * iterative-graph-analytics face next to d8's connected
     * components: nodes are suppliers (id + 1,000,000 — disjoint from
@@ -636,6 +691,8 @@ object Extended {
     "q49_stratified_hash" -> q49StratifiedHash _,
     "q54_pagerank"       -> q54PageRank _,
     "q56_range_join_auto" -> q56RangeJoinAuto _,
+    "q57_funnel"         -> q57Funnel _,
+    "q58_retention"      -> q58Retention _,
     "q33_grouping_sets"  -> q33GroupingSets _,
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
@@ -703,6 +760,34 @@ object Extended {
         |FROM orders JOIN tiers
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY 1""".stripMargin,
+    // q57: sequenced stage entries as chained min-aggregates; ts
+    // comparisons on raw timestamps (the q40 precedent)
+    "q57_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t
+        |    AND e.ts <= v.t + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t
+        |    AND e.ts <= c.t + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p""".stripMargin,
+    "q58_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |co AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY 1),
+        |du AS (SELECT DISTINCT user_id, d FROM ev)
+        |SELECT strftime(co.c0, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', co.c0, du.d) AS INTEGER) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM du JOIN co ON co.user_id = du.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // q56: the automatic-rule form of the same range join — q37's
     // oracle once more (the rule is plan-only)
     "q56_range_join_auto" ->
