@@ -593,6 +593,33 @@ object Extended {
       .agg(count(lit(1)).cast(LongType).as("n_users"))
   }
 
+  /** q59 — trailing-window anomaly detection on the event stream:
+    * hourly volumes flagged when they sit more than 3σ from the
+    * TRAILING 24 h mean (frame `RANGE 86400..3600 PRECEDING` on the
+    * epoch key — the current hour is excluded so a spike can't mask
+    * itself, and a ≥ 12-observation warm-up guards cold frames). The
+    * monitoring query every ingest pipeline runs against its own
+    * volume. Scale shape: the RANGE window runs over the
+    * PRE-AGGREGATED hourly table (thousands of rows per year), never
+    * over raw events — the hourly group-by shrinks first, so the
+    * single ordered window is a few KB of state at any corpus size.
+    */
+  def q59Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("he"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("he").rangeBetween(-86400L, -3600L)
+    hourly
+      .select(col("he"), col("n"),
+        avg(col("n")).over(w).as("mu"),
+        stddev_samp(col("n")).over(w).as("sd"),
+        count(lit(1)).over(w).as("m"))
+      .select(col("he"), col("n"), round(col("mu"), 6).as("mu"),
+        when(col("m") >= 12 &&
+            abs(col("n") - col("mu")) > lit(3) * col("sd"), 1)
+          .otherwise(0).cast("int").as("flag"))
+  }
+
   /** q54 — PageRank over the supplier↔customer trade graph, the
     * iterative-graph-analytics face next to d8's connected
     * components: nodes are suppliers (id + 1,000,000 — disjoint from
@@ -693,6 +720,7 @@ object Extended {
     "q56_range_join_auto" -> q56RangeJoinAuto _,
     "q57_funnel"         -> q57Funnel _,
     "q58_retention"      -> q58Retention _,
+    "q59_anomaly"        -> q59Anomaly _,
     "q33_grouping_sets"  -> q33GroupingSets _,
     "q34_string_agg"     -> q34StringAgg _,
     "q30_asof_join"      -> q30AsofJoin _,
@@ -788,6 +816,21 @@ object Extended {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM du JOIN co ON co.user_id = du.user_id
         |GROUP BY 1, 2""".stripMargin,
+    // q59: same trailing RANGE frame; the flag compares against the
+    // UNROUNDED mean/stddev in both engines, mu rounds only on output
+    "q59_anomaly" ->
+      """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |    AS he, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT he, n, round(mu, 6) AS mu,
+        |  CAST(CASE WHEN m >= 12 AND abs(n - mu) > 3 * sd
+        |       THEN 1 ELSE 0 END AS INTEGER) AS flag
+        |FROM (
+        |  SELECT he, n, AVG(n) OVER w AS mu,
+        |    stddev_samp(n) OVER w AS sd, COUNT(*) OVER w AS m
+        |  FROM h
+        |  WINDOW w AS (ORDER BY he
+        |    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))""".stripMargin,
     // q56: the automatic-rule form of the same range join — q37's
     // oracle once more (the rule is plan-only)
     "q56_range_join_auto" ->
