@@ -51,18 +51,18 @@ object Maintenance {
     * key whose state changed, labeled `added` / `removed` /
     * `changed`. Rows are compared by an md5 over the non-key columns
     * (computed scan-side, so the full-outer join carries key + one
-    * hash instead of every column twice). `concat_ws` with an
-    * unprintable separator keeps multi-column values unambiguous;
-    * note it folds NULL and '' together — diff columns with NULLs
-    * should be coalesced by the caller first.
+    * hash instead of every column twice). The hash input is the
+    * JSON of the column struct — field names disambiguate, so a
+    * value moving between columns, a NULL, and an empty string all
+    * hash differently (a separator-joined concat would alias
+    * (x, NULL) with (NULL, x) and miss the change).
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, hname: String): DataFrame = {
       val rest = df.columns.filterNot(keys.contains).sorted
       df.select(keys.map(col) :+
-        md5(concat_ws("", rest.map(c => col(c).cast("string")): _*))
-          .as(hname): _*)
+        md5(to_json(struct(rest.map(col): _*))).as(hname): _*)
     }
     hashed(oldDf, "h_old").join(hashed(newDf, "h_new"), keys, "full_outer")
       .withColumn("change",

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Divide, EqualTo, Explode, Expression, Floor, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Sequence}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, SubqueryAlias, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
@@ -51,18 +51,33 @@ case class RangeBinHint(width: Double, child: LogicalPlan)
 object BinRangeJoinRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // fire only when the marker heads a join INPUT (through benign
+    // Project/Filter/alias wrappers): a marker buried deeper belongs
+    // to a join further down — pre-order transform reaches it next,
+    // so an unrelated join stacked ABOVE a marked one must not
+    // consume (or strip) the inner join's marker
     case j @ Join(_, _, Inner, Some(_), _)
-        if markerIn(j.left).isDefined || markerIn(j.right).isDefined =>
+        if topMarker(j.left).isDefined || topMarker(j.right).isDefined =>
       rewrite(j)
-    // a marker with no rewritable join above it is a no-op hint
+    // a marker with no rewritable join directly above it is a no-op hint
     case h: RangeBinHint => h.child
   }
 
-  private def markerIn(p: LogicalPlan): Option[RangeBinHint] =
-    p.collectFirst { case h: RangeBinHint => h }
+  private def topMarker(p: LogicalPlan): Option[RangeBinHint] = p match {
+    case h: RangeBinHint => Some(h)
+    case pr: Project => topMarker(pr.child)
+    case f: Filter => topMarker(f.child)
+    case s: SubqueryAlias => topMarker(s.child)
+    case _ => None
+  }
 
-  private def strip(p: LogicalPlan): LogicalPlan =
-    p.transformUp { case h: RangeBinHint => h.child }
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case h: RangeBinHint => h.child
+    case pr: Project => pr.withNewChildren(Seq(strip(pr.child)))
+    case f: Filter => f.withNewChildren(Seq(strip(f.child)))
+    case s: SubqueryAlias => s.withNewChildren(Seq(strip(s.child)))
+    case other => other
+  }
 
   private def split(e: Expression): Seq[Expression] = e match {
     case And(l, r) => split(l) ++ split(r)
@@ -87,8 +102,8 @@ object BinRangeJoinRule extends Rule[LogicalPlan] {
     e.dataType.isInstanceOf[NumericType]
 
   private def rewrite(j: Join): LogicalPlan = {
-    val markedRight = markerIn(j.right).isDefined
-    val width = (if (markedRight) markerIn(j.right) else markerIn(j.left))
+    val markedRight = topMarker(j.right).isDefined
+    val width = (if (markedRight) topMarker(j.right) else topMarker(j.left))
       .get.width
     val point = strip(if (markedRight) j.left else j.right)
     val intervals = strip(if (markedRight) j.right else j.left)
@@ -150,9 +165,16 @@ object RangeJoinApi {
   }
 
   /** Marks `intervals` as the replicable side of a range join with
-    * the given bin width. The marker is advisory: joins whose shape
-    * the rule can't bin (extra conjuncts, non-numeric bounds, outer
-    * types) run unchanged.
+    * the given bin width. The marker is advisory for join SHAPE:
+    * joins the rule can't bin (extra conjuncts, non-numeric bounds,
+    * outer types) run unchanged. Width choice is a contract, not
+    * advisory: replication is (hi−lo)/width + 1 rows per interval,
+    * so a width absurdly small for the interval spans — or an
+    * interval encoding an open bound as ±∞/MaxValue — explodes the
+    * generated bin sequence (Spark fails the query with its
+    * sequence-length error rather than silently degrading). Handle
+    * open-ended intervals on the caller side (clamp hi to the
+    * domain's observed max) before marking.
     */
   def markBinned(intervals: DataFrame, width: Double): DataFrame = {
     val s = intervals.sparkSession

@@ -645,6 +645,12 @@ object Extended {
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") + 1000000L).as("src"), col("o_custkey").as("dst"))
       .distinct()
+    // both checkpoints stay cached until the session (or the bench
+    // harness's releaseState) frees them: the returned plan reads
+    // them lazily, and materializing the small result eagerly just to
+    // release them early costs ~1 s through the non-AQE RDD path
+    // (measured) — the d8 release discipline applies when the result
+    // itself is a checkpoint, which this one deliberately is not
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)

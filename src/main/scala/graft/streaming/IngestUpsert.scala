@@ -60,21 +60,40 @@ object IngestUpsert {
       orderCol: String, buckets: Int = 16): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
-    // within-batch winner per key: greatest orderCol (deterministic
-    // under replay and any partitioning)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(tablePath))
+    // the bucket count is part of the table's LAYOUT: the bootstrap
+    // batch persists it, every later batch reads it back — a caller
+    // passing a different `buckets` (restarted job, changed default)
+    // would otherwise route keys past their existing rows and leave
+    // stale duplicates that no overwrite ever touches
+    val metaPath = new org.apache.hadoop.fs.Path(s"$tablePath/_graft_buckets")
+    val effBuckets =
+      if (bootstrap) buckets
+      else if (fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toInt
+        finally in.close()
+      } else buckets
+    // within-batch winner per key: greatest orderCol; remaining
+    // columns break orderCol ties so the election is deterministic
+    // under replay and any partitioning (fully tied rows are
+    // identical, so any of them is the same winner)
+    val tieCols = batch.columns
+      .filterNot(c => keys.contains(c) || c == orderCol)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc)
+      .orderBy(col(orderCol).desc +: tieCols.map(col(_).desc): _*)
     val latest = batch
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
-      .withColumn("__bucket", bucketOf(keys, buckets))
+      .withColumn("__bucket", bucketOf(keys, effBuckets))
       .persist()
     try {
       val touched = latest.select("__bucket").distinct()
         .collect().map(_.getInt(0)).toSeq
-      val fs = new org.apache.hadoop.fs.Path(tablePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(tablePath))
       // the merge READS the very partitions the write then overwrites:
       // materialize the merged buckets first (eager checkpoint cuts
       // the lineage back to the input files), then write from blocks
@@ -91,6 +110,11 @@ object IngestUpsert {
           .partitionBy("__bucket").parquet(tablePath)
         finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
       } finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)
+      if (bootstrap) {
+        val outStream = fs.create(metaPath, true)
+        try outStream.write(s"$effBuckets\n".getBytes("UTF-8"))
+        finally outStream.close()
+      }
     } finally latest.unpersist()
   }
 

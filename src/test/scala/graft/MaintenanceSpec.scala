@@ -41,6 +41,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
   }
 
+  test("snapshotDiff sees a value MOVING between columns through a NULL " +
+      "— no cross-column hash aliasing") {
+    import spark.implicits._
+    // (x, NULL) → (NULL, x): a separator-joined concat hashes both to
+    // 'x' and would label this unchanged
+    val v1 = Seq((1L, Some("x"), None: Option[String]),
+      (2L, Some(""), Some("y"))).toDF("id", "a", "b")
+    val v2 = Seq((1L, None: Option[String], Some("x")),
+      (2L, None: Option[String], Some("y"))).toDF("id", "a", "b")
+    val got = Maintenance.snapshotDiff(v1, v2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // row 2 also changes: empty string → NULL must not alias either
+    assert(got == Set((1L, "changed"), (2L, "changed")))
+  }
+
   test("incremental agg merge equals a from-scratch aggregate on any split") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val full = Maintenance.sourceStats(docs)

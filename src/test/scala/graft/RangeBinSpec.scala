@@ -63,6 +63,27 @@ class RangeBinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("a join stacked ABOVE a marked range join neither consumes nor " +
+      "strips the inner marker — the inner join still rewrites") {
+    import spark.implicits._
+    val labels = (0L until 5L).map(t => (t, s"tier$t")).toDF("tier2", "name")
+    val stacked = orders
+      .join(RangeJoinApi.markBinned(tiers, 50000.0),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .join(labels, col("tier") === col("tier2"))
+      .select("o_orderkey", "tier", "name")
+    val p = stacked.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_bin"),
+      s"inner marked join lost its rewrite under a stacked join:\n$p")
+    val plain = orders
+      .join(tiers,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .join(labels, col("tier") === col("tier2"))
+      .select("o_orderkey", "tier", "name")
+    assert(stacked.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
   test("unsuitable shapes degrade to the stock plan: extra conjunct, " +
       "non-inner type, marker without a join") {
     import spark.implicits._

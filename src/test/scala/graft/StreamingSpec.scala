@@ -391,6 +391,29 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.refreshByPath(table)
     assert(state() == Map(1L -> ((2L, "a2")), 2L -> ((2L, "b2")),
       3L -> ((1L, "c1"))))
+    // layout safety: a later batch passing a DIFFERENT bucket count
+    // must still route to the persisted layout (the bootstrap wrote
+    // the count as table metadata) — no stale duplicate rows
+    graft.streaming.IngestUpsert.processBatch(
+      Seq((2L, 3L, "b3")).toDF("id", "seq", "v"),
+      table, Seq("id"), "seq", buckets = 16)
+    spark.catalog.refreshByPath(table)
+    assert(state() == Map(1L -> ((2L, "a2")), 2L -> ((3L, "b3")),
+      3L -> ((1L, "c1"))),
+      "bucket-count drift left stale rows")
+    // tied orderCol values: the remaining columns break the tie, so
+    // replays elect the same winner; replay twice and compare
+    graft.streaming.IngestUpsert.processBatch(
+      Seq((9L, 1L, "za"), (9L, 1L, "zb")).toDF("id", "seq", "v"),
+      table, Seq("id"), "seq", buckets = 4)
+    spark.catalog.refreshByPath(table)
+    val first = state()(9L)
+    assert(first == ((1L, "zb")), s"tie must break by value desc: $first")
+    graft.streaming.IngestUpsert.processBatch(
+      Seq((9L, 1L, "zb"), (9L, 1L, "za")).toDF("id", "seq", "v"),
+      table, Seq("id"), "seq", buckets = 4)
+    spark.catalog.refreshByPath(table)
+    assert(state()(9L) == first, "tied-winner election not deterministic")
   }
 
   test("ingest replay after a full commit changes nothing; compaction dedupes the index") {
