@@ -30,6 +30,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
   *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
+  *   graft.cli.Main ingest scd2   <watchDir> <tablePath> <k1[,k2…]> <tsCol> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
@@ -205,6 +206,13 @@ object Main {
       val q = graft.streaming.IngestUpsert.run(
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), table, keys.split(",").toSeq, orderCol, ck)
+      try q.processAllAvailable() finally q.stop()
+    // `scd2`: CDC apply WITH history — each change closes the key's
+    // open interval and appends a new version (type-2 dimension)
+    case Seq("ingest", "scd2", watch, table, keys, tsCol, ck) =>
+      val q = graft.streaming.IngestScd2.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), table, keys.split(",").toSeq, tsCol, ck)
       try q.processAllAvailable() finally q.stop()
 
     // data-layout maintenance jobs — the write-time half of the data-

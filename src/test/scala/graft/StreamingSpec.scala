@@ -416,6 +416,64 @@ class StreamingSpec extends SparkSpec {
     assert(state()(9L) == first, "tied-winner election not deterministic")
   }
 
+  test("streaming SCD2 maintenance: open intervals close at the batch's " +
+      "first change, chains stay gapless with one current per key, " +
+      "replay converges") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val table = s"$base/dim"
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.IngestScd2.run(
+      mem.toDF().toDF("id", "t", "v"),
+      table, Seq("id"), "t", s"$base/ck", buckets = 4)
+    def rows(): Seq[(Long, Long, Option[Long], Int, String)] =
+      graft.streaming.IngestScd2.readTable(spark, table)
+        .select("id", "valid_from", "valid_to", "is_current", "v")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getInt(3), r.getString(4))).toSeq
+    try {
+      // bootstrap: key 1 has two versions in one batch, key 2 one
+      mem.addData((1L, 10L, "a1"), (1L, 20L, "a2"), (2L, 10L, "b1"))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(table)
+      assert(rows().toSet == Set(
+        (1L, 10L, Some(20L), 0, "a1"), (1L, 20L, None, 1, "a2"),
+        (2L, 10L, None, 1, "b1")))
+      // batch 2: key 1 changes again — its open version closes at the
+      // batch's first change; key 2 untouched
+      mem.addData((1L, 30L, "a3"), (1L, 40L, "a4"))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(table)
+      val want = Set(
+        (1L, 10L, Some(20L), 0, "a1"), (1L, 20L, Some(30L), 0, "a2"),
+        (1L, 30L, Some(40L), 0, "a3"), (1L, 40L, None, 1, "a4"),
+        (2L, 10L, None, 1, "b1"))
+      assert(rows().toSet == want)
+    } finally q.stop()
+    // crash-replay of batch 2 must leave the dimension identical: its
+    // versions dedupe on (key, valid_from) and the guard refuses to
+    // close the open row the batch itself created
+    import spark.implicits._
+    graft.streaming.IngestScd2.processBatch(
+      Seq((1L, 30L, "a3"), (1L, 40L, "a4")).toDF("id", "t", "v"),
+      table, Seq("id"), "t", buckets = 4)
+    spark.catalog.refreshByPath(table)
+    assert(rows().toSet == Set(
+      (1L, 10L, Some(20L), 0, "a1"), (1L, 20L, Some(30L), 0, "a2"),
+      (1L, 30L, Some(40L), 0, "a3"), (1L, 40L, None, 1, "a4"),
+      (2L, 10L, None, 1, "b1")), "replay diverged")
+    // per-key invariants on the final table: gapless, one current
+    rows().groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.count(_._3.isEmpty) == 1, s"key $k current count")
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(0)._3.contains(p(1)._2), s"key $k chain gap")
+      }
+    }
+  }
+
   test("ingest replay after a full commit changes nothing; compaction dedupes the index") {
     import graft.streaming.IngestDedup
     val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
