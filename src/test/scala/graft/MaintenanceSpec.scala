@@ -135,6 +135,37 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("property: scdType2 equals the brute-force per-key chain on random " +
+      "keys/timestamps/ties") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 7L),
+      Gen.choose(0L, 9L), Gen.choose(0L, 99L)))
+    val prop = Prop.forAll(rowGen) { rows0 =>
+      // distinct (key, ts, tie) triples: duplicate full sort keys make
+      // lead() order among them arbitrary BY CONTRACT (tie columns
+      // must discriminate), so the generator dedups them
+      val rows = rows0.distinctBy(r => (r._1, r._2, r._3))
+      val got = Maintenance.scdType2(
+          rows.toDF("k", "t", "tb"), Seq("k"), "t", Seq("tb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5)))
+        .toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, ks) =>
+        val sorted = ks.sortBy(r => (r._2, r._3))
+        sorted.zip(sorted.drop(1).map(Some(_)) :+ None).map {
+          case ((k, t, tb), next) =>
+            (k, t, tb, next.map(_._2), if (next.isEmpty) 1 else 0)
+        }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("saltedJoin: result equals the plain join and the hot key spreads " +
       "over multiple reduce partitions") {
     import spark.implicits._
