@@ -34,6 +34,9 @@ import graft.viz.VizQueries
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
+  *   graft.cli.Main cluster-index <tableDir> <clusterTable>   // d8 once, stored
+  *   graft.cli.Main dedup-apply <tableDir> <clusterTable> <outDir>  // indexed d9
+  *   graft.cli.Main split <tableDir> <clusterTable> <outDir>  // indexed d14
   *   graft.cli.Main maintain upsert|delete|diff <base> <other> <k1[,k2…]> <out>
   * }}}
   *
@@ -130,6 +133,18 @@ object Main {
     // cluster so no near-duplicate pair straddles train/val/test
     case Seq("split", in, out) =>
       graft.llm.Dedup.splitLeakfree(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    // near-dup cluster index lifecycle: `cluster-index` runs the d8
+    // resolution ONCE and stores (doc_id, cluster_id, keep) bucketed
+    // by doc_id; the -indexed twins of apply/split then read the
+    // stored table — no shingling, LSH, or iteration in their plans
+    case Seq("cluster-index", in, table) =>
+      graft.llm.Dedup.writeClusterIndex(spark, in, table)
+    case Seq("dedup-apply", in, table, out) =>
+      graft.llm.Dedup.dedupApplyIndexed(spark, in, table)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("split", in, table, out) =>
+      graft.llm.Dedup.splitLeakfreeIndexed(spark, in, table)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
 
     // ANN index lifecycle as batch jobs: `index` is the once-per-

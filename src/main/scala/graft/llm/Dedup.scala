@@ -761,6 +761,60 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
+  // -- persisted near-dup cluster index ------------------------------------
+  /** Materializes the d8 cluster table — (doc_id, cluster_id, keep) —
+    * BUCKETED by doc_id, the [[writeFpIndex]] pattern applied to the
+    * single most reused artifact of a corpus release. The connected-
+    * components resolution (shingling, three LSH passes, pointer
+    * jumping) runs ONCE at release time; every downstream consumer —
+    * dedup apply, leakage-free splitting, per-cluster stats, sample
+    * audits — becomes a cheap join against this table instead of an
+    * inline recompute (d9/d14 each re-ran the full d8 pipeline, ~4-5 s
+    * at sf0.1 and the whole corpus re-shingled at 100 TB). Bucketing
+    * on doc_id means a consumer that also bucket-stores its corpus by
+    * doc_id joins with zero exchange on either side.
+    */
+  def writeClusterIndex(s: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit =
+    graft.ops.Partitioning.writeBucketed(
+      dedupClusters(s, dir), table, "doc_id", buckets)
+
+  /** [[dedupApply]] against the persisted cluster index: same rows,
+    * but the drop list is a bucketed scan of the (tiny) cluster table
+    * with a one-column filter — no shingling, no LSH, no iteration
+    * anywhere in the plan (PartitioningSpec pins both the result
+    * equality and the absence of the CC machinery).
+    */
+  def dedupApplyIndexed(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val drops = s.table(table).filter(col("keep") === 0).select("doc_id")
+    Tables.load(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  /** [[splitLeakfree]] against the persisted cluster index: the
+    * assignment is one left join of the corpus ids against the stored
+    * cluster table plus a scan-side hash — the form a release pipeline
+    * actually runs (split decisions must be reproducible across the
+    * many jobs that consume them, which the stored table guarantees
+    * even if the detector family's thresholds later change).
+    */
+  def splitLeakfreeIndexed(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val cl = s.table(table).select(col("doc_id"), col("cluster_id"))
+    val h = graft.llm.TextAnalysis.hash60(concat(lit("split:"),
+      col("cluster_id").cast("string"))) % 10
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(h < 8, "train").when(h === 8, "val").otherwise("test")
+          .as("split"))
+  }
+
   // -- d12: duplicated n-gram span detection -------------------------------
   /** Span-gram width: a duplicated run must repeat at least this many
     * consecutive tokens to register (the published substring-dedup
@@ -790,11 +844,15 @@ object Dedup {
     *     small groups, the skew-free window shape (d11's precedent).
     */
   /** The tokenized documents frame d12/d13 operate on: docs long
-    * enough to hold one [[SpanGram]]-gram.
+    * enough to hold one [[SpanGram]]-gram. Deliberately NO repartition
+    * here: it would shuffle the text column, breaking the no-text-
+    * shuffle discipline every other dedup path honors — scan
+    * parallelism comes from the parquet splits themselves (which is
+    * the 100 TB reality; a single small local file costing one extra
+    * task at test scale is the right trade).
     */
   private def spanToks(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= SpanGram)
 

@@ -549,6 +549,10 @@ object Similarity {
   private def pqSampleUnits(unit: DataFrame): Array[Array[Double]] = {
     val byId = unit.filter(col("vec_id").isin(PqSampleIds: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(byId.size == PqK,
+      s"deterministic PQ codebooks sample vec_ids 0..499 and need all " +
+        s"$PqK of them; found ${byId.size} — the corpus must hold at " +
+        "least 500 vectors with contiguous vec_ids (every graft SF does)")
     PqSampleIds.map(byId).toArray
   }
 

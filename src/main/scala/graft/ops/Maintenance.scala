@@ -29,6 +29,14 @@ object Maintenance {
     * coalesce would materialize both row shapes wide. Equal-schema
     * inputs, aligned by name.
     *
+    * Keyed-table CONTRACT: key columns must be non-null (a primary
+    * key, like any MERGE target). The anti-join's equality is
+    * null-unsafe, so a NULL-keyed base row never matches and always
+    * passes through, and a NULL-keyed update row always appends —
+    * repeated merges would accumulate duplicate null-key rows rather
+    * than upsert them. Same contract for [[deleteByKeys]] (NULL-keyed
+    * rows are never deleted) and the streaming twins.
+    *
     * At scale the logical form feeds a partition-pruned rewrite:
     * project the touched partition values from `updates`, rewrite
     * only those partitions via dynamic-partition overwrite.

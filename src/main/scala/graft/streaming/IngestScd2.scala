@@ -57,17 +57,17 @@ object IngestScd2 {
     if (batch.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(tablePath))
+    // same layout-metadata discipline as IngestUpsert: count persisted
+    // BEFORE the first data commit; data without metadata is refused
     val metaPath = new org.apache.hadoop.fs.Path(s"$tablePath/_graft_buckets")
+    val bootstrap = !IngestUpsert.hasBucketData(fs, tablePath)
     val effBuckets =
-      if (bootstrap) buckets
-      else if (fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim.toInt
-        finally in.close()
-      } else buckets
+      if (fs.exists(metaPath)) IngestUpsert.readBucketMeta(fs, metaPath)
+      else if (bootstrap) {
+        IngestUpsert.writeBucketMeta(fs, metaPath, buckets); buckets
+      } else throw new IllegalStateException(
+        s"$tablePath has data but no _graft_buckets metadata; refusing to " +
+          "merge under a guessed bucket count (layout drift risk)")
     // the batch's rows become versions chained among themselves (the
     // one-shot scdType2 rule, remaining columns breaking ts ties)
     val tieCols = batch.columns.filterNot(c => keys.contains(c) || c == ts)
@@ -98,26 +98,30 @@ object IngestScd2 {
                 .cast("int"))
             .drop("__new_t0")
           // replay convergence: dedup versions by (key, valid_from),
-          // the CLOSED form (non-null, greatest valid_to) winning
+          // the CLOSED form (non-null, greatest valid_to) winning.
+          // Open-vs-open ties (both valid_to NULL) happen when a
+          // cross-batch change arrives at exactly the open version's
+          // valid_from — the contract allows it (non-decreasing, not
+          // strictly increasing, per-key timestamps) and the strict
+          // close guard deliberately leaves the old row open so a
+          // replay can't re-close a version the batch itself opened.
+          // The __src tag breaks that tie DETERMINISTICALLY toward the
+          // new batch's attributes (same-instant change = in-place
+          // replacement); on a pure replay both rows are identical, so
+          // the winner is the same content either way.
           val w = Window.partitionBy((keys :+ "valid_from").map(col): _*)
-            .orderBy(col("valid_to").desc_nulls_last)
-          rewritten.unionByName(newVersions)
+            .orderBy(col("valid_to").desc_nulls_last, col("__src").desc)
+          rewritten.withColumn("__src", lit(0))
+            .unionByName(newVersions.withColumn("__src", lit(1)))
             .withColumn("__rk", row_number().over(w))
-            .filter(col("__rk") === 1).drop("__rk")
+            .filter(col("__rk") === 1).drop("__rk", "__src")
             .localCheckpoint(true)
         }
-      try {
-        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try merged.write.mode(SaveMode.Overwrite)
-          .partitionBy("__bucket").parquet(tablePath)
-        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-      } finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)
-      if (bootstrap) {
-        val outStream = fs.create(metaPath, true)
-        try outStream.write(s"$effBuckets\n".getBytes("UTF-8"))
-        finally outStream.close()
-      }
+      // writer-scoped dynamic overwrite (see IngestUpsert for why)
+      try merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(tablePath)
+      finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)
     } finally newVersions.unpersist()
   }
 

@@ -62,22 +62,23 @@ object IngestUpsert {
     if (batch.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(tablePath))
-    // the bucket count is part of the table's LAYOUT: the bootstrap
-    // batch persists it, every later batch reads it back — a caller
-    // passing a different `buckets` (restarted job, changed default)
-    // would otherwise route keys past their existing rows and leave
-    // stale duplicates that no overwrite ever touches
+    // the bucket count is part of the table's LAYOUT: it is persisted
+    // BEFORE the first data commit (so no crash window can leave data
+    // with an unrecorded layout), and every later batch reads it back —
+    // a caller passing a different `buckets` (restarted job, changed
+    // default) would otherwise route keys past their existing rows and
+    // leave stale duplicates that no overwrite ever touches. Data
+    // with no metadata file is refused rather than guessed at: applying
+    // a batch under a wrong bucket count is exactly the silent
+    // mis-routing the metadata exists to prevent.
     val metaPath = new org.apache.hadoop.fs.Path(s"$tablePath/_graft_buckets")
+    val bootstrap = !hasBucketData(fs, tablePath)
     val effBuckets =
-      if (bootstrap) buckets
-      else if (fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim.toInt
-        finally in.close()
-      } else buckets
+      if (fs.exists(metaPath)) readBucketMeta(fs, metaPath)
+      else if (bootstrap) { writeBucketMeta(fs, metaPath, buckets); buckets }
+      else throw new IllegalStateException(
+        s"$tablePath has data but no _graft_buckets metadata; refusing to " +
+          "merge under a guessed bucket count (layout drift risk)")
     // within-batch winner per key: greatest orderCol; remaining
     // columns break orderCol ties so the election is deterministic
     // under replay and any partitioning (fully tied rows are
@@ -103,19 +104,43 @@ object IngestUpsert {
           s.read.parquet(tablePath)
             .filter(col("__bucket").isin(touched: _*)),
           latest, keys).localCheckpoint(true)
-      try {
-        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try merged.write.mode(SaveMode.Overwrite)
-          .partitionBy("__bucket").parquet(tablePath)
-        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-      } finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)
-      if (bootstrap) {
-        val outStream = fs.create(metaPath, true)
-        try outStream.write(s"$effBuckets\n".getBytes("UTF-8"))
-        finally outStream.close()
-      }
+      // writer-scoped dynamic overwrite: no session-global conf toggle
+      // for a concurrent query sharing the SparkSession to observe
+      // mid-write. Dynamic mode also leaves the root-level
+      // _graft_buckets file alone (only the written __bucket=
+      // directories are replaced).
+      try merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(tablePath)
+      finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)
     } finally latest.unpersist()
+  }
+
+  /** True when the table path already holds committed bucket data
+    * (a metadata file alone — the crash window between metadata and
+    * first data commit — does not count).
+    */
+  private[streaming] def hasBucketData(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("__bucket="))
+  }
+
+  private[streaming] def readBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      metaPath: org.apache.hadoop.fs.Path): Int = {
+    val in = fs.open(metaPath)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      "UTF-8").trim.toInt
+    finally in.close()
+  }
+
+  private[streaming] def writeBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      metaPath: org.apache.hadoop.fs.Path, buckets: Int): Unit = {
+    val out = fs.create(metaPath, true)
+    try out.write(s"$buckets\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The table's current state without the routing column. */

@@ -115,9 +115,15 @@ class PartitioningSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
-    Partitioning.writeZOrdered(l, s"$base/zorder", 16,
+    // 32 files (not 16): pruning granularity is the file, and
+    // repartitionByRange's sample seed derives from the GLOBAL rdd-id
+    // counter, so range boundaries shift with suite order — at 16
+    // files a noisy boundary could pull the z-corner's ideal 1 file up
+    // to 4 (= the 1-D layout's 4/16), tying the comparison; at 32 the
+    // corner's worst case stays well under the 1-D layout's 8 files
+    Partitioning.writeZOrdered(l, s"$base/zorder", 32,
       Seq("l_orderkey", "l_partkey"))
-    Partitioning.writeSorted(l, s"$base/sorted1d", 16, "l_orderkey")
+    Partitioning.writeSorted(l, s"$base/sorted1d", 32, "l_orderkey")
     l.repartition(16).write.parquet(s"$base/unsorted")
     // bottom-quarter box on BOTH keys (~6% of rows). l_orderkey and
     // l_partkey are independent, so a 1-D layout can only prune on its
@@ -200,6 +206,37 @@ class PartitioningSpec extends SparkSpec {
       assert(got == exact)
       assert(got.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("persisted cluster index: indexed apply/split match inline, no CC in plan") {
+    graft.llm.Dedup.writeClusterIndex(spark, sfDir, "cluster_idx", buckets = 8)
+    val applyIdx = graft.llm.Dedup.dedupApplyIndexed(spark, sfDir, "cluster_idx")
+    val splitIdx = graft.llm.Dedup.splitLeakfreeIndexed(spark, sfDir, "cluster_idx")
+    for (df <- Seq(applyIdx, splitIdx)) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the whole d8 pipeline is absent: no text column read anywhere
+      // (column pruning proves it never re-shingles), no explode
+      // (Generate) from gram/band construction, and no ExistingRDD —
+      // the localCheckpoint snapshots that are the connected-components
+      // loop's physical signature
+      assert(!plan.contains("text"), plan)
+      assert(!plan.toLowerCase.contains("generate"), plan)
+      assert(!plan.contains("ExistingRDD"), plan)
+      // the drop/cluster side reads the bucketed index layout
+      assert(plan.contains("cluster_idx"), plan)
+    }
+    val inlineApply = graft.llm.Dedup.dedupApply(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val idxApply = applyIdx
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(idxApply == inlineApply)
+    assert(idxApply.nonEmpty)
+    val inlineSplit = graft.llm.Dedup.splitLeakfree(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val idxSplit = splitIdx
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(idxSplit == inlineSplit)
+    assert(idxSplit.nonEmpty)
   }
 
   test("salted join returns exactly the plain join's rows") {
