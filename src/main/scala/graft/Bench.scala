@@ -197,7 +197,10 @@ object Bench {
       // s11 composes coarse probing (3/4 cells ≈ 75% scanned) with
       // residual PQ + rerank; on this isotropic corpus recall is
       // ceiling-limited by the probed fraction (≈ 0.8 ceiling,
-      // 0.71 measured — see Similarity.IvfPqProbes)
+      // 0.71 measured — see Similarity.IvfPqProbes). On a CLUSTERED
+      // corpus the same pipeline measures recall 1.0 while probing
+      // 10% of the mass (40-Gaussian fixture, PipelineOpsSpec) — the
+      // ceiling is the fixture's geometry, not the operator
       "s11_knn_ivfpq" -> (5, "s1_knn_brute"))
     // machine-checked quality gate: an ANN query whose recall slides
     // below its declared floor is FLAGGED in the artifact (and pinned

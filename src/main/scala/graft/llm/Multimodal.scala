@@ -9,10 +9,13 @@ import graft.core.Tables
   * as opaque `binary` columns with typed metadata, plus the
   * decode/feature-extract pipeline shape a 100 TB media corpus needs.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[stubDecode]]); everything
-  * around it — the schema, the typed Dataset, per-partition batched
-  * processing, and the metadata projection — is real and tested.
+  * Image decode is REAL: [[decodeImage]] runs the JDK's
+  * `javax.imageio` codecs (PNG/BMP/GIF/JPEG) and extracts true
+  * geometry + pixel statistics; payloads no JDK codec parses — and
+  * audio/video kinds, for which the container ships no codec — fall
+  * back to the clearly-marked deterministic STUB ([[stubDecode]]), so
+  * the oracle-gated queries stay reproducible on the text-payload
+  * fixture while LlmSpec pins the real path on genuine PNG/BMP bytes.
   *
   * Scale notes: media rows are large and skewed; the processing path
   * uses `mapPartitions` so a real decoder amortizes model/codec init
@@ -74,14 +77,93 @@ object Multimodal {
         .digest(row.payload).map("%02x".format(_)).mkString)
   }
 
+  /** Extended decode output: [[MediaFeatures]] plus whether a REAL
+    * codec parsed the payload and, if so, per-channel pixel means —
+    * the first feature any image-quality / near-dup tier consumes.
+    */
+  case class ImageFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: String,
+      decoded: Boolean,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL image decode via the JDK's `javax.imageio` registry (PNG,
+    * BMP, GIF, JPEG readers ship with every JVM — no external codec
+    * needed): an `image` payload that parses yields its TRUE geometry
+    * and per-channel pixel means; anything else — undecodable bytes,
+    * audio/video kinds (no JDK codec) — falls back to [[stubDecode]]
+    * geometry with `decoded = false`. This is what makes m2's decode
+    * stage a real operator rather than plumbing: the batched-partition
+    * interface and the downstream schema are unchanged, only the
+    * kernel inside upgraded. On the synthetic corpus (UTF-8 text
+    * payloads) every row takes the fallback, so the m1/m2 oracle rows
+    * stay byte-deterministic; LlmSpec feeds genuine 8×8 PNG/BMP bytes
+    * through the same kernel and pins the true pixel stats.
+    */
+  def decodeImage(row: MediaRow): ImageFeatures = {
+    def stub = {
+      val f = stubDecode(row)
+      ImageFeatures(f.media_id, f.kind, f.width, f.height, f.n_frames,
+        f.checksum, decoded = false, 0.0, 0.0, 0.0)
+    }
+    if (row.kind != "image" || row.payload == null) stub
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      if (img == null) stub
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageFeatures(row.media_id, row.kind, w, h, 1,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(row.payload).map("%02x".format(_)).mkString,
+          decoded = true,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    } catch { case scala.util.control.NonFatal(_) => stub }
+  }
+
+  /** The real-decode pipeline over any media frame — per-partition
+    * batched like [[decodeFeatures]] (ImageIO reader lookup amortizes
+    * across the partition's rows).
+    */
+  def decodeImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeImage))
+  }
+
   /** Batched per-partition decode: codec init happens once per
-    * partition, rows stream through — the real-decoder shape.
+    * partition, rows stream through — the real-decoder shape. Routes
+    * through [[decodeImage]] (real codec first, stub geometry when the
+    * payload doesn't parse), projected back to the [[MediaFeatures]]
+    * schema m1/m2 gate on.
     */
   def decodeFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, dir).mapPartitions { rows =>
       // real pipeline: open codec / load model here, once per partition
-      rows.map(stubDecode)
+      rows.map { r =>
+        val f = decodeImage(r)
+        MediaFeatures(f.media_id, f.kind, f.width, f.height, f.n_frames,
+          f.checksum)
+      }
     }
   }
 

@@ -222,12 +222,41 @@ object Maintenance {
         unix_timestamp(col("valid_to")).as("valid_to_s"),
         col("is_current"))
 
+  /** q60 — the streaming CDC upsert's apply semantics made ORACLE-
+    * visible (the batch-equivalence specs were previously the only
+    * gate): two deterministic change batches — a full version-1
+    * snapshot, then version-2 updates for every even key — run through
+    * [[graft.streaming.IngestUpsert.processBatch]] into a scratch
+    * bucketed table, with the second batch applied TWICE so the
+    * replay-idempotence contract is inside the gated query itself; the
+    * query returns the table's final state. The oracle is the
+    * semantic definition the sink must converge to: window-latest per
+    * key over the unioned batches.
+    */
+  def q60CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val b1 = docs.withColumn("ver", lit(1L))
+    val b2 = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + 7)
+      .withColumn("ver", lit(2L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q60")
+      .resolve("t").toString
+    graft.streaming.IngestUpsert.processBatch(b1, tmp, Seq("doc_id"), "ver", 8)
+    graft.streaming.IngestUpsert.processBatch(b2, tmp, Seq("doc_id"), "ver", 8)
+    // replay: convergent, so the final state is unchanged
+    graft.streaming.IngestUpsert.processBatch(b2, tmp, Seq("doc_id"), "ver", 8)
+    graft.streaming.IngestUpsert.readTable(s, tmp)
+      .select("doc_id", "source", "n_chars", "ver")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_upsert" -> q50Upsert _,
     "q51_snapshot_diff" -> q51SnapshotDiff _,
     "q52_incr_agg" -> q52IncrAgg _,
     "q53_salted_join" -> q53SaltedJoin _,
-    "q55_scd2" -> q55Scd2 _)
+    "q55_scd2" -> q55Scd2 _,
+    "q60_cdc_upsert" -> q60CdcUpsert _)
 
   val oracleSql: Map[String, String] = Map(
     "q50_upsert" ->
@@ -255,6 +284,16 @@ object Maintenance {
         |  round(SUM(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q60_cdc_upsert" ->
+      """WITH b1 AS (SELECT doc_id, source, n_chars,
+        |    CAST(1 AS BIGINT) AS ver FROM documents),
+        |b2 AS (SELECT doc_id, source, n_chars + 7 AS n_chars,
+        |    CAST(2 AS BIGINT) AS ver FROM documents WHERE doc_id % 2 = 0),
+        |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |SELECT doc_id, source, n_chars, ver FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY ver DESC) AS rn FROM u)
+        |WHERE rn = 1""".stripMargin,
     "q55_scd2" ->
       """SELECT user_id, event_id,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_s,

@@ -927,4 +927,57 @@ class LlmSpec extends SparkSpec {
       if (f.kind != "video") assert(f.n_frames == 1)
     }
   }
+
+  test("multimodal: real javax.imageio decode — true geometry and pixel " +
+      "stats for PNG/BMP payloads, stub fallback for everything else") {
+    import spark.implicits._
+    // deterministic fixtures encoded in-memory: an 8x8 solid-color PNG,
+    // a 4x6 two-band BMP, and an undecodable text payload
+    def encodeImg(w: Int, h: Int, fmt: String)
+        (pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val solid = encodeImg(8, 8, "png")((_, _) => 0x204060)       // r=32 g=64 b=96
+    val bands = encodeImg(4, 6, "bmp")((_, y) =>
+      if (y < 3) 0xff0000 else 0x0000ff)                         // half red, half blue
+    val textBytes = "not an image at all".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", solid, solid.length.toLong),
+      Multimodal.MediaRow(2L, "image", bands, bands.length.toLong),
+      Multimodal.MediaRow(3L, "image", textBytes, textBytes.length.toLong),
+      Multimodal.MediaRow(4L, "audio", solid, solid.length.toLong))
+    val got = Multimodal.decodeImageFeatures(rows.toDS().repartition(2))
+      .collect().map(f => f.media_id -> f).toMap
+    // the PNG decodes to its REAL geometry and exact channel means
+    val png = got(1L)
+    assert(png.decoded && png.width == 8 && png.height == 8 && png.n_frames == 1)
+    assert(png.mean_r == 32.0 && png.mean_g == 64.0 && png.mean_b == 96.0,
+      s"png means ${(png.mean_r, png.mean_g, png.mean_b)}")
+    // the BMP: 4x6, top half pure red + bottom half pure blue
+    val bmp = got(2L)
+    assert(bmp.decoded && bmp.width == 4 && bmp.height == 6)
+    assert(bmp.mean_r == 127.5 && bmp.mean_g == 0.0 && bmp.mean_b == 127.5,
+      s"bmp means ${(bmp.mean_r, bmp.mean_g, bmp.mean_b)}")
+    // undecodable image payload and non-image kinds take the stub path
+    for (id <- Seq(3L, 4L)) {
+      val f = got(id)
+      assert(!f.decoded && f.mean_r == 0.0)
+      val stub = Multimodal.stubDecode(rows.find(_.media_id == id).get)
+      assert(f.width == stub.width && f.height == stub.height &&
+        f.checksum == stub.checksum)
+    }
+    // and the relational m1/m2 path agrees with the real kernel's
+    // fallback on the text-payload corpus (no schema or value drift)
+    val viaReal = Multimodal.decodeFeatures(spark, sfDir).collect()
+      .map(f => f.media_id -> ((f.width, f.height, f.checksum))).toMap
+    val viaStub = Multimodal.mediaTable(spark, sfDir).collect()
+      .map(Multimodal.stubDecode)
+      .map(f => f.media_id -> ((f.width, f.height, f.checksum))).toMap
+    assert(viaReal == viaStub)
+  }
 }

@@ -374,6 +374,71 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("s11 on a clustered corpus: recall >= 0.9 probing <= half the mass") {
+    // The s11 scaladoc argues its 0.71 measured recall is the
+    // ISOTROPIC fixture's probe ceiling (recall of any space-
+    // partitioning index is bounded by the scanned fraction on such a
+    // corpus — Weber et al. 1998), and that real cluster structure
+    // does better while probing less. Measure that claim: a
+    // mixture-of-Gaussians corpus (40 tight clusters on the 64-sphere,
+    // ~50 vectors each — the production regime where cluster size is
+    // on the order of the rerank budget, so the exact tier covers the
+    // whole home cluster), the SAME pipeline with one sampled cell per
+    // cluster, and only 4 of 40 cells probed.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dims = Similarity.Dims
+    val nClusters = 40
+    val n = 2000
+    def gauss() = Array.fill(dims)(rnd.nextGaussian())
+    def unit(v: Array[Double]) = {
+      val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val centers = Array.fill(nClusters)(unit(gauss()))
+    val vecs: IndexedSeq[(Long, Array[Double])] = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      val g = gauss()
+      i.toLong -> unit(c.indices.map(j => c(j) + 0.05 * g(j)).toArray)
+    }
+    val unitDf = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "uv").repartition(4)
+    // 1000 % 40 == 0, so vec_id 1000+c sits in cluster c: one sampled
+    // cell per cluster, the PqSampleIds determinism pattern
+    val cellIds = (0 until nClusters).map(c => (1000 + c).toLong)
+    val nprobe = 4
+    val got = Similarity.knnIvfPqOf(unitDf, cellIds, nprobe, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byId = vecs.toMap
+    val truth = (0L until 20L).flatMap { q =>
+      val qu = byId(q)
+      vecs.filter(_._1 != q)
+        .map { case (v, u) => (dot(qu, u), v) }
+        .sortBy { case (d, v) => (-d, v) }
+        .take(5).map { case (_, v) => (q, v) }
+    }.toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    // probed fraction: mass of the nprobe cells each query scans
+    val cells = cellIds.map(byId)
+    def cellOf(u: Array[Double]): Int = cells.zipWithIndex
+      .map { case (cv, c) => (dot(u, cv), c) }
+      .sortBy { case (d, c) => (-d, c) }.head._2
+    val cellMass = vecs.groupBy { case (_, u) => cellOf(u) }
+      .view.mapValues(_.size).toMap
+    val fracs = (0L until 20L).map { q =>
+      val qu = byId(q)
+      cells.zipWithIndex.map { case (cv, c) => (dot(qu, cv), c) }
+        .sortBy { case (d, c) => (-d, c) }.take(nprobe)
+        .map { case (_, c) => cellMass.getOrElse(c, 0) }.sum.toDouble / n
+    }
+    assert(fracs.max <= 0.25,
+      s"probed fraction ${fracs.max} — clusters not separating")
+    assert(recall >= 0.9,
+      s"clustered-corpus recall $recall probing ${fracs.max} of the mass")
+    info(f"clustered-fixture recall $recall%.3f probing ${fracs.max}%.3f of the corpus")
+  }
+
   test("s11: plan has no cartesian product and ranks via the bounded " +
       "heap, not a window sort") {
     val p = Similarity.knnIvfPq(spark, sfDir)
