@@ -494,7 +494,143 @@ object TextAnalysis {
           .cast(LongType).as("n_chunk_tokens"))
   }
 
+  // -- t15/t16: BPE-style tokenizer training -------------------------------
+
+  /** Merges the deterministic BPE trainer learns (fixed count for
+    * cross-engine reproducibility; real vocab sizes just raise it).
+    */
+  val BpeMergeCount = 10
+
+  /** The spaced-symbol encoding BPE operates on: every character of a
+    * word becomes a space-delimited symbol with leading and trailing
+    * guards — "low" ↦ " l o w ". A merge of (a, b) is then the string
+    * rewrite " a b " → " ab ", applied TWICE per step because adjacent
+    * matches share a delimiter (" a b a b " leaves the second pair
+    * unmatched on the first pass; the merged left neighbor restores
+    * the guard for the second). The double-pass leftmost rewrite is
+    * the DEFINED merge semantics: both engines implement
+    * non-overlapping leftmost string replace identically, which is
+    * what makes the whole training loop hash-reproducible in SQL. It
+    * agrees with the classic per-word left fold everywhere except
+    * runs of one symbol repeated ≥ 4 times — a corner where published
+    * BPE implementations already differ among themselves.
+    */
+  private def bpeSpaced(c: Column): Column =
+    concat(lit(" "), regexp_replace(c, "(.)", "$1 "))
+
+  private def bpeApplyMerge(w: Column, a: String, b: String): Column = {
+    val pat = lit(s" $a $b ")
+    val rep = lit(s" $a$b ")
+    replace(replace(w, pat, rep), pat, rep)
+  }
+
+  /** (w, cnt) word-frequency table in spaced form — the classic BPE
+    * training state (Sennrich et al. 2016): the corpus collapses to
+    * its distinct lowercased words ONCE, and every merge iteration
+    * runs over this small table, never the corpus again. At 100 TB the
+    * vocab is millions of rows where the corpus is billions — this
+    * collapse is what makes iterative tokenizer training tractable.
+    */
+  def bpeWordTable(s: SparkSession, dir: String): DataFrame =
+    bpeWordTableOf(Tables.load(s, dir, "documents"))
+
+  def bpeWordTableOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(bpeSpaced(col("word")).as("w"), col("cnt"))
+
+  /** Weighted adjacent-pair counts over a spaced word table — the
+    * per-iteration aggregate of BPE training. One shuffle on (a, b);
+    * single-symbol words drop out (no pairs).
+    */
+  private[llm] def bpePairCounts(words: DataFrame): DataFrame =
+    words.select(col("cnt"), split(trim(col("w")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("n"))
+
+  case class BpeMerge(step: Int, lhs: String, rhs: String, merged: String,
+      n: Long)
+
+  /** Trains [[BpeMergeCount]] merges: each pass takes the argmax pair
+    * (count desc, then lexicographic — fully deterministic) and
+    * rewrites the word table. The d8 iterative discipline: every pass
+    * materializes through an eager `localCheckpoint` so plan size
+    * stays O(1) per iteration, and superseded snapshots release their
+    * blocks immediately. The per-pass driver feedback is ONE row (the
+    * chosen pair) — the merge table itself, K rows total, is trainer
+    * OUTPUT, not data movement.
+    */
+  def trainBpe(s: SparkSession, dir: String,
+      k: Int = BpeMergeCount): Seq[BpeMerge] =
+    trainBpeFrom(bpeWordTable(s, dir), k)
+
+  def trainBpeFrom(wordsIn: DataFrame, k: Int): Seq[BpeMerge] = {
+    var words = wordsIn.localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val top = bpePairCounts(words)
+        .orderBy(desc("n"), col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += BpeMerge(step, a, b, a + b, n)
+        val next = words
+          .select(bpeApplyMerge(col("w"), a, b).as("w"), col("cnt"))
+          .localCheckpoint(true)
+        Dedup.releaseCheckpoint(words)
+        words = next
+        step += 1
+      }
+    }
+    Dedup.releaseCheckpoint(words)
+    out.toSeq
+  }
+
+  /** t15 — the learned merge table, oracle-gated: the DuckDB oracle
+    * replays the full training loop (unrolled K-stage CTE chain: pair
+    * counts → deterministic argmax → double-replace rewrite) and must
+    * land on the identical K merges with identical counts.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainBpe(s, dir).toDF()
+  }
+
+  /** t16 — the trained tokenizer APPLIED: per-doc word and BPE-token
+    * counts under the learned merges (the t13 whitespace-token budget,
+    * upgraded to learned subword units). The K merges fold into one
+    * scan-side chain of codegen string rewrites per word — no join, no
+    * shuffle before the final per-doc aggregate; a production-size
+    * merge list would instead apply once per DISTINCT word and join,
+    * the [[bpeWordTable]] collapse reused at scoring time.
+    */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpe(s, dir)
+    val applied = merges.foldLeft(bpeSpaced(col("word")))((acc, m) =>
+      bpeApplyMerge(acc, m.lhs, m.rhs))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        size(split(trim(applied), " ")).cast(LongType).as("ns"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_bpe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_bpe_merges" -> bpeMerges _,
+    "t16_bpe_tokens" -> bpeTokenCounts _,
     "t8_tfidf"       -> ((s: SparkSession, dir: String) => tfidf(s, dir)),
     "t12_chunk"      -> chunkDocs _,
     "t13_chunk_tokens" -> chunkDocsTokens _,
@@ -566,7 +702,62 @@ object TextAnalysis {
        |          string_split(text, chr(10)) AS lines
        |        FROM $src))""".stripMargin
 
+  /** The unrolled K-stage BPE training chain as DuckDB CTEs — w0 (the
+    * spaced word-frequency table) through wK, with per-stage pair
+    * counts p_i and deterministic argmax m_i. Shared by the t15 and
+    * t16 oracles; the SQL is generated, the semantics are
+    * [[trainBpe]]'s verbatim (same spaced encoding, same double-
+    * replace rewrite, same count-desc/lexicographic tie order).
+    */
+  private def bpeChainCte(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS w,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1)""".stripMargin
+    for (i <- 1 to k) {
+      val prev = i - 1
+      sb ++= s""",
+        |p$i AS (SELECT t[i] AS a, t[i+1] AS b, SUM(cnt) AS n
+        |  FROM (SELECT cnt, string_split(trim(w), ' ') AS t,
+        |          unnest(generate_series(1, len(string_split(trim(w), ' ')) - 1)) AS i
+        |        FROM w$prev)
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+        |w$i AS (SELECT replace(replace(t.w, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' '),
+        |    ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS w, t.cnt
+        |  FROM w$prev t, m$i m)""".stripMargin
+    }
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t15_bpe_merges" -> {
+      val steps = (1 to BpeMergeCount).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS step, a AS lhs, b AS rhs,
+           |  a || b AS merged, n FROM m$i""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"WITH ${bpeChainCte(BpeMergeCount)}\n$steps"
+    },
+    "t16_bpe_tokens" -> {
+      // the final word table's spaced form collapses back to the word
+      // (symbols concatenate to the original characters), so the
+      // word → token-count map needs no side channel
+      s"""WITH ${bpeChainCte(BpeMergeCount)},
+         |voc AS (SELECT replace(w, ' ', '') AS word,
+         |    len(string_split(trim(w), ' ')) AS ns
+         |  FROM w$BpeMergeCount),
+         |dw AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(v.ns) AS BIGINT) AS n_bpe
+         |FROM (SELECT * FROM dw WHERE length(word) > 0) d
+         |JOIN voc v USING (word)
+         |GROUP BY 1""".stripMargin
+    },
     // t8: same smoothed-idf arithmetic (ln((N+1)/(df+1)) + 1), ranked
     // on the rounded score with a term tiebreak for a deterministic cut
     "t8_tfidf" -> {

@@ -140,6 +140,16 @@ object Maintenance {
     * side, so it suits small-dim/big-fact shapes (broadcast-sized
     * dims should just broadcast; this is for the middle ground where
     * the dim exceeds broadcast but the fact side is key-skewed).
+    *
+    * Measured side-by-side (MaintenanceSpec "skew handling measured":
+    * 2M facts, 95% on one key, local[4]): unprotected SMJ 1.36 s,
+    * salted 1.42 s, AQE skew split (thresholds forced low) 2.67 s.
+    * The completion of the story: a 1.9M-row hot partition still fits
+    * one task comfortably, so at this scale both mitigations only
+    * pay overhead — salting's is negligible, AQE's forced tiny
+    * advisory partitions are not. The mitigation earns its keep only
+    * when the hot partition exceeds a single task's sort/memory
+    * budget (the 100 TB regime); below that, don't salt.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
@@ -250,13 +260,59 @@ object Maintenance {
       .select("doc_id", "source", "n_chars", "ver")
   }
 
+  /** q61 — the streaming SCD2 sink's semantics made oracle-visible
+    * (the q60 pattern for the VERSIONED twin): the event log splits at
+    * its temporal midpoint into two CDC batches applied through
+    * [[graft.streaming.IngestScd2.processBatch]] (second batch
+    * replayed), and the final dimension must equal the ONE-SHOT
+    * [[scdType2]] over the whole log — so the oracle is q55's SQL
+    * verbatim. Replay convergence and incremental ≡ batch were
+    * previously spec-only contracts; this row hash-gates both.
+    */
+  def q61CdcScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val mid = ev
+      .agg((((unix_timestamp(min(col("ts"))) +
+        unix_timestamp(max(col("ts")))) / 2).cast("long")).as("m"))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q61")
+      .resolve("t").toString
+    val b1 = ev.filter(unix_timestamp(col("ts")) <= mid)
+    val b2 = ev.filter(unix_timestamp(col("ts")) > mid)
+    graft.streaming.IngestScd2.processBatch(b1, tmp, Seq("user_id"), "ts", 8)
+    graft.streaming.IngestScd2.processBatch(b2, tmp, Seq("user_id"), "ts", 8)
+    // replay: convergent, so the final dimension is unchanged
+    graft.streaming.IngestScd2.processBatch(b2, tmp, Seq("user_id"), "ts", 8)
+    graft.streaming.IngestScd2.readTable(s, tmp)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("valid_from")).as("valid_from_s"),
+        unix_timestamp(col("valid_to")).as("valid_to_s"),
+        col("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_upsert" -> q50Upsert _,
     "q51_snapshot_diff" -> q51SnapshotDiff _,
     "q52_incr_agg" -> q52IncrAgg _,
     "q53_salted_join" -> q53SaltedJoin _,
     "q55_scd2" -> q55Scd2 _,
-    "q60_cdc_upsert" -> q60CdcUpsert _)
+    "q60_cdc_upsert" -> q60CdcUpsert _,
+    "q61_cdc_scd2" -> q61CdcScd2 _)
+
+  /** Defined before [[oracleSql]] (object-init order): shared by q55
+    * and q61, whose results must be identical by the convergence
+    * contract.
+    */
+  private val Scd2OracleSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_s,
+      |  CAST(epoch(date_trunc('second', lead(ts, 1) OVER w)) AS BIGINT)
+      |    AS valid_to_s,
+      |  CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END
+      |    AS INTEGER) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q50_upsert" ->
@@ -294,13 +350,8 @@ object Maintenance {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY ver DESC) AS rn FROM u)
         |WHERE rn = 1""".stripMargin,
-    "q55_scd2" ->
-      """SELECT user_id, event_id,
-        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_s,
-        |  CAST(epoch(date_trunc('second', lead(ts, 1) OVER w)) AS BIGINT)
-        |    AS valid_to_s,
-        |  CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END
-        |    AS INTEGER) AS is_current
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+    "q55_scd2" -> Scd2OracleSql,
+    // q61's oracle IS q55's: the incremental two-batch apply (plus
+    // replay) must converge to the one-shot SCD2 of the full log
+    "q61_cdc_scd2" -> Scd2OracleSql)
 }

@@ -916,6 +916,33 @@ class LlmSpec extends SparkSpec {
       s"disjoint payloads must not pair: $got")
   }
 
+  test("bpe trainer: learns the textbook merges with deterministic ties") {
+    import spark.implicits._
+    // the Sennrich et al. 2016 worked example's shape: low ×5,
+    // lower ×2, newest ×6, widest ×3. Hand-computed first merges:
+    //   step 1: 'es' 9 ties 'st' 9 → lexicographic ⇒ (e, s)
+    //   step 2: (es, t) 9
+    //   step 3: 'lo' 7 ties 'ow' 7 → lexicographic ⇒ (l, o)
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeFrom(
+      TextAnalysis.bpeWordTableOf(docs), k = 3)
+    assert(merges.map(m => (m.lhs, m.rhs, m.merged, m.n)) == Seq(
+      ("e", "s", "es", 9L), ("es", "t", "est", 9L), ("l", "o", "lo", 7L)),
+      merges.toString)
+    // determinism: a refit reproduces the table exactly
+    assert(TextAnalysis.trainBpeFrom(
+      TextAnalysis.bpeWordTableOf(docs.repartition(3)), k = 3) == merges)
+    // exhaustion: a corpus with fewer mergeable pairs than k stops
+    // early instead of looping
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val few = TextAnalysis.trainBpeFrom(
+      TextAnalysis.bpeWordTableOf(tiny), k = 5)
+    assert(few.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")), few.toString)
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()

@@ -166,6 +166,74 @@ class MaintenanceSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("skew handling measured: AQE skew-join split vs explicit salting " +
+      "on the hot-key fixture") {
+    // Completes the "when to salt" story the q53 scaladoc tells with
+    // NUMBERS: the same skewed join run three ways — AQE's runtime
+    // skew split (thresholds lowered so it fires at test scale), the
+    // unprotected sort-merge join, and the explicit salt. Correctness
+    // is asserted (equal counts; the AQE plan really split); the
+    // wall-times are reported via info() and recorded in the q53 doc,
+    // not asserted — timing on a shared box is evidence, not a gate.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val n = 2000000L
+    // 95% of facts on ONE key; the rest match distinct dim keys
+    val fact = spark.range(n)
+      .select(when(col("id") % 20 < 19, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(19, n, 20).select(col("id").as("k"))
+      .union(Seq(1L).toDF("k"))
+      .withColumn("attr", concat(lit("d"), col("k")))
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val c = f
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // -- AQE skew split
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      val aqeDf = fact.join(dim, "k")
+      val qe = aqeDf.queryExecution
+      val (cAqe, tAqe) = timed {
+        qe.toRdd.count() // execute THIS QueryExecution so AQE finalizes
+      }
+      val finalPlan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew split did not fire:\n$finalPlan")
+      // -- unprotected sort-merge join
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val (cPlain, tPlain) = timed(fact.join(dim, "k").count())
+      // -- explicit salt (AQE still off: salting is the form for
+      // engines/modes without runtime re-planning)
+      val (cSalt, tSalt) = timed(
+        Maintenance.saltedJoin(fact, dim, "k", 8).count())
+      assert(cAqe == cPlain && cSalt == cPlain && cPlain == n,
+        s"row counts diverged: aqe=$cAqe plain=$cPlain salted=$cSalt")
+      info(f"hot-key join (${n / 1000000}M facts, 95%% one key, local[4]): " +
+        f"aqe-skew $tAqe%.2f s, unprotected $tPlain%.2f s, salted $tSalt%.2f s")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("saltedJoin: result equals the plain join and the hot key spreads " +
       "over multiple reduce partitions") {
     import spark.implicits._

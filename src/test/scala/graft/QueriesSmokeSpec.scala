@@ -10,9 +10,9 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every queries entry has an oracle or is a declared rows-only check") {
-    // RNG-dependent / sketch-internal / KMeans-dependent by design
+    // RNG-dependent / sketch-internal / model-fit-dependent by design
     val rowsOnly = Set("q11_sample", "q35_approx_stats", "q36_stratified",
-      "s4_knn_ivf_kmeans")
+      "s4_knn_ivf_kmeans", "c12_quality_model")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

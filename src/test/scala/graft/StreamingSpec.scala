@@ -474,6 +474,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2: a cross-batch change at the open version's exact " +
+      "valid_from deterministically replaces it with the new attributes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2tie").toString
+    val table = s"$base/dim"
+    def rows(): Set[(Long, Long, Option[Long], Int, String)] =
+      graft.streaming.IngestScd2.readTable(spark, table)
+        .select("id", "valid_from", "valid_to", "is_current", "v")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getInt(3), r.getString(4))).toSet
+    graft.streaming.IngestScd2.processBatch(
+      Seq((1L, 10L, "a1"), (1L, 20L, "a2")).toDF("id", "t", "v"),
+      table, Seq("id"), "t", buckets = 4)
+    // batch 2's change carries ts == the open version's valid_from —
+    // allowed by the non-decreasing contract. The (key, valid_from)
+    // dedup then ties two OPEN rows with different attributes; the
+    // __src tag must resolve it to the NEW batch's attributes
+    // (same-instant change = in-place replacement), never a
+    // partitioning-dependent coin flip
+    graft.streaming.IngestScd2.processBatch(
+      Seq((1L, 20L, "a2x")).toDF("id", "t", "v"),
+      table, Seq("id"), "t", buckets = 4)
+    spark.catalog.refreshByPath(table)
+    val want = Set((1L, 10L, Some(20L), 0, "a1"), (1L, 20L, None, 1, "a2x"))
+    assert(rows() == want, s"same-instant replacement not deterministic: ${rows()}")
+    // replaying the same batch converges (both tied rows now identical)
+    graft.streaming.IngestScd2.processBatch(
+      Seq((1L, 20L, "a2x")).toDF("id", "t", "v"),
+      table, Seq("id"), "t", buckets = 4)
+    spark.catalog.refreshByPath(table)
+    assert(rows() == want, "replay diverged after same-instant replacement")
+  }
+
   test("ingest replay after a full commit changes nothing; compaction dedupes the index") {
     import graft.streaming.IngestDedup
     val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
