@@ -174,6 +174,61 @@ object Bench {
       cleanSentinels(name) = math.round(bestRatio * 100) / 100.0
       name -> best
     }.toMap
+    // Escalation tier: a long suite ages the JVM (code cache, loaded
+    // classes, GC debris) enough that the end-of-suite sentinel may
+    // never return to the start-of-suite baseline — the in-JVM
+    // re-measure above then keeps its > threshold ratio no matter how
+    // clean the box is. For those queries, spawn ONE fresh JVM (same
+    // classpath and --add-opens flags, regex-filtered to exactly the
+    // still-dirty names) and take its medians: a fresh-JVM single IS
+    // the reference the flagging threshold was defined against, so
+    // these numbers are comparable to any other round's by
+    // construction. Skipped when this process is itself a filtered
+    // child (args nonEmpty — no recursion).
+    val stillDirty = flagged.filter(n => cleanSentinels(n) > CleanThreshold)
+    val resultsFresh: Map[String, Double] =
+      if (stillDirty.isEmpty || args.nonEmpty) Map.empty
+      else try {
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmFlags = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+          .toArray(Array.empty[String]).toSeq
+          .filter(f => f.startsWith("--add-opens") ||
+            f.startsWith("--add-exports") || f.startsWith("-Xmx"))
+        val regex = stillDirty.mkString("^(", "|", ")$")
+        val cmd = Seq(javaBin) ++ jvmFlags ++ Seq(
+          "-cp", System.getProperty("java.class.path"), "graft.Bench", regex)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val outReader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        // drain stderr concurrently so the child never blocks on a
+        // full pipe buffer
+        val errDrain = new Thread(() => {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getErrorStream))
+          while (r.readLine() != null) {}
+        })
+        errDrain.setDaemon(true); errDrain.start()
+        var line: String = null
+        var last: String = null
+        while ({ line = outReader.readLine(); line != null })
+          if (line.trim.nonEmpty) last = line
+        val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!finished) { proc.destroyForcibly(); Map.empty }
+        else if (last == null) Map.empty
+        else {
+          val qmap = "\"queries\":\\{([^}]*)\\}".r
+            .findFirstMatchIn(last).map(_.group(1)).getOrElse("")
+          "\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qmap)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .toMap.filter(kv => stillDirty.contains(kv._1))
+        }
+      } catch { case _: Throwable => Map.empty }
     // ANN quality, machine-tracked like timing and plans. Truth is
     // chosen per query for a MEANINGFUL number: s4 (KMeans IVF) and s6
     // (hyperplane LSH) recall against the exact brute-force top-k —
@@ -291,8 +346,17 @@ object Bench {
       .mkString("[", ",", "]")
     val sentinelJson = jmap(
       sentinels.toMap.map { case (k, v) => k -> v.toString }, quote = false)
+    // fresh-JVM values override the in-JVM best where the escalation
+    // tier ran; clean_method records which tier produced each number
+    // (clean_sentinel_ratio stays the in-JVM measurement — it is the
+    // evidence the escalation was needed)
     val qsClean = jmap(
-      resultsClean.map { case (k, v) => k -> f3(v) }, quote = false)
+      (resultsClean ++ resultsFresh).map { case (k, v) => k -> f3(v) },
+      quote = false)
+    val cleanMethodJson = jmap(
+      flagged.map(n => n ->
+        (if (resultsFresh.contains(n)) "fresh-jvm" else "in-jvm")).toMap,
+      quote = true)
     val cleanSentinelJson = jmap(
       cleanSentinels.toMap.map { case (k, v) => k -> v.toString },
       quote = false)
@@ -321,6 +385,7 @@ object Bench {
         s""""warmup_sec":${f3(warmupSec)},"sentinel_sec":${f3(sentinelSec)},""" +
         s""""queries":$qs,"sentinel_ratio":$sentinelJson,""" +
         s""""queries_clean":$qsClean,""" +
+        s""""clean_method":$cleanMethodJson,""" +
         s""""clean_sentinel_ratio":$cleanSentinelJson,""" +
         s""""recall":$recallJson,"recall_floors":$floorsJson,""" +
         s""""recall_failures":$recallFailJson,""" +

@@ -32,6 +32,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
   *   graft.cli.Main ingest scd2   <watchDir> <tablePath> <k1[,k2…]> <tsCol> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
+  *   graft.cli.Main bpe train|count <tableDir> <outDir>  // tokenizer lifecycle
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
   *   graft.cli.Main cluster-index <tableDir> <clusterTable>   // d8 once, stored
@@ -122,6 +123,14 @@ object Main {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("chunk", in, out, "tokens") =>
       graft.llm.TextAnalysis.chunkDocsTokens(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    // BPE tokenizer lifecycle: `bpe train` learns the merge table over
+    // the corpus (the t15 loop), `bpe count` applies it corpus-wide
+    case Seq("bpe", "train", in, out) =>
+      graft.llm.TextAnalysis.bpeMerges(spark, in)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("bpe", "count", in, out) =>
+      graft.llm.TextAnalysis.bpeTokenCounts(spark, in)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("spans", in, out) =>
       graft.llm.Dedup.dupSpans(spark, in)

@@ -291,7 +291,44 @@ object Maintenance {
         col("is_current"))
   }
 
+  /** q62 — incremental JOIN-view maintenance, the join analogue of
+    * q52's algebraic aggregate merge: a materialized view V = A ⋈ B is
+    * maintained under inserts by the delta decomposition
+    * ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB, V_new = V_old ∪ ΔV —
+    * the base join is NEVER recomputed. Here A = orders (every 10th
+    * order arrives as the delta), B = customer (every 7th customer),
+    * and the maintained view is aggregated per market segment; the
+    * oracle is the from-scratch join of the full tables, proving the
+    * decomposition exact — including the ΔA ⋈ ΔB corner a naive
+    * two-term maintenance silently drops.
+    *
+    * Scale shape: the two big-side terms are batch-per-stored-table
+    * joins (ΔA broadcast against B_old's bucketed layout and
+    * symmetrically — partition-pruned, never base × base), and
+    * ΔA ⋈ ΔB is batch × batch; per-refresh cost is O(|Δ| + touched
+    * partitions), the posture every materialized view at 100 TB needs.
+    */
+  def q62IncrJoinView(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val oOld = o.filter(col("o_orderkey") % 10 =!= 0)
+    val oNew = o.filter(col("o_orderkey") % 10 === 0)
+    val cOld = c.filter(col("o_custkey") % 7 =!= 0)
+    val cNew = c.filter(col("o_custkey") % 7 === 0)
+    val vOld = oOld.join(cOld, "o_custkey")
+    val dV = oNew.join(cOld, "o_custkey")
+      .unionByName(oOld.join(cNew, "o_custkey"))
+      .unionByName(oNew.join(cNew, "o_custkey"))
+    vOld.unionByName(dV)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_incr_join" -> q62IncrJoinView _,
     "q50_upsert" -> q50Upsert _,
     "q51_snapshot_diff" -> q51SnapshotDiff _,
     "q52_incr_agg" -> q52IncrAgg _,
@@ -336,6 +373,13 @@ object Maintenance {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source""".stripMargin,
     "q53_salted_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(SUM(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // q62's oracle is the from-scratch join (q53's SQL verbatim): the
+    // delta-decomposed maintenance must be result-invariant
+    "q62_incr_join" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(SUM(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -166,6 +166,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("q62 delta-join maintenance: three terms equal the full join; " +
+      "dropping the delta-delta corner loses rows on this fixture") {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"))
+    val oOld = o.filter(col("o_orderkey") % 10 =!= 0)
+    val oNew = o.filter(col("o_orderkey") % 10 === 0)
+    val cOld = c.filter(col("o_custkey") % 7 =!= 0)
+    val cNew = c.filter(col("o_custkey") % 7 === 0)
+    val full = o.join(c, "o_custkey").count()
+    val threeTerm = oOld.join(cOld, "o_custkey")
+      .unionByName(oNew.join(cOld, "o_custkey"))
+      .unionByName(oOld.join(cNew, "o_custkey"))
+      .unionByName(oNew.join(cNew, "o_custkey")).count()
+    val twoTerm = oOld.join(cOld, "o_custkey")
+      .unionByName(oNew.join(cOld, "o_custkey"))
+      .unionByName(oOld.join(cNew, "o_custkey")).count()
+    assert(threeTerm == full, s"decomposition lost rows: $threeTerm vs $full")
+    // the corner matters: some new order belongs to a new customer, so
+    // the naive two-term maintenance silently under-counts
+    assert(twoTerm < full,
+      s"fixture has no delta-delta matches — corner-term claim untested")
+  }
+
   test("skew handling measured: AQE skew-join split vs explicit salting " +
       "on the hot-key fixture") {
     // Completes the "when to salt" story the q53 scaladoc tells with
