@@ -22,6 +22,7 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Curation.queries ++
+      graft.llm.LanguageModel.queries ++
       graft.llm.Multimodal.queries ++
       graft.ops.Maintenance.queries
 
@@ -32,6 +33,7 @@ object SparkEntry {
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.Curation.oracleSql ++
+      graft.llm.LanguageModel.oracleSql ++
       graft.llm.Multimodal.oracleSql ++
       graft.ops.Maintenance.oracleSql
 }

@@ -670,6 +670,64 @@ object Extended {
     ranks.select(col("id"), round(col("pr"), 6).as("pr"))
   }
 
+  /** q63 — per-node triangle counts on the co-purchase part graph
+    * (parts sharing ≥ 2 orders), via DEGREE-ORDERED ORIENTATION
+    * (Suri & Vassilvitskii 2011): orient every undirected edge from
+    * its (degree, id)-smaller endpoint to the larger, so each triangle
+    * materializes as exactly ONE wedge at its smallest vertex and the
+    * wedge join's per-key fanout is bounded by the oriented out-degree
+    * — O(√m) for any graph instead of the hub-degree blowup a naive
+    * adjacency self-join pays. The support-2 prune keeps the edge set
+    * to genuine co-purchase affinity (and, at 100 TB, keeps |E| a
+    * small fraction of the raw pair stream). All joins shuffle
+    * long-pair keys only; the degree table (one row per node) rides
+    * along via AQE-broadcast hash joins.
+    */
+  def q63Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    // undirected edges in canonical id order (u < v), support >= 2;
+    // prune on distinct orders so support means "co-purchased in >= 2
+    // orders" even if a part repeats within one order
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"),
+        col("a.l_orderkey").as("ok"))
+      .groupBy("u", "v").agg(countDistinct(col("ok")).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("u", "v")
+    trianglesOf(edges)
+  }
+
+  /** Per-node triangle counts over an undirected edge set given in
+    * canonical id order (u < v, no duplicates) — the oriented
+    * wedge-close core of q63, factored out so specs can drive it with
+    * arbitrary graphs against a brute-force oracle.
+    */
+  def trianglesOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val ori = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("tt"))
+    val wedges = ori.as("e1").join(ori.as("e2"),
+        col("e2.s") === col("e1.s") && col("e2.tt") > col("e1.tt"))
+      .select(col("e1.s").as("apex"),
+        least(col("e1.tt"), col("e2.tt")).as("u"),
+        greatest(col("e1.tt"), col("e2.tt")).as("v"))
+    val tris = wedges.join(edges, Seq("u", "v"))
+    tris.select(explode(array(col("apex"), col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** q48 — DETERMINISTIC Bernoulli sample, the reproducible twin of
     * q11's RNG `sample()`: keep a row iff hash60 of its salted key
     * lands in the first 1% of hash space. RNG sampling is
@@ -723,6 +781,7 @@ object Extended {
     "q48_hash_sample"    -> q48HashSample _,
     "q49_stratified_hash" -> q49StratifiedHash _,
     "q54_pagerank"       -> q54PageRank _,
+    "q63_triangles"      -> q63Triangles _,
     "q56_range_join_auto" -> q56RangeJoinAuto _,
     "q57_funnel"         -> q57Funnel _,
     "q58_retention"      -> q58Retention _,
@@ -1001,6 +1060,34 @@ object Extended {
         |FROM (UNPIVOT lineitem ON l_quantity, l_discount, l_tax
         |      INTO NAME metric VALUE val)
         |GROUP BY 1, 2""".stripMargin,
+    // q63: same edge prune / degree orientation / wedge-close pipeline;
+    // the (deg, id) lexicographic orientation is written as an explicit
+    // OR so both engines compare identically
+    "q63_triangles" ->
+      """WITH edges AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d
+        |  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS tt
+        |  FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |tris AS (
+        |  SELECT e1.s AS apex, LEAST(e1.tt, e2.tt) AS u,
+        |         GREATEST(e1.tt, e2.tt) AS v
+        |  FROM ori e1 JOIN ori e2 ON e2.s = e1.s AND e2.tt > e1.tt
+        |  JOIN edges e3
+        |    ON e3.u = LEAST(e1.tt, e2.tt) AND e3.v = GREATEST(e1.tt, e2.tt))
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([apex, u, v]) AS node FROM tris)
+        |GROUP BY 1""".stripMargin,
     // q54: the three power iterations unrolled as chained CTEs — the
     // fixed iteration count is what makes an iterative algorithm
     // SQL-expressible. r0's 1.0 casts to DOUBLE so pr/deg divides in

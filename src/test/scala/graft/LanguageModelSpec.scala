@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.LanguageModel
+
+/** Specs for the CCNet-style LM quality family (t17/t18/c13) and the
+  * q63 oriented triangle count. The CORRECTNESS rows gate cross-engine
+  * value equality; these tests pin the semantics against independent
+  * brute-force reimplementations (a sequential Scala scorer for the
+  * LM, an O(n³) closed-wedge enumerator for triangles).
+  */
+class LanguageModelSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("t18: Spark per-doc LM scores equal a sequential Scala " +
+      "stupid-backoff scorer (split, prune, backoff chain, counts)") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").toSeq).toMap
+    val train = docs.filter { case (id, _) =>
+      hash60(s"lm:$id") % 10 < 8 }
+    val ntot = train.valuesIterator.map(_.size.toLong).sum
+    val uni = train.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= LanguageModel.MinCount).toMap
+    val big = train.values.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= LanguageModel.MinCount).toMap
+
+    val expected = docs.map { case (id, t) =>
+      val lps = t.zipWithIndex.map { case (w, i) =>
+        val prev = if (i > 0) Some(t(i - 1)) else None
+        val bi = prev.flatMap(p => big.get((p, w)))
+        (bi, uni.get(w)) match {
+          case (Some(cb), _) =>
+            math.log(cb.toDouble / uni(prev.get))
+          case (None, Some(cu)) if i == 0 => math.log(cu.toDouble / ntot)
+          case (None, None) if i == 0     => -math.log(ntot.toDouble)
+          case (None, Some(cu)) =>
+            math.log(LanguageModel.Backoff) + math.log(cu.toDouble / ntot)
+          case (None, None) =>
+            math.log(LanguageModel.Backoff) - math.log(ntot.toDouble)
+        }
+      }
+      val nBackoff = t.zipWithIndex.count { case (w, i) =>
+        i > 0 && !big.contains((t(i - 1), w)) }
+      val nOov = t.count(w => !uni.contains(w))
+      id -> ((t.size.toLong, nBackoff.toLong, nOov.toLong,
+        round4(lps.sum / t.size)))
+    }
+
+    val got = LanguageModel.perplexity(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, bo, oov, lp)) =>
+      val (gn, gbo, goov, glp) = got(id)
+      assert(gn == n && gbo == bo && goov == oov,
+        s"doc $id counts: got ($gn,$gbo,$goov) want ($n,$bo,$oov)")
+      assert(math.abs(glp - lp) < 1.01e-4,
+        s"doc $id avg_logp: got $glp want $lp")
+    }
+  }
+
+  test("t17: model invariants — pruned counts, denominator dominance, " +
+      "non-positive conditional log-probs") {
+    val m = LanguageModel.lmBigrams(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (cb, cp, lp) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(cb >= LanguageModel.MinCount)
+      assert(cp >= cb, s"c_prev $cp < c_bigram $cb for ${r.getString(0)}")
+      assert(lp <= 0.0)
+    }
+  }
+
+  test("c13: bucket partition is exhaustive and keep == (bucket != tail)") {
+    val rows = LanguageModel.perplexityFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lp, b, k) = (r.getDouble(1), r.getString(2), r.getLong(3))
+      val want =
+        if (lp >= LanguageModel.HeadCut) "head"
+        else if (lp < LanguageModel.TailCut) "tail"
+        else "middle"
+      assert(b == want, s"doc ${r.getLong(0)} bucket $b want $want")
+      assert(k == (if (b != "tail") 1L else 0L))
+    }
+  }
+
+  test("q63 core: oriented wedge-close triangle counts equal brute-force " +
+      "enumeration on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(63L)
+    val n = 40
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (u.toLong, v.toLong)).toSeq
+    val eset = edges.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (u, v) <- edges; w <- (v + 1) to (n - 1).toLong
+      if eset.contains((u, w)) && eset.contains((v, w))
+    } { Seq(u, v, w).foreach(x => brute(x) = brute.getOrElse(x, 0L) + 1) }
+    val got = graft.queries.Extended.trianglesOf(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap, s"got $got want $brute")
+    assert(brute.values.sum >= 3, "fixture degenerate: too few triangles")
+  }
+}
