@@ -244,6 +244,9 @@ object Bench {
     val annTruth = Map(
       "s4_knn_ivf_kmeans" -> (5, "s1_knn_brute"),
       "s6_knn_lsh" -> (3, "s1_knn_brute"),
+      // s13 reranks the JL-sketch top-10% exactly — 0.80 measured at
+      // sf0.1, i.e. s6's recall band at 2/3 of its candidate budget
+      "s13_knn_jl" -> (3, "s1_knn_brute"),
       "s7_knn_int8" -> (3, "s2_knn_ivf"),
       // s10 ranks the WHOLE corpus from 96-bit codes then reranks the
       // ADC top-50 exactly — recall is a real quality claim (0.91
@@ -264,6 +267,7 @@ object Bench {
     val recallFloors = Map(
       "s4_knn_ivf_kmeans" -> 0.9,
       "s6_knn_lsh" -> 0.7,
+      "s13_knn_jl" -> 0.7,
       "s7_knn_int8" -> 0.95,
       "s10_knn_pq" -> 0.8,
       "s11_knn_ivfpq" -> 0.6)

@@ -898,6 +898,84 @@ object Similarity {
         col("rk").cast(LongType).as("rk"))
   }
 
+  // -- s13: Johnson–Lindenstrauss random-projection kNN --------------------
+  /** Reduced dimensionality for the JL sketch (64 → 32). Parameter
+    * sweep on this corpus (recall@3 vs brute, 10% budget): 16d 0.60,
+    * 24d 0.67, 32d 0.77 — the isotropic fixture's tiny cosine gaps
+    * need ε ≈ 1/√d below ~0.18; real clustered corpora rank well at
+    * far lower d (the s11 fixture-geometry argument).
+    */
+  val JlDims = 32
+  /** Candidate budget for the JL scan — tighter than s6's 0.15: a
+    * 32-float sketch preserves RANK better than 64 sign bits, so the
+    * same recall band costs ⅔ the candidates (recall measured in the
+    * bench artifact against brute top-3, floor 0.7).
+    */
+  val JlRerankFraction = 0.10
+
+  /** Fixed Gaussian projection rows (seeded, literal-shared with the
+    * oracle like [[sigPlanes]]) — the Johnson–Lindenstrauss transform:
+    * x ↦ (⟨x,g₁⟩,…,⟨x,g_d⟩) preserves angles within ~1/√d distortion,
+    * so reduced-space cosine RANKS the corpus well enough to cut the
+    * exact-scan budget to [[JlRerankFraction]].
+    */
+  val jlPlanes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(1313L)
+    Seq.fill(JlDims)(Array.fill(Dims)(rnd.nextGaussian()))
+  }
+
+  /** The 16-dim JL sketch of a vector — 16 codegen [[dot]] kernels
+    * over plan-literal rows, one scan-side projection per vector.
+    */
+  def jlReduce(v: Column): Column =
+    array(jlPlanes.map(p => dot(v, typedLit(p.toSeq))): _*)
+
+  /** JL-sketch ANN: the real-valued sibling of s6's 1-bit sketch.
+    *
+    * Stage 1 scans (vec_id, rv) pairs only — a [[JlDims]]-dim dot per
+    * (query, vector) pair, half the multiplies of full cosine (a
+    * persisted layout would store `rv` alongside the s6 signature,
+    * in float32 for the byte win; same index pattern). Reduced-space
+    * cosine rounds to 6 dp BEFORE the bounded-heap
+    * cutoff (ties to the smaller vec_id) so the candidate set is
+    * tie-stable cross-engine — the s10 discipline. Stage 2 is the s1
+    * exact-cosine rerank over the ≤ 10% survivors.
+    *
+    * Fully deterministic (literal projection rows, count-derived
+    * budget) — oracle-checked end to end.
+    */
+  def knnJl(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val e = emb(s, dir).withColumn("rv", jlReduce(col("v")))
+      .withColumn("rn", sqrt(dot(col("rv"), col("rv"))))
+    val topC = math.max(topK,
+      math.ceil(e.count() * JlRerankFraction).toInt)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("rv").as("q_rv"),
+        col("rn").as("q_rn"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.select(col("vec_id"), col("rv"), col("rn"))
+      .join(broadcast(q.select(col("q_id"), col("q_rv"), col("q_rn"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("rv"), col("q_rv")) / (col("rn") * col("q_rn")), 6)
+          .as("est"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("est"), col("vec_id"), lit(topC)).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("vec_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
   /** Builds and PERSISTS the LSH index: the bucket-assigned corpus as
     * a Hive-partitioned parquet layout (`buckets/bucket=N/…`) carrying
     * the 64-bit signature column. There is no fit at all — the
@@ -1057,6 +1135,7 @@ object Similarity {
     "s4_knn_ivf_kmeans" -> ((s: SparkSession, dir: String) => knnIvfKmeans(s, dir)),
     "s5_quantize" -> quantizeInt8 _,
     "s6_knn_lsh" -> ((s: SparkSession, dir: String) => knnLsh(s, dir)),
+    "s13_knn_jl" -> ((s: SparkSession, dir: String) => knnJl(s, dir)),
     "s10_knn_pq" -> ((s: SparkSession, dir: String) => knnPqInline(s, dir)),
     "s11_knn_ivfpq" -> ((s: SparkSession, dir: String) => knnIvfPq(s, dir)),
     "s12_label_vote" -> knnLabelVote _)
@@ -1160,6 +1239,38 @@ object Similarity {
          |  SELECT q.vec_id AS q_id, e.vec_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY bit_count(xor(e.sig, q.sig)), e.vec_id) AS hr
+         |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id), n
+         |  WHERE hr <= n.topc)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+         |        c.vec_id) AS rk
+         |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
+         |    JOIN b q ON q.vec_id = c.q_id)
+         |WHERE rk <= 3""".stripMargin
+    },
+    "s13_knn_jl" -> {
+      // the same 16 Gaussian projection rows as literals — identical
+      // sketches, so the rounded reduced-cosine rank (and therefore
+      // the candidate set and final ranking) reproduces exactly
+      val rvSql = jlPlanes.map { p =>
+        val lst = p.mkString("[", ", ", "]")
+        s"list_dot_product(v, $lst)"
+      }.mkString("[", ",\n    ", "]")
+      val est = "list_dot_product(e.rv, q.rv) / (e.rn * q.rn)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |r AS (SELECT vec_id, v, $rvSql AS rv FROM e),
+         |b AS (SELECT vec_id, v, rv, sqrt(list_dot_product(rv, rv)) AS rn
+         |  FROM r),
+         |n AS (SELECT CAST(ceil($JlRerankFraction * COUNT(*)) AS BIGINT)
+         |  AS topc FROM e),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round($est, 6) DESC, e.vec_id) AS hr
          |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id), n
          |  WHERE hr <= n.topc)
          |SELECT q_id, vec_id, sim, rk FROM (

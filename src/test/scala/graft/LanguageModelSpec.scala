@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.LanguageModel
 
-/** Specs for the CCNet-style LM quality family (t17/t18/c13) and the
-  * q63 oriented triangle count. The CORRECTNESS rows gate cross-engine
+/** Specs for the round-10 additions: the CCNet-style LM quality family
+  * (t17/t18/c13), the s13 Johnson–Lindenstrauss ANN tier, and the q63
+  * oriented triangle count. The CORRECTNESS rows gate cross-engine
   * value equality; these tests pin the semantics against independent
-  * brute-force reimplementations (a sequential Scala scorer for the
-  * LM, an O(n³) closed-wedge enumerator for triangles).
+  * sequential reimplementations (a Scala stupid-backoff scorer, a JL
+  * two-stage replay, an O(n³) closed-wedge enumerator).
   */
 class LanguageModelSpec extends SparkSpec {
 
@@ -96,6 +97,40 @@ class LanguageModelSpec extends SparkSpec {
       assert(b == want, s"doc ${r.getLong(0)} bucket $b want $want")
       assert(k == (if (b != "tail") 1L else 0L))
     }
+  }
+
+  test("s13: two-stage JL search equals a sequential Scala replay " +
+      "(literal projections, rounded-estimate cutoff, exact rerank)") {
+    import graft.llm.Similarity
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val rv = vecs.view.mapValues(v =>
+      Similarity.jlPlanes.map(p => dotD(v, p)).toArray).toMap
+    val rn = rv.view.mapValues(r => math.sqrt(dotD(r, r))).toMap
+    val nrm = vecs.view.mapValues(v => math.sqrt(dotD(v, v))).toMap
+    val topC = math.max(3,
+      math.ceil(vecs.size * Similarity.JlRerankFraction).toInt)
+    val expected = vecs.keys.filter(_ < 20).toSeq.sorted.flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).toSeq
+        .map(e => (round6(dotD(rv(e), rv(q)) / (rn(e) * rn(q))), e))
+        .sortBy { case (est, id) => (-est, id) }.take(topC).map(_._2)
+      cand.map(e =>
+          (round6(dotD(vecs(q), vecs(e)) / (nrm(q) * nrm(e))), e))
+        .sortBy { case (sim, id) => (-sim, id) }.take(3).zipWithIndex
+        .map { case ((sim, e), i) => (q, e, sim, (i + 1).toLong) }
+    }.toSet
+    val got = Similarity.knnJl(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
   }
 
   test("q63 core: oriented wedge-close triangle counts equal brute-force " +
