@@ -319,6 +319,46 @@ object TextAnalysis {
       .orderBy(desc("df"), desc("tf"), col("token"))
       .limit(topK)
 
+  // -- t19: count-min sketch heavy hitters ---------------------------------
+  /** t19 — token frequencies from a [[graft.functions.CmsAggregator]]
+    * count–min sketch, probed for the t7 vocabulary and compared with
+    * the exact counts: `est`, `overcount = est − tf` (≥ 0 always — the
+    * CMS no-false-negative contract), and an `is_hh` flag marking
+    * tokens above 1% of total occurrences (the classic heavy-hitter
+    * cut, in exact integer arithmetic `est·100 ≥ N`).
+    *
+    * Scale shape: the sketch build is ONE narrow pass over the token
+    * stream with map-side partial grids — the shuffle carries a
+    * 4×1024-counter grid per partition, not the vocabulary; the probe
+    * is a broadcast of the one-row sketch against the (small) query
+    * set. At 100 TB this is how you get per-token frequency signals
+    * without the t7 group-by's vocabulary-sized shuffle — here the
+    * exact counts ride along precisely so the sketch's error is
+    * VISIBLE and oracle-checked (DuckDB replays the grid cell-for-
+    * cell from the same md5-60 row hashes).
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsAggregator
+    graft.functions.HashFunctions.register(s)
+    val occ = Tables.load(s, dir, "documents")
+      .select(explode(tokens(lower(col("text")))).as("token"))
+    val sk = occ.select(
+      udaf(CmsAggregator, org.apache.spark.sql.Encoders.STRING)
+        .apply(col("token")).as("sketch"))
+    val tot = occ.agg(count(lit(1)).as("n"))
+    val est = (0 until CmsAggregator.Depth).map { r =>
+      element_at(col("sketch"),
+        (hash60(concat(lit(s"$r:"), col("token"))) % CmsAggregator.Width
+          + lit(r.toLong * CmsAggregator.Width) + 1).cast("int"))
+    }.reduce(least(_, _))
+    vocabulary(s, dir)
+      .crossJoin(broadcast(sk)).crossJoin(broadcast(tot))
+      .select(col("token"), col("tf"), col("df"), est.as("est"), col("n"))
+      .select(col("token"), col("tf"), col("df"), col("est"),
+        (col("est") - col("tf")).as("overcount"),
+        (col("est") * 100 >= col("n")).cast(LongType).as("is_hh"))
+  }
+
   // -- t14: vocabulary coverage / OOV rate ---------------------------------
   /** t14 — per-document out-of-vocabulary rate against the [[vocabulary]]
     * top-k: the standard tokenizer-coverage QA metric (a doc whose
@@ -644,7 +684,8 @@ object TextAnalysis {
     "t6_redact"      -> redact _,
     "t7_vocab"       -> ((s: SparkSession, dir: String) => vocabulary(s, dir)),
     "t9_quality_rules" -> qualityRules _,
-    "t10_repetition"   -> repetitionStats _)
+    "t10_repetition"   -> repetitionStats _,
+    "t19_cms_heavy"    -> cmsHeavyHitters _)
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -902,6 +943,40 @@ object TextAnalysis {
          |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
          |      '[0-9]{6,}')) AS BIGINT) AS n_redactions
          |FROM documents""".stripMargin,
+    // t19: the counter grid replayed cell-for-cell — same md5-60 row
+    // hashes, exact integer counters, so est/overcount/is_hh all match
+    // bit-for-bit; the 1% heavy-hitter cut multiplies instead of
+    // dividing to stay in exact integer arithmetic
+    "t19_cms_heavy" ->
+      s"""WITH occ AS (SELECT
+         |    lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+         |  FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM occ),
+         |cells AS (SELECT r.range AS r,
+         |    CAST(('0x' || substr(md5(r.range || ':' || token), 1, 15))
+         |      AS BIGINT) % ${graft.functions.CmsAggregator.Width} AS cell,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM occ CROSS JOIN range(${graft.functions.CmsAggregator.Depth}) r
+         |  GROUP BY 1, 2),
+         |vocab AS (SELECT token, tf, df FROM (
+         |    SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |      CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |    FROM (SELECT doc_id,
+         |            lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+         |          FROM documents)
+         |    GROUP BY token)
+         |  ORDER BY df DESC, tf DESC, token
+         |  LIMIT 100),
+         |probe AS (SELECT v.token, v.tf, v.df, r.range AS r,
+         |    CAST(('0x' || substr(md5(r.range || ':' || v.token), 1, 15))
+         |      AS BIGINT) % ${graft.functions.CmsAggregator.Width} AS cell
+         |  FROM vocab v CROSS JOIN range(${graft.functions.CmsAggregator.Depth}) r),
+         |e AS (SELECT p.token, p.tf, p.df, MIN(c.c) AS est
+         |  FROM probe p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+         |  GROUP BY 1, 2, 3)
+         |SELECT token, tf, df, est, est - tf AS overcount,
+         |  CAST(est * 100 >= (SELECT n FROM tot) AS BIGINT) AS is_hh
+         |FROM e""".stripMargin,
     "t7_vocab" ->
       """SELECT token, tf, df FROM (
         |  SELECT token, CAST(count(*) AS BIGINT) AS tf,

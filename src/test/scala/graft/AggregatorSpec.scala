@@ -44,4 +44,47 @@ class AggregatorSpec extends SparkSpec {
       } else assert(frames == Seq(0))
     }
   }
+
+  test("CMS sketch: merge-order invariant, no false negatives, " +
+      "collisions visible at high cardinality") {
+    import graft.functions.CmsAggregator
+    val cms = udaf(CmsAggregator, org.apache.spark.sql.Encoders.STRING)
+    // high-cardinality synthetic stream: 20k distinct tokens (freq 1
+    // or 2) + one genuine heavy hitter — every 1024-wide row averages
+    // ~20 tokens/cell, so collisions MUST surface as overcounts
+    val toks = ((0 until 20000).map(i => s"tok$i") ++
+      (0 until 10000).map(i => s"tok${i * 2}") ++
+      Seq.fill(500)("hh")).toDF("t")
+    val g1 = toks.repartition(1).agg(cms(col("t"))).head.getSeq[Long](0)
+    val g8 = toks.repartition(8, col("t")).agg(cms(col("t"))).head.getSeq[Long](0)
+    assert(g1 == g8, "grid differs under repartitioning")
+    assert(g1.sum == toks.count() * CmsAggregator.Depth)
+
+    def est(tok: String): Long =
+      (0 until CmsAggregator.Depth)
+        .map(r => g1(r * CmsAggregator.Width + CmsAggregator.cell(r, tok))).min
+    val exact = Map("hh" -> 500L) ++
+      (0 until 20000).map(i => s"tok$i" -> (if (i % 2 == 0) 2L else 1L))
+    // no false negatives, ever; and with 30.5k occurrences over 1024
+    // cells per row, at least one probe must show a real overcount
+    assert(exact.forall { case (t, c) => est(t) >= c })
+    assert(exact.exists { case (t, c) => est(t) > c },
+      "fixture too small to surface any collision")
+    assert(est("hh") >= 500L && est("hh") <= 500L + 200L,
+      s"hh estimate ${est("hh")} implausibly far from 500")
+  }
+
+  test("t19: overcount never negative and is_hh matches the 1% rule") {
+    val rows = graft.llm.TextAnalysis.cmsHeavyHitters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.llm.TextAnalysis.tokens(lower(col("text"))))
+        .as("t")).count()
+    rows.foreach { r =>
+      val (tf, est, over, hh) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(over == est - tf && over >= 0)
+      assert(hh == (if (est * 100 >= total) 1L else 0L))
+    }
+  }
 }
