@@ -966,7 +966,98 @@ object Dedup {
           .cast(LongType).as("n_cut_tokens"))
   }
 
+  // -- d15: all-pairs TF-IDF cosine similarity join ------------------------
+  /** d15 cosine threshold and the derived tail-norm index bound. */
+  val ApssThreshold = 0.85
+  private val ApssTau2 = (ApssThreshold / 2) * (ApssThreshold / 2)
+
+  /** d15 — exact all-pairs similarity search (APSS) over TF-IDF
+    * weighted document vectors: every doc pair with cosine ≥
+    * [[ApssThreshold]], the WEIGHTED sibling of d11's set-similarity
+    * join (Bayardo et al. 2007 problem, with a Cauchy–Schwarz prefix
+    * filter in place of their maxweight bound).
+    *
+    * Candidate pruning (exact): per doc, terms sort by unit weight
+    * descending and only the minimal PREFIX whose unindexed tail has
+    * L2 norm ≤ t/2 is indexed. For a pair sharing no co-indexed term,
+    * splitting shared terms into "not indexed in a" / "indexed in a
+    * but not in b" gives dot ≤ ‖tail_a‖ + ‖tail_b‖ ≤ t by
+    * Cauchy–Schwarz — so the co-indexed equi-join finds every
+    * qualifying pair, and the exact verify runs only on candidates.
+    * (A pair at exactly cos = t could in principle sit on the bound's
+    * equality case; measure-zero in floating point, and the spec's
+    * brute-force comparison pins it on the real corpus.)
+    *
+    * Scale shape: term keys are md5-60 longs (no text in any
+    * shuffle); the index join's fanout is per-term df² of INDEXED
+    * rows only — on a Zipfian corpus the high-df stop-term head
+    * carries near-zero idf unit weight, lands in the unindexed tail,
+    * and never joins (the spec shows the candidate count collapsing
+    * on such a fixture). The verify stage is candidate-keyed — two
+    * hash joins, no window. The cumulative-norm prefix decision runs
+    * in a per-doc ordered window, summed in the same sequence by any
+    * engine, so the index set is deterministic cross-engine.
+    */
+  def apssCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    apssCosineOf(docs)
+  }
+
+  /** The d15 weight/norm/candidate stages over an arbitrary
+    * (doc_id, t: array&lt;string&gt;) frame — candidates exposed so the
+    * spec can measure the prefix filter's pruning on a Zipfian
+    * fixture.
+    */
+  private[graft] def apssParts(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val n = docs.agg(count(lit(1)).cast(LongType).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.hash60(col("term")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val wts = tf.join(dfq, "th").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("th"),
+        (col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("w"))
+    val nrm = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    val u = wts.join(nrm, "doc_id")
+      .select(col("doc_id"), col("th"), col("w"), (col("w") / col("nm")).as("u"))
+    val wIdx = Window.partitionBy("doc_id").orderBy(desc("u"), col("th"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = u
+      .withColumn("cum", sum(col("u") * col("u")).over(wIdx))
+      .filter(lit(1.0) - (col("cum") - col("u") * col("u")) > ApssTau2)
+      .select("doc_id", "th")
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    (wts, nrm, cand)
+  }
+
+  private[graft] def apssCosineOf(docs: DataFrame): DataFrame = {
+    val (wts, nrm, cand) = apssParts(docs)
+    val dots = cand
+      .join(wts.select(col("doc_id").as("da"), col("th"), col("w").as("wa")),
+        Seq("da"))
+      .join(wts.select(col("doc_id").as("db"), col("th"), col("w").as("wb")),
+        Seq("db", "th"))
+      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dp"))
+    dots
+      .join(nrm.select(col("doc_id").as("da"), col("nm").as("na")), Seq("da"))
+      .join(nrm.select(col("doc_id").as("db"), col("nm").as("nb")), Seq("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("dp") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= ApssThreshold)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_apss_cosine" -> apssCosine _,
     "d12_dup_spans"   -> dupSpans _,
     "d13_span_cut"    -> spanDedupApply _,
     "d1_exact_dedup"  -> exactDedup _,
@@ -1081,6 +1172,50 @@ object Dedup {
       |    AND (simbsz.n <= 1000 OR x.doc_id = simbsz.rep))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // d15: the same tail-norm prefix index replayed — the cumulative
+    // unit-weight window sums in the identical (u DESC, th) sequence
+    // in both engines, so the index set (and therefore the candidate
+    // and result sets) matches exactly; cos rounds to 6 dp before the
+    // threshold in both
+    "d15_apss_cosine" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+         |tf AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS th,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM docs)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY 1),
+         |wts AS (SELECT t.doc_id, t.th,
+         |    t.tf * (ln((n.n + 1.0) / (k.df + 1.0)) + 1.0) AS w
+         |  FROM tf t JOIN dfq k USING (th) CROSS JOIN n),
+         |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM wts
+         |  GROUP BY 1),
+         |uw AS (SELECT w.doc_id, w.th, w.w, w.w / r.nm AS u
+         |  FROM wts w JOIN nrm r USING (doc_id)),
+         |pre AS (SELECT doc_id, th, u,
+         |    SUM(u * u) OVER (PARTITION BY doc_id ORDER BY u DESC, th
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM uw),
+         |idx AS (SELECT doc_id, th FROM pre
+         |  WHERE 1.0 - (cum - u * u) > $ApssTau2),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM idx a JOIN idx b
+         |    ON a.th = b.th AND a.doc_id < b.doc_id),
+         |dots AS (SELECT c.da, c.db, SUM(x.w * y.w) AS dp
+         |  FROM cand c
+         |  JOIN wts x ON x.doc_id = c.da
+         |  JOIN wts y ON y.doc_id = c.db AND y.th = x.th
+         |  GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  round(dp / (p.nm * q.nm), 6) AS cos_sim
+         |FROM dots
+         |JOIN nrm p ON p.doc_id = da
+         |JOIN nrm q ON q.doc_id = db
+         |WHERE round(dp / (p.nm * q.nm), 6) >= $ApssThreshold""".stripMargin,
     // d12: positioned grams via the lockstep double-unnest (the s5
     // precedent); the same md5-prefix hash, lag/cumsum island merge.
     // DuckDB's lag() over the first row yields NULL, and NULL <= 8 is

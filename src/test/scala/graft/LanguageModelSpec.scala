@@ -133,6 +133,73 @@ class LanguageModelSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  private def apssBrute(docs: Map[Long, Seq[String]], thr: Double)
+      : Map[(Long, Long), Double] = {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = docs.size
+    val tf = docs.view.mapValues(
+      _.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val w = tf.view.mapValues(_.map { case (t, c) =>
+      t -> c * (math.log((n + 1.0) / (df(t) + 1.0)) + 1.0) }).toMap
+    val nm = w.view.mapValues(v => math.sqrt(v.values.map(x => x * x).sum))
+    val ids = docs.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (a, b) = (ids(i), ids(j))
+      dp = w(a).keysIterator.filter(w(b).contains)
+        .map(t => w(a)(t) * w(b)(t)).sum
+      c = round6(dp / (nm(a) * nm(b)))
+      if c >= thr
+    } yield (a, b) -> c).toMap
+  }
+
+  test("d15: APSS join equals brute-force all-pairs cosine on the corpus") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq).toMap
+    val want = apssBrute(docs, graft.llm.Dedup.ApssThreshold)
+    val got = graft.llm.Dedup.apssCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    want.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1.01e-6, s"pair $k: ${got(k)} vs $c") }
+  }
+
+  test("d15: prefix filter prunes candidates on a Zipfian corpus while " +
+      "staying exact") {
+    import spark.implicits._
+    // 200 docs: each carries 30 distinct stop terms from a 50-term
+    // high-df pool (low idf, tf 1 -> small unit weight -> unindexed
+    // tail) plus 10 rare terms (high idf -> indexed prefix); 5 planted
+    // near-dup pairs share their rare terms. Candidates must collapse
+    // to rare-term co-occurrences, not the stop-term cross product.
+    val rnd = new scala.util.Random(15L)
+    val docs: Seq[(Long, Seq[String])] = (0 until 200).map { i =>
+      val stops = rnd.shuffle((0 until 50).toList).take(30)
+        .map(k => s"stop$k")
+      val rare =
+        if (i >= 190) Seq.tabulate(10)(k => s"rare${(i - 190) / 2}_$k")
+        else Seq.tabulate(10)(k => s"rare${i}_$k")
+      i.toLong -> (stops ++ rare)
+    }
+    val df = docs.toDF("doc_id", "t")
+    val (_, _, cand) = graft.llm.Dedup.apssParts(df)
+    val nCand = cand.count()
+    assert(nCand < 200L * 199 / 2 / 10,
+      s"prefix filter barely pruned: $nCand candidates")
+    val got = graft.llm.Dedup.apssCosineOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = apssBrute(docs.toMap, graft.llm.Dedup.ApssThreshold)
+    assert(got.keySet == want.keySet)
+    assert(want.keySet.size >= 5, "planted near-dup pairs missing")
+  }
+
   test("q63 core: oriented wedge-close triangle counts equal brute-force " +
       "enumeration on a seeded random graph") {
     import spark.implicits._
