@@ -728,6 +728,46 @@ object Extended {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** q64 — deterministic FIXED-SIZE per-group sample: the k=10 orders
+    * with the smallest salted key hash per `o_orderstatus`, via the
+    * bounded-heap `topk_by` aggregate — the distributed analogue of
+    * reservoir sampling with the reservoir made ASSOCIATIVE (partial
+    * heaps per partition, merged in any order to the same result);
+    * where q48's hash-Bernoulli gives a binomial-SIZED sample, this
+    * guarantees exactly k. The hash folds to 2⁵⁰ so the heap's double
+    * ord compares it EXACTLY (a 60-bit value would alias above 2⁵³ and
+    * silently fall through to id tie-breaks the oracle can't see);
+    * the heap id is the table's true key `o_orderkey` — a non-unique
+    * id would make rank ties engine-dependent. Scale shape: one scan
+    * + per-group O(k) state; the 3k winners broadcast back against
+    * the scan for their payload columns — no table-wide sort, no
+    * window shuffle.
+    */
+  def q64BottomkSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    val hv = graft.llm.TextAnalysis.hash60(concat(lit("q64:"),
+      col("o_orderkey").cast("string"))) % (1L << 50)
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        hv.as("hv"))
+    val picked = orders.groupBy("o_orderstatus")
+      .agg(graft.functions.TopKFunctions
+        .topkBy((-col("hv")).cast("double"), col("o_orderkey"), lit(k)).as("tk"))
+      .select(col("o_orderstatus"), explode(col("tk")).as("p"))
+      .select(col("o_orderstatus").as("st"), col("p.ord").as("ord"),
+        col("p.id").as("o_orderkey"))
+    val w = Window.partitionBy("st").orderBy(desc("ord"), col("o_orderkey"))
+    val winners = picked.withColumn("rk", row_number().over(w))
+    // payload fetch: the 3k winners BROADCAST against the scan — the
+    // big side streams, nothing table-wide sorts or shuffles
+    orders.select(col("o_orderkey"), col("o_totalprice"))
+      .join(broadcast(winners.select(col("o_orderkey"), col("st"), col("rk"))),
+        Seq("o_orderkey"))
+      .select(col("st").as("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice"), col("rk").cast(LongType).as("rk"))
+  }
+
   /** q48 — DETERMINISTIC Bernoulli sample, the reproducible twin of
     * q11's RNG `sample()`: keep a row iff hash60 of its salted key
     * lands in the first 1% of hash space. RNG sampling is
@@ -782,6 +822,7 @@ object Extended {
     "q49_stratified_hash" -> q49StratifiedHash _,
     "q54_pagerank"       -> q54PageRank _,
     "q63_triangles"      -> q63Triangles _,
+    "q64_bottomk_sample" -> ((s: SparkSession, dir: String) => q64BottomkSample(s, dir)),
     "q56_range_join_auto" -> q56RangeJoinAuto _,
     "q57_funnel"         -> q57Funnel _,
     "q58_retention"      -> q58Retention _,
@@ -1060,6 +1101,18 @@ object Extended {
         |FROM (UNPIVOT lineitem ON l_quantity, l_discount, l_tax
         |      INTO NAME metric VALUE val)
         |GROUP BY 1, 2""".stripMargin,
+    // q64: the heap is ORDER BY hv LIMIT k per group; the hash folds
+    // to 2^50 in both engines so double comparison is exact
+    "q64_bottomk_sample" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rk
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY hv, o_orderkey) AS BIGINT) AS rk
+        |  FROM (SELECT *,
+        |      CAST(('0x' || substr(md5('q64:' || o_orderkey), 1, 15))
+        |        AS BIGINT) % 1125899906842624 AS hv
+        |    FROM orders))
+        |WHERE rk <= 10""".stripMargin,
     // q63: same edge prune / degree orientation / wedge-close pipeline;
     // the (deg, id) lexicographic orientation is written as an explicit
     // OR so both engines compare identically

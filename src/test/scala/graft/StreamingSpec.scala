@@ -555,4 +555,46 @@ class StreamingSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.schema.fieldNames.contains("event_type"))
   }
+
+  test("streaming CMS: merged batch grids equal the one-shot grid over " +
+      "the union; replayed batch converges; estimates bound true counts") {
+    import graft.streaming.IngestCms
+    import graft.functions.CmsAggregator
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = IngestCms.run(mem.toDF().toDF("doc_id", "text"),
+      s"$base/sk", s"$base/ck")
+    try {
+      mem.addData((1L, "alpha beta gamma alpha"), (2L, "beta beta delta"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha epsilon"), (4L, "gamma gamma gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = IngestCms.readSketch(spark, s"$base/sk")
+    // one-shot batch grid over the same corpus
+    val all = Seq((1L, "alpha beta gamma alpha"), (2L, "beta beta delta"),
+      (3L, "alpha epsilon"), (4L, "gamma gamma gamma"))
+    val oneShot = all.toDF("doc_id", "text")
+      .select(explode(graft.llm.TextAnalysis.tokens(lower(col("text"))))
+        .as("token"))
+      .agg(udaf(CmsAggregator, org.apache.spark.sql.Encoders.STRING)
+        .apply(col("token")))
+      .head.getSeq[Long](0)
+    assert(merged.toSeq == oneShot)
+    // crash-replay of a committed batch: same grid, same directory
+    IngestCms.processBatch(
+      Seq((3L, "alpha epsilon"), (4L, "gamma gamma gamma"))
+        .toDF("doc_id", "text"), 1L, s"$base/sk")
+    assert(IngestCms.readSketch(spark, s"$base/sk").toSeq == oneShot)
+    // probe path: estimates are exact here (no collisions at this
+    // cardinality) and always >= truth by the CMS contract
+    val est = IngestCms.estimates(spark, s"$base/sk",
+        Seq("alpha", "beta", "gamma", "delta", "epsilon").toDF("token"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 4L,
+      "delta" -> 1L, "epsilon" -> 1L)
+    truth.foreach { case (t, c) => assert(est(t) >= c) }
+    assert(est == truth, s"collisions at toy cardinality: $est")
+  }
 }
