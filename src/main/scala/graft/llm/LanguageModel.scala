@@ -116,7 +116,16 @@ object LanguageModel {
     val uni = unigrams(train)
     val model = bigramModel(train, uni)
     val ntot = train.select(sum(size(col("t"))).cast(LongType).as("n"))
-    val stream = docsTok(s, dir)
+    scoreWith(docsTok(s, dir), model, uni, ntot)
+  }
+
+  /** The scoring pass against EXPLICIT model tables — shared by the
+    * inline path ([[scoreDocs]]) and the persisted-model path
+    * ([[scoreFromModel]]), so their results agree by construction.
+    */
+  private def scoreWith(docs: DataFrame, model: DataFrame, uni: DataFrame,
+      ntot: DataFrame): DataFrame = {
+    val stream = docs
       .select(col("doc_id"), col("t"),
         posexplode(col("t")).as(Seq("p", "w")))
       .select(col("doc_id"), (col("p") + 1).as("i"), col("w"),
@@ -150,6 +159,38 @@ object LanguageModel {
     * (the perplexity proxy; perplexity = exp(-avg_logp)).
     */
   def perplexity(s: SparkSession, dir: String): DataFrame = scoreDocs(s, dir)
+
+  /** PERSISTS the trained model: bigrams (with context counts),
+    * pruned unigrams, and the one-row token-total under `modelPath/
+    * {bigrams,unigrams,meta}` — the fp-index posture for the LM. A
+    * production corpus release trains ONCE and scores every ingest
+    * batch from the stored tables; the inline t17/t18 re-derivation
+    * exists for the oracle gate, and [[scoreFromModel]] is spec-pinned
+    * equal to it.
+    */
+  def writeModel(s: SparkSession, dir: String, modelPath: String): Unit = {
+    val train = trainSplit(s, dir)
+    val uni = unigrams(train)
+    bigramModel(train, uni).write.mode("overwrite")
+      .parquet(s"$modelPath/bigrams")
+    uni.write.mode("overwrite").parquet(s"$modelPath/unigrams")
+    train.select(sum(size(col("t"))).cast(LongType).as("n"))
+      .write.mode("overwrite").parquet(s"$modelPath/meta")
+  }
+
+  /** Scores an arbitrary (doc_id, text) frame from a PERSISTED model —
+    * the incremental-ingest form: per-batch cost is one pass over the
+    * batch's tokens plus the (broadcastable) model lookups; no
+    * training stage in the plan at all.
+    */
+  def scoreFromModel(s: SparkSession, modelPath: String,
+      docs: DataFrame): DataFrame =
+    scoreWith(
+      docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t")),
+      s.read.parquet(s"$modelPath/bigrams"),
+      s.read.parquet(s"$modelPath/unigrams"),
+      s.read.parquet(s"$modelPath/meta"))
 
   /** c13 — the CCNet quality-band filter: head / middle / tail by
     * fixed avg_logp cutoffs; `keep = bucket != 'tail'` is the corpus a

@@ -133,6 +133,28 @@ class LanguageModelSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("persisted LM model: scoreFromModel equals the inline t18 scoring " +
+      "and the loaded plan contains no training aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    LanguageModel.writeModel(spark, sfDir, dir)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val fromIdx = LanguageModel.scoreFromModel(spark, dir, docs)
+    val inline = LanguageModel.perplexity(spark, sfDir)
+    val a = fromIdx.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = inline.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a == b)
+    // the loaded plan reads the stored tables — no train-split filter
+    // stage. The marker is validated against the INLINE plan first so
+    // a renderer change can never make the absence check vacuous.
+    val marker = "md5_60(concat(lm:"
+    assert(inline.queryExecution.optimizedPlan.toString().contains(marker),
+      "marker no longer matches the inline plan's renderer")
+    val plan = fromIdx.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains(marker),
+      s"training split present in loaded plan:\n$plan")
+  }
+
   private def apssBrute(docs: Map[Long, Seq[String]], thr: Double)
       : Map[(Long, Long), Double] = {
     def round6(x: Double): Double =
