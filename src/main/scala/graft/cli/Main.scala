@@ -29,6 +29,9 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest dedup <watchDir> <indexTable> <acceptedDir> <ckDir>
   *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
+  *   graft.cli.Main ingest cms   <watchDir> <sketchDir> <ckDir>  // live CMS
+  *   graft.cli.Main lm train <tableDir> <modelDir>   // persisted bigram LM
+  *   graft.cli.Main lm score <modelDir> <docs> <outDir>  // perplexity scores
   *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
   *   graft.cli.Main ingest scd2   <watchDir> <tablePath> <k1[,k2…]> <tsCol> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
@@ -126,6 +129,17 @@ object Main {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     // BPE tokenizer lifecycle: `bpe train` learns the merge table over
     // the corpus (the t15 loop), `bpe count` applies it corpus-wide
+    // LM lifecycle: train once (persisted model tables), score any doc
+    // batch from the stored model — the CCNet perplexity filter's
+    // production shape
+    case Seq("lm", "train", in, model) =>
+      graft.llm.LanguageModel.writeModel(spark, in, model)
+    case Seq("lm", "score", model, in, out) =>
+      graft.llm.LanguageModel.scoreFromModel(spark, model,
+          read(spark, if (new java.io.File(s"$in/documents.parquet").exists())
+            s"$in/documents.parquet" else in))
+        .write.mode("overwrite").parquet(out)
+
     case Seq("bpe", "train", in, out) =>
       graft.llm.TextAnalysis.bpeMerges(spark, in)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
@@ -223,6 +237,13 @@ object Main {
       val q = graft.streaming.IngestAnn.run(
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), idx, ck)
+      try q.processAllAvailable() finally q.stop()
+    // `cms`: continuous count-min sketch maintenance — one grid per
+    // micro-batch, summed at read time (t19's streaming twin)
+    case Seq("ingest", "cms", watch, sketch, ck) =>
+      val q = graft.streaming.IngestCms.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), sketch, ck)
       try q.processAllAvailable() finally q.stop()
     // `upsert`: CDC apply — the watched change stream merges into the
     // keyed state table per micro-batch (latest orderCol wins)

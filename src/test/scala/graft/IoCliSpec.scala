@@ -400,4 +400,40 @@ class IoCliSpec extends SparkSpec {
       assert(rows.size == 7, s"$set rows: $rows")
     }
   }
+
+  test("cli lm train + score: persisted-model scores equal the inline t18 " +
+      "query end to end") {
+    val dir = Files.createTempDirectory("graft_lmcli").toString
+    graft.cli.Main.run(spark, Seq("lm", "train", sfDir, s"$dir/model"))
+    graft.cli.Main.run(spark,
+      Seq("lm", "score", s"$dir/model", sfDir, s"$dir/scores"))
+    val got = spark.read.parquet(s"$dir/scores").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val want = graft.llm.LanguageModel.perplexity(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got == want)
+  }
+
+  test("cli ingest cms: drained file-stream sketch equals the one-shot " +
+      "batch grid over the same corpus") {
+    import org.apache.spark.sql.functions.{col, explode, lower, udaf => _}
+    val dir = Files.createTempDirectory("graft_cmscli").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    new java.io.File(s"$dir/watch").mkdirs()
+    docs.filter(col("doc_id") < 25).write.mode("append").parquet(s"$dir/watch")
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "cms", s"$dir/watch", s"$dir/sk", s"$dir/ck"))
+    val merged = graft.streaming.IngestCms.readSketch(spark, s"$dir/sk")
+    val oneShot = docs
+      .select(explode(graft.llm.TextAnalysis.tokens(lower(col("text"))))
+        .as("token"))
+      .agg(org.apache.spark.sql.functions
+        .udaf(graft.functions.CmsAggregator,
+          org.apache.spark.sql.Encoders.STRING)
+        .apply(col("token")))
+      .head.getSeq[Long](0)
+    assert(merged.toSeq == oneShot)
+  }
 }
