@@ -768,6 +768,59 @@ object Extended {
         col("o_totalprice"), col("rk").cast(LongType).as("rk"))
   }
 
+  /** q65 — fuzzy (edit-distance ≤ 2) self-join over distinct part
+    * names, with EXACT q-gram prefix blocking (ED-Join, Xiao et al.
+    * 2008): a string of length L has L−1 bigrams and d edits destroy
+    * at most d·q = 4 of them, so two strings within distance 2 share
+    * at least |G|−4 bigrams — which means their first
+    * |G|−(|G|−4)+1 = 5 bigrams UNDER A FIXED GLOBAL ORDER
+    * (lexicographic here) must intersect. Candidates come from an
+    * equi-join on those ≤ 5 prefix grams plus a ±2 length band;
+    * `levenshtein` verifies exactly. Strings too short for the bound
+    * to bite (len < 6 ⇒ |G|−4 < 1) fall back to a length-band block —
+    * a tiny set by construction, and the length filter still bounds
+    * their fanout. The ORACLE is the unblocked brute-force join: what
+    * gets verified is precisely that the blocking loses nothing.
+    * Scale shape: the gram join shuffles (gram, name) pairs with
+    * per-gram fanout bounded by gram selectivity; no cross product
+    * anywhere for the long-string bulk.
+    */
+  def q65FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name").as("nm")).distinct()
+    fuzzyPairsOf(names)
+  }
+
+  /** The q65 core over an arbitrary (nm: string) frame — spec entry
+    * point for mutation fixtures.
+    */
+  def fuzzyPairsOf(names: DataFrame): DataFrame = {
+    val ln = length(col("nm"))
+    // bigram i spans chars [i, i+1]; lexicographic sort = the fixed
+    // global gram order the prefix bound needs
+    val bigrams = array_sort(transform(sequence(lit(1), ln - 1),
+      i => col("nm").substr(i, lit(2))))
+    val longNames = names.filter(ln >= 6)
+      .select(col("nm"), slice(bigrams, 1, 5).as("pg"))
+    val gramCand = longNames.as("a")
+      .select(col("nm").as("na"), explode(col("pg")).as("g"))
+      .join(longNames.as("b")
+        .select(col("nm").as("nb"), explode(col("pg")).as("g")), Seq("g"))
+      .filter(col("na") < col("nb") &&
+        abs(length(col("na")) - length(col("nb"))) <= 2)
+      .select("na", "nb")
+    val short = names.filter(ln < 6).select(col("nm").as("sa"))
+    val shortCand = short.join(names.select(col("nm").as("sb")),
+        col("sa") =!= col("sb") &&
+          abs(length(col("sa")) - length(col("sb"))) <= 2)
+      .select(least(col("sa"), col("sb")).as("na"),
+        greatest(col("sa"), col("sb")).as("nb"))
+    gramCand.unionByName(shortCand).distinct()
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+      .filter(col("dist") <= 2)
+      .select(col("na").as("name_a"), col("nb").as("name_b"),
+        col("dist").cast(LongType).as("dist"))
+  }
+
   /** q48 — DETERMINISTIC Bernoulli sample, the reproducible twin of
     * q11's RNG `sample()`: keep a row iff hash60 of its salted key
     * lands in the first 1% of hash space. RNG sampling is
@@ -823,6 +876,7 @@ object Extended {
     "q54_pagerank"       -> q54PageRank _,
     "q63_triangles"      -> q63Triangles _,
     "q64_bottomk_sample" -> ((s: SparkSession, dir: String) => q64BottomkSample(s, dir)),
+    "q65_fuzzy_join"     -> q65FuzzyJoin _,
     "q56_range_join_auto" -> q56RangeJoinAuto _,
     "q57_funnel"         -> q57Funnel _,
     "q58_retention"      -> q58Retention _,
@@ -1113,6 +1167,15 @@ object Extended {
         |        AS BIGINT) % 1125899906842624 AS hv
         |    FROM orders))
         |WHERE rk <= 10""".stripMargin,
+    // q65: the oracle is the UNBLOCKED brute-force join — a blocking
+    // bug that lost a pair would hash-mismatch here
+    "q65_fuzzy_join" ->
+      """SELECT a.nm AS name_a, b.nm AS name_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM (SELECT DISTINCT p_name AS nm FROM part) a
+        |JOIN (SELECT DISTINCT p_name AS nm FROM part) b
+        |  ON a.nm < b.nm AND abs(length(a.nm) - length(b.nm)) <= 2
+        |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
     // q63: same edge prune / degree orientation / wedge-close pipeline;
     // the (deg, id) lexicographic orientation is written as an explicit
     // OR so both engines compare identically

@@ -222,6 +222,63 @@ class LanguageModelSpec extends SparkSpec {
     assert(want.keySet.size >= 5, "planted near-dup pairs missing")
   }
 
+  test("q65 core: q-gram prefix blocking loses no pair — equals brute " +
+      "levenshtein join on a mutation fixture (incl. short strings)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val rnd = new scala.util.Random(65L)
+    val alphabet = "abcdefgh"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val i = rnd.nextInt(math.max(cur.length, 1))
+        rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => // substitute
+            cur = cur.updated(i, alphabet(rnd.nextInt(alphabet.length)))
+          case 1 => // insert
+            cur = cur.take(i) + alphabet(rnd.nextInt(alphabet.length)) +
+              cur.drop(i)
+          case _ if cur.length > 1 => cur = cur.take(i) + cur.drop(i + 1)
+          case _ => ()
+        }
+      }
+      cur
+    }
+    // bases of mixed length (incl. < 6 for the short-string fallback),
+    // each with 0-3-edit mutants — plenty of pairs at every distance
+    val bases = (0 until 40).map(_ => randStr(3 + rnd.nextInt(10)))
+    val names = (bases ++ bases.flatMap(b =>
+      (1 to 3).map(e => mutate(b, e)))).distinct
+    val got = graft.queries.Extended.fuzzyPairsOf(names.toDF("nm"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.size
+      (a, b) = if (names(i) < names(j)) (names(i), names(j))
+               else (names(j), names(i))
+      if math.abs(a.length - b.length) <= 2
+      d = lev(a, b) if d <= 2
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(want.size >= 30, s"fixture degenerate: ${want.size} pairs")
+  }
+
   test("q63 core: oriented wedge-close triangle counts equal brute-force " +
       "enumeration on a seeded random graph") {
     import spark.implicits._
