@@ -967,52 +967,114 @@ object Dedup {
   }
 
   // -- d15: all-pairs TF-IDF cosine similarity join ------------------------
-  /** d15 cosine threshold and the derived tail-norm index bound. */
+  /** d15 cosine threshold on the ROUNDED (6 dp) cosine. */
   val ApssThreshold = 0.85
-  private val ApssTau2 = (ApssThreshold / 2) * (ApssThreshold / 2)
+
+  /** The output contract keeps pairs by `round(cos, 6) >= t`, which
+    * admits true cosines from t − 5e-7 upward — so every PRUNING bound
+    * below compares against this band-widened effective threshold,
+    * never t itself: a pair whose true cosine sits in the rounding
+    * band can never be silently dropped by candidate generation.
+    * (The extra 5e-7 of slack also keeps the bounds strict, so the
+    * old "exactly cos = t on the bound's equality case" corner is
+    * covered too, not just measure-zero.)
+    */
+  private[llm] val ApssTauEff: Double = ApssThreshold - 1e-6
+  private val ApssTau2 = (ApssTauEff / 2) * (ApssTauEff / 2)
+
+  /** Regime boundary: dictionaries at or under this size run the
+    * DENSE physical plan (docs become dense unit vectors; pairs dot
+    * through the codegen'd [[graft.functions.VecDot]] kernel).
+    */
+  val ApssDenseVocabMax = 256
+
+  /** Dense-regime corpus cap: beyond this many docs the dense pair
+    * join's broadcast side stops fitting and the sparse plan runs
+    * instead (see the regime note on [[apssCosineOf]]).
+    */
+  val ApssDenseDocsMax = 200000L
 
   /** d15 — exact all-pairs similarity search (APSS) over TF-IDF
-    * weighted document vectors: every doc pair with cosine ≥
+    * weighted document vectors: every doc pair with rounded cosine ≥
     * [[ApssThreshold]], the WEIGHTED sibling of d11's set-similarity
-    * join (Bayardo et al. 2007 problem, with a Cauchy–Schwarz prefix
-    * filter in place of their maxweight bound).
+    * join (the Bayardo et al., WWW'07 problem).
     *
-    * Candidate pruning (exact): per doc, terms sort by unit weight
-    * descending and only the minimal PREFIX whose unindexed tail has
-    * L2 norm ≤ t/2 is indexed. For a pair sharing no co-indexed term,
-    * splitting shared terms into "not indexed in a" / "indexed in a
-    * but not in b" gives dot ≤ ‖tail_a‖ + ‖tail_b‖ ≤ t by
-    * Cauchy–Schwarz — so the co-indexed equi-join finds every
-    * qualifying pair, and the exact verify runs only on candidates.
-    * (A pair at exactly cos = t could in principle sit on the bound's
-    * equality case; measure-zero in floating point, and the spec's
-    * brute-force comparison pins it on the real corpus.)
+    * The operator is output-defined (its oracle is the brute-force
+    * all-shared-terms join), which frees the physical plan to pick a
+    * REGIME from one driver-side statistic each — dictionary size and
+    * corpus size — the way a cost-based planner would:
+    *
+    *  - DENSE (vocab ≤ [[ApssDenseVocabMax]], docs ≤
+    *    [[ApssDenseDocsMax]]): a tiny dictionary means posting lists
+    *    are each a large fraction of the corpus, so the posting-join's
+    *    Σ df² fanout degenerates toward |docs|² ROWS THROUGH A SHUFFLE
+    *    — strictly worse than just evaluating |docs|²/2 fused dot
+    *    products. Docs collapse to dense unit vectors over the ranked
+    *    dictionary and a broadcast pair join evaluates one codegen'd
+    *    [[graft.functions.VecDot]] per pair: no per-term shuffle at
+    *    all. (On the sf0.1 corpus — 31-term dictionary, 5 000 docs —
+    *    this is ~20× the posting-join plan.)
+    *  - SPARSE (everything else — the real-corpus Zipfian shape):
+    *    Bayardo-style candidate generation over a prefix index, with
+    *    three EXACT pruning bounds (below), then verification only on
+    *    surviving candidates.
+    *
+    * Sparse-regime pruning (all exact, all against [[ApssTauEff]]):
+    *
+    *  1. PREFIX: terms order by the GLOBAL (df asc, th) sequence, so
+    *     each doc's indexed set is a contiguous prefix of its own
+    *     terms in a SHARED order, with the unindexed tail the doc's
+    *     highest-df (lowest-idf) terms. The tail keeps L2 norm ≤
+    *     τ/2: a pair sharing no co-indexed term has dot ≤ ‖tail_a‖ +
+    *     ‖tail_b‖ ≤ τ by Cauchy–Schwarz, so the co-indexed equi-join
+    *     finds every qualifying pair — and the df² join fanout comes
+    *     from the distribution's thin tail, never the stop-term head.
+    *  2. POSITIONAL (needs the shared global order): for a candidate
+    *     pair, its first shared term t0 is necessarily co-indexed
+    *     (both prefixes are contiguous in the same order), and dot ≤
+    *     sfx_a(t0)·sfx_b(t0) where sfx is the doc's suffix norm from
+    *     t0 on. Suffix norms shrink along the order, so the bound at
+    *     t0 is exactly `max` over joined terms of sfx_a·sfx_b — the
+    *     candidate aggregate computes it in place of a bare DISTINCT
+    *     and discards pairs whose bound can't reach τ before the
+    *     verify join ever sees them.
+    *  3. SIZE/MAXWEIGHT (Bayardo's size filter in unit-weight form):
+    *     dot ≤ min(L1(u_a)·max(u_b), L1(u_b)·max(u_a)) from two
+    *     per-doc scalars that ride the candidate join.
     *
     * Scale shape: term keys are md5-60 longs (no text in any
-    * shuffle); the index join's fanout is per-term df² of INDEXED
-    * rows only — on a Zipfian corpus the high-df stop-term head
-    * carries near-zero idf unit weight, lands in the unindexed tail,
-    * and never joins (the spec shows the candidate count collapsing
-    * on such a fixture). The verify stage is candidate-keyed — two
-    * hash joins, no window. The cumulative-norm prefix decision runs
-    * in a per-doc ordered window, summed in the same sequence by any
-    * engine, so the index set is deterministic cross-engine.
+    * shuffle); the verify stage is candidate-keyed — two hash joins,
+    * no window. The cumulative-norm prefix decision runs in a per-doc
+    * ordered window, summed in the same sequence by any engine, so
+    * the index set is deterministic cross-engine. At 100 TB the
+    * sparse regime is the one that occurs (real dictionaries are
+    * millions of terms); the dense regime exists because a
+    * degenerate-small dictionary silently turns the posting join into
+    * the worst plan available — and when BOTH n and the output are
+    * genuinely quadratic, no exact engine escapes O(n²): the ANN tier
+    * (s1–s13) is the production fallback. The regime probe itself is
+    * two O(1)-result aggregates; a deployment would read both numbers
+    * from catalog statistics or the persisted [[writeApssIndex]]
+    * layout instead of scanning.
     */
   def apssCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashFunctions.register(s)
+    graft.functions.VectorFunctions.register(s)
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("t"))
     apssCosineOf(docs)
   }
 
-  /** The d15 weight/norm/candidate stages over an arbitrary
-    * (doc_id, t: array&lt;string&gt;) frame — candidates exposed so the
-    * spec can measure the prefix filter's pruning on a Zipfian
-    * fixture.
+  /** Shared spine of both regimes: the per-(doc, term) TF-IDF state
+    * over an arbitrary (doc_id, t: array&lt;string&gt;) frame —
+    * `(doc_id, th, df, w, u, nm, l1u, mxu, sfx)` where `sfx` is the
+    * global-order suffix norm for INDEXED rows and null for tail
+    * rows. One extra window pass over the weights; everything any
+    * APSS stage needs, which is also exactly what
+    * [[writeApssIndex]] persists.
     */
-  private[graft] def apssParts(docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def apssState(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).cast(LongType).as("n"))
     val tf = docs
       .select(col("doc_id"), explode(col("t")).as("term"))
@@ -1021,27 +1083,64 @@ object Dedup {
       .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("th").agg(count(lit(1)).as("df"))
     val wts = tf.join(dfq, "th").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("th"),
+      .select(col("doc_id"), col("th"), col("df"),
         (col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
           .as("w"))
-    val nrm = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
-    val u = wts.join(nrm, "doc_id")
-      .select(col("doc_id"), col("th"), col("w"), (col("w") / col("nm")).as("u"))
-    val wIdx = Window.partitionBy("doc_id").orderBy(desc("u"), col("th"))
+    val docStats = wts.groupBy("doc_id").agg(
+      sqrt(sum(col("w") * col("w"))).as("nm"),
+      (sum(col("w")) / sqrt(sum(col("w") * col("w")))).as("l1u"),
+      (max(col("w")) / sqrt(sum(col("w") * col("w")))).as("mxu"))
+    // one window pass in the GLOBAL (df asc, th) order: cumulative
+    // unit-norm mass, from which both the index membership decision
+    // and the positional filter's suffix norm fall out
+    val wIdx = Window.partitionBy("doc_id").orderBy(col("df"), col("th"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val idx = u
-      .withColumn("cum", sum(col("u") * col("u")).over(wIdx))
-      .filter(lit(1.0) - (col("cum") - col("u") * col("u")) > ApssTau2)
-      .select("doc_id", "th")
-    val cand = idx.as("a").join(idx.as("b"),
-        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    (wts, nrm, cand)
+    wts.join(docStats, "doc_id")
+      .withColumn("u", col("w") / col("nm"))
+      .withColumn("sfx2",
+        lit(1.0) - (sum(col("u") * col("u")).over(wIdx)
+          - col("u") * col("u")))
+      .select(col("doc_id"), col("th"), col("df"), col("w"), col("u"),
+        col("nm"), col("l1u"), col("mxu"),
+        when(col("sfx2") > ApssTau2, sqrt(col("sfx2"))).as("sfx"))
   }
 
-  private[graft] def apssCosineOf(docs: DataFrame): DataFrame = {
-    val (wts, nrm, cand) = apssParts(docs)
+  /** Sparse-regime candidate pairs from an [[apssState]]-shaped frame.
+    * `prune = false` keeps only the prefix filter (the round-10 form)
+    * — exposed so the spec can measure how much the positional and
+    * size bounds shrink the candidate set on top of it.
+    */
+  private[graft] def apssCandidates(state: DataFrame,
+      prune: Boolean = true): DataFrame = {
+    val idx = state.filter(col("sfx").isNotNull)
+      .select(col("doc_id"), col("th"), col("sfx"))
+    val byPair = idx.as("a").join(idx.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (col("a.sfx") * col("b.sfx")).as("pb"))
+      .groupBy("da", "db").agg(max(col("pb")).as("ub_pos"))
+    if (!prune) byPair.select("da", "db")
+    else {
+      val stats = state.groupBy("doc_id")
+        .agg(first(col("l1u")).as("l1u"), first(col("mxu")).as("mxu"))
+      byPair
+        .join(stats.select(col("doc_id").as("da"),
+          col("l1u").as("l1a"), col("mxu").as("mxa")), Seq("da"))
+        .join(stats.select(col("doc_id").as("db"),
+          col("l1u").as("l1b"), col("mxu").as("mxb")), Seq("db"))
+        .filter(least(col("ub_pos"),
+          col("l1a") * col("mxb"), col("l1b") * col("mxa")) >= ApssTauEff)
+        .select("da", "db")
+    }
+  }
+
+  /** Exact verification of candidate pairs against an
+    * [[apssState]]-shaped frame — the only stage that touches raw
+    * weights, and it touches them candidate-keyed.
+    */
+  private def apssVerify(state: DataFrame, cand: DataFrame): DataFrame = {
+    val wts = state.select(col("doc_id"), col("th"), col("w"))
+    val nrm = state.groupBy("doc_id").agg(first(col("nm")).as("nm"))
     val dots = cand
       .join(wts.select(col("doc_id").as("da"), col("th"), col("w").as("wa")),
         Seq("da"))
@@ -1054,6 +1153,100 @@ object Dedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(col("dp") / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= ApssThreshold)
+  }
+
+  /** The sparse (Bayardo) plan end-to-end — also the verify tail of
+    * [[apssFromIndex]].
+    */
+  private[graft] def apssSparseOf(docs: DataFrame): DataFrame = {
+    val state = apssState(docs)
+    apssVerify(state, apssCandidates(state))
+  }
+
+  /** The dense plan: docs as dense unit vectors over the ranked
+    * dictionary (`vocab` entries — bounded by [[ApssDenseVocabMax]],
+    * so the ranking window's single partition is O(vocab)), then a
+    * broadcast pair join evaluating one fused [[VecDot]] per pair.
+    * Unit vectors make the dot the cosine directly; rank order fixes
+    * the summation sequence.
+    */
+  private[graft] def apssDenseOf(docs: DataFrame, vocab: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast(LongType).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.hash60(col("term")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val ranked = tf.groupBy("th").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(Window.orderBy("th")) - 1)
+    val wts = tf.join(broadcast(ranked), "th").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("rk"),
+        (col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("w"))
+    val vecs = wts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("rk"), col("w")))).as("m"),
+        sqrt(sum(col("w") * col("w"))).as("nm"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(vocab - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0)) / col("nm"))
+          .as("v"))
+    val dot = graft.functions.VectorFunctions.vecDot(col("va"), col("vb"))
+    // the left rows are few but each drives |docs| dot evaluations —
+    // pin an explicit partition count so AQE's small-shuffle coalesce
+    // can't serialize the O(n²) pair loop onto one core
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    vecs.select(col("doc_id").as("da"), col("v").as("va"))
+      .repartition(cores)
+      .join(broadcast(vecs.select(col("doc_id").as("db"), col("v").as("vb"))),
+        col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(dot, 6).as("cos_sim"))
+      .filter(col("cos_sim") >= ApssThreshold)
+  }
+
+  /** Regime dispatch over an arbitrary (doc_id, t) frame — see
+    * [[apssCosine]] for the regime rationale.
+    */
+  private[graft] def apssCosineOf(docs: DataFrame): DataFrame = {
+    // two O(1)-result probe aggregates (a deployment reads both from
+    // catalog stats or the persisted index; exact counts keep the
+    // regime decision deterministic for the oracle gate)
+    val nDocs = docs.count()
+    val vocab = docs.select(explode(col("t")).as("term"))
+      .select(graft.llm.TextAnalysis.hash60(col("term")).as("th"))
+      .distinct().count()
+    if (vocab <= ApssDenseVocabMax && nDocs <= ApssDenseDocsMax)
+      apssDenseOf(docs, vocab.toInt)
+    else apssSparseOf(docs)
+  }
+
+  /** Persists the full [[apssState]] frame as a table BUCKETED by th
+    * — the [[writeFpIndex]] posture for the similarity join: the
+    * candidate self-join reads both sides from the SAME buckets, so
+    * the most expensive shuffle in the sparse plan (indexed postings
+    * keyed by term) is pre-paid at write time, and re-running the
+    * join (new threshold sweep, incremental batch probing the index)
+    * never recomputes tf/df/norm/window state.
+    */
+  def writeApssIndex(s: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit = {
+    graft.functions.HashFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    graft.ops.Partitioning.writeBucketed(apssState(docs), table, "th",
+      buckets)
+  }
+
+  /** d15's sparse plan replayed from the persisted [[writeApssIndex]]
+    * table: candidate generation + verify only — no tokenization, no
+    * df aggregation, no window. LanguageModelSpec pins result
+    * equality with the inline sparse plan and the absence of any
+    * Window node in this plan.
+    */
+  def apssFromIndex(s: SparkSession, table: String): DataFrame = {
+    val state = s.table(table)
+    apssVerify(state, apssCandidates(state))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1172,11 +1365,12 @@ object Dedup {
       |    AND (simbsz.n <= 1000 OR x.doc_id = simbsz.rep))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // d15: the same tail-norm prefix index replayed — the cumulative
-    // unit-weight window sums in the identical (u DESC, th) sequence
-    // in both engines, so the index set (and therefore the candidate
-    // and result sets) matches exactly; cos rounds to 6 dp before the
-    // threshold in both
+    // d15: the OUTPUT-DEFINED brute force — all shared-term pairs,
+    // summed and thresholded on the 6-dp rounded cosine. The Spark
+    // side is free to pick any exact physical regime (dense vector
+    // pair join or pruned Bayardo posting join); both must land on
+    // this definitionally-complete pair set, which is precisely what
+    // makes the pruning bounds' exactness oracle-visible.
     "d15_apss_cosine" ->
       s"""WITH docs AS (SELECT doc_id,
          |    string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -1194,21 +1388,9 @@ object Dedup {
          |  FROM tf t JOIN dfq k USING (th) CROSS JOIN n),
          |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM wts
          |  GROUP BY 1),
-         |uw AS (SELECT w.doc_id, w.th, w.w, w.w / r.nm AS u
-         |  FROM wts w JOIN nrm r USING (doc_id)),
-         |pre AS (SELECT doc_id, th, u,
-         |    SUM(u * u) OVER (PARTITION BY doc_id ORDER BY u DESC, th
-         |      ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM uw),
-         |idx AS (SELECT doc_id, th FROM pre
-         |  WHERE 1.0 - (cum - u * u) > $ApssTau2),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM idx a JOIN idx b
-         |    ON a.th = b.th AND a.doc_id < b.doc_id),
-         |dots AS (SELECT c.da, c.db, SUM(x.w * y.w) AS dp
-         |  FROM cand c
-         |  JOIN wts x ON x.doc_id = c.da
-         |  JOIN wts y ON y.doc_id = c.db AND y.th = x.th
+         |dots AS (SELECT x.doc_id AS da, y.doc_id AS db,
+         |    SUM(x.w * y.w) AS dp
+         |  FROM wts x JOIN wts y ON y.th = x.th AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)
          |SELECT da AS doc_a, db AS doc_b,
          |  round(dp / (p.nm * q.nm), 6) AS cos_sim

@@ -778,7 +778,7 @@ object TextAnalysis {
     "t15_bpe_merges" -> {
       val steps = (1 to BpeMergeCount).map(i =>
         s"""SELECT CAST($i AS INTEGER) AS step, a AS lhs, b AS rhs,
-           |  a || b AS merged, n FROM m$i""".stripMargin)
+           |  a || b AS merged, CAST(n AS BIGINT) AS n FROM m$i""".stripMargin)
         .mkString("\nUNION ALL\n")
       s"WITH ${bpeChainCte(BpeMergeCount)}\n$steps"
     },

@@ -211,15 +211,63 @@ class LanguageModelSpec extends SparkSpec {
       i.toLong -> (stops ++ rare)
     }
     val df = docs.toDF("doc_id", "t")
-    val (_, _, cand) = graft.llm.Dedup.apssParts(df)
-    val nCand = cand.count()
+    val state = graft.llm.Dedup.apssState(df)
+    val nPrefixOnly = graft.llm.Dedup.apssCandidates(state,
+      prune = false).count()
+    val nCand = graft.llm.Dedup.apssCandidates(state).count()
     assert(nCand < 200L * 199 / 2 / 10,
-      s"prefix filter barely pruned: $nCand candidates")
+      s"candidate filters barely pruned: $nCand candidates")
+    // the positional + size bounds must shrink the set the prefix
+    // filter alone admits (the stop-term co-indexed stragglers)
+    assert(nCand < nPrefixOnly,
+      s"bounds pruned nothing: $nCand vs prefix-only $nPrefixOnly")
+    // this fixture's 1 000+ term vocabulary forces the sparse regime,
+    // so apssCosineOf exercises the pruned Bayardo plan end-to-end
     val got = graft.llm.Dedup.apssCosineOf(df).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val want = apssBrute(docs.toMap, graft.llm.Dedup.ApssThreshold)
     assert(got.keySet == want.keySet)
     assert(want.keySet.size >= 5, "planted near-dup pairs missing")
+  }
+
+  test("d15: dense and sparse regimes agree pairwise and with brute " +
+      "force on the tiny-vocab corpus") {
+    val docsDf = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    val vocab = docsDf.select(explode(col("t"))).distinct().count().toInt
+    assert(vocab <= graft.llm.Dedup.ApssDenseVocabMax,
+      "fixture drifted: corpus vocab no longer exercises the dense regime")
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dense = asMap(graft.llm.Dedup.apssDenseOf(docsDf, vocab))
+    val sparse = asMap(graft.llm.Dedup.apssSparseOf(docsDf))
+    assert(dense.keySet == sparse.keySet,
+      s"regime disagreement: denseOnly=${(dense.keySet -- sparse.keySet).take(5)} " +
+        s"sparseOnly=${(sparse.keySet -- dense.keySet).take(5)}")
+    dense.foreach { case (k, c) =>
+      assert(math.abs(sparse(k) - c) < 1.01e-6, s"pair $k: $c vs ${sparse(k)}") }
+  }
+
+  test("d15: persisted APSS index replays the sparse join with no " +
+      "recompute in the plan") {
+    val table = "apss_idx_spec"
+    graft.llm.Dedup.writeApssIndex(spark, sfDir, table)
+    val fromIdx = graft.llm.Dedup.apssFromIndex(spark, table)
+    val docsDf = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    val inline = graft.llm.Dedup.apssSparseOf(docsDf)
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(asMap(fromIdx) == asMap(inline))
+    // no tokenization / df / window recompute: the indexed plan reads
+    // the bucketed state table only
+    val plan = fromIdx.queryExecution.optimizedPlan.toString()
+    assert(!plan.toLowerCase.contains("window"),
+      s"indexed APSS plan recomputes the prefix window:\n$plan")
+    assert(!plan.contains("explode"),
+      s"indexed APSS plan re-tokenizes:\n$plan")
   }
 
   test("q65 core: q-gram prefix blocking loses no pair — equals brute " +
