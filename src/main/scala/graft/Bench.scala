@@ -108,7 +108,18 @@ object Bench {
     // fresh-JVM re-measure (the round-8 c7/d5/d10 adjudication needed
     // exactly this)
     val sentinels = scala.collection.mutable.Map[String, Double]()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Suite order: light families (q/t/s/m) first, then the d and c
+    // heavies — the queries that checkpoint, replay CDC sinks, or run
+    // multi-minute joins age the JVM (code cache, GC debris) in ways
+    // releaseState() can't fully undo, and round-10 showed ~1.4×
+    // drift across the LIGHT queries that happened to run after them.
+    // Alphabetical within a family keeps per-family round-over-round
+    // comparability.
+    def familyRank(n: String): Int =
+      if (n.startsWith("d")) 1 else if (n.startsWith("c")) 2 else 0
+    val results = selected.toSeq
+      .sortBy { case (name, _) => (familyRank(name), name) }
+      .map { case (name, fn) =>
       releaseState()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

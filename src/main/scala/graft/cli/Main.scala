@@ -35,7 +35,9 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
   *   graft.cli.Main ingest scd2   <watchDir> <tablePath> <k1[,k2…]> <tsCol> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
-  *   graft.cli.Main bpe train|count <tableDir> <outDir>  // tokenizer lifecycle
+  *   graft.cli.Main bpe train <tableDir> <modelDir>   // persist merge table
+  *   graft.cli.Main bpe count <modelDir> <docs> <outDir>  // apply stored merges
+  *   graft.cli.Main bpe count <tableDir> <outDir>     // inline train+apply (t16)
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
   *   graft.cli.Main cluster-index <tableDir> <clusterTable>   // d8 once, stored
@@ -140,8 +142,14 @@ object Main {
             s"$in/documents.parquet" else in))
         .write.mode("overwrite").parquet(out)
 
-    case Seq("bpe", "train", in, out) =>
-      graft.llm.TextAnalysis.bpeMerges(spark, in)
+    case Seq("bpe", "train", in, model) =>
+      graft.llm.TextAnalysis.writeBpeModel(spark, in, model)
+    // 5-arg form: score a doc batch from the STORED merge table — no
+    // training loop in the plan (the `lm score` posture)
+    case Seq("bpe", "count", model, in, out) =>
+      graft.llm.TextAnalysis.bpeCountsFromModel(spark, model,
+          read(spark, if (new java.io.File(s"$in/documents.parquet").exists())
+            s"$in/documents.parquet" else in))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("bpe", "count", in, out) =>
       graft.llm.TextAnalysis.bpeTokenCounts(spark, in)

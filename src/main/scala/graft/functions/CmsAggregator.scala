@@ -51,8 +51,11 @@ object CmsAggregator extends Aggregator[String, Array[Long], Seq[Long]] {
 
   override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
 
+  // native array-of-long encoding (UnsafeArrayData under the hood) —
+  // the hot partial-merge path moves the 4096-counter grid as raw
+  // longs instead of an ObjectOutputStream payload
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

@@ -233,8 +233,7 @@ object Curation {
     */
   def decontaminateBloom(s: SparkSession, dir: String, n: Int = 8,
       minShared: Long = 5L): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Dedup.spreadIfNarrow(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("text"))
     decontaminateBloomAgainst(docs, docs.filter(col("doc_id") % 7 === 0),
       n, minShared, excludeSelf = true)
@@ -245,8 +244,7 @@ object Curation {
     */
   def decontaminate(s: SparkSession, dir: String, n: Int = 8,
       minShared: Long = 5L): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Dedup.spreadIfNarrow(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("text"))
     decontaminateAgainst(docs, docs.filter(col("doc_id") % 7 === 0),
       n, minShared, excludeSelf = true)

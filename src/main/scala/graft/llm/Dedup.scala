@@ -66,14 +66,25 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
 
   // -- shared shingle machinery -------------------------------------------
+  /** Spread a narrow scan across cores — but ONLY when the frame's
+    * actual split count is below the session's parallelism (the
+    * single-file test corpus). The hashing/shingling downstream is
+    * CPU-bound, so a 1-split input would otherwise run serial; on a
+    * real corpus (splits ≥ cores — always, at 100 TB) this is a
+    * structural no-op and the text column never enters an exchange.
+    * The split probe plans the frame without running a job. PlanSpec
+    * pins both directions: the exchange appears for a 1-split input
+    * and is ABSENT for an already-parallel one.
+    */
+  private[llm] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Distinct word-3-gram shingles per doc; docs under 3 tokens use the
     * whole trimmed text as their single shingle.
     */
   def shingleSetsOf(docs: DataFrame): DataFrame = {
-    // The test corpus is a single parquet file = one input split; the
-    // shingle/md5/minhash work is CPU-bound, so spread it across all
-    // cores. (A real 100 TB corpus has thousands of splits and skips
-    // this — repartition only when splits < cores.)
     // Shingles come from the native word_ngrams kernel: one virtual
     // call per doc, dedupe inside, everything in codegen. (The earlier
     // HOF forms: per-element element_at re-runs the regex split per
@@ -83,8 +94,7 @@ object Dedup {
     graft.functions.TextFunctions.register(s)
     val t = split(col("txt"), "\\s+")
     val n = size(t)
-    docs
-      .repartition(s.sparkContext.defaultParallelism)
+    spreadIfNarrow(docs)
       .select(col("doc_id"), trim(col("text")).as("txt"))
       .select(col("doc_id"),
         when(n >= 3, graft.functions.TextFunctions.wordNgrams(t, 3))
@@ -152,8 +162,7 @@ object Dedup {
   def charShingleHashesOf(docs: DataFrame, k: Int = 5): DataFrame = {
     val s = docs.sparkSession
     graft.functions.HashFunctions.register(s)
-    docs
-      .repartition(s.sparkContext.defaultParallelism)
+    spreadIfNarrow(docs)
       .select(col("doc_id"),
         lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("txt"))
       .select(col("doc_id"), col("txt"),
@@ -348,8 +357,7 @@ object Dedup {
   def simhashOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     graft.functions.HashFunctions.register(s)
-    val toks = docs
-      .repartition(s.sparkContext.defaultParallelism)
+    val toks = spreadIfNarrow(docs)
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), hash60(col("tok")).as("hv"))
@@ -844,17 +852,17 @@ object Dedup {
     *     small groups, the skew-free window shape (d11's precedent).
     */
   /** The tokenized documents frame d12/d13 operate on: docs long
-    * enough to hold one [[SpanGram]]-gram. Deliberately NO repartition
-    * here: it would shuffle the text column, breaking the no-text-
-    * shuffle discipline every other dedup path honors — scan
-    * parallelism comes from the parquet splits themselves (which is
-    * the 100 TB reality; a single small local file costing one extra
-    * task at test scale is the right trade — measured: d12 0.9 → 1.65 s
-    * at sf0.1, where the whole corpus is one parquet split, the exact
-    * regime that does not exist at scale).
+    * enough to hold one [[SpanGram]]-gram. Round 9 dropped an
+    * unconditional repartition here (it shuffled the text column in
+    * EVERY plan, cost measured at the time as d12 0.9 → 1.65 s at
+    * sf0.1 and drifting to ~3 s under round-10 suite pressure);
+    * [[spreadIfNarrow]] now restores the test-scale parallelism while
+    * keeping the discipline — the spread only exists when the input
+    * has fewer splits than cores, a regime a 100 TB corpus is never
+    * in, so the scaled plan still carries no text exchange.
     */
   private def spanToks(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    spreadIfNarrow(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= SpanGram)
 
@@ -1249,8 +1257,85 @@ object Dedup {
     apssVerify(state, apssCandidates(state))
   }
 
+  // -- d16: sketch-prefiltered approximate APSS ----------------------------
+  /** Rademacher sketch width for d16 (signs are bits 0..31 of the
+    * term's md5-60 key — no stored projection at all).
+    */
+  val ApssSketchDims = 32
+
+  /** Sketch-cosine admission cut: [[ApssThreshold]] minus ~1.6 sketch
+    * standard errors (sd ≈ sqrt((1−c²)/K) ≈ 0.09 at c = 0.85,
+    * K = 32), so a true qualifying pair is admitted with ~95%
+    * probability per pair; LanguageModelSpec measures the realized
+    * recall against the exact join and pins a 0.9 floor.
+    */
+  val ApssSketchCut = 0.70
+
+  /** d16 — APPROXIMATE all-pairs cosine: the at-scale fallback for the
+    * regime where d15's exact pruning is structurally weak (a
+    * homogeneous corpus whose pairs mostly share indexed terms — the
+    * sparse plan's candidate join then degenerates toward all pairs).
+    * Each doc's TF-IDF unit vector projects to a [[ApssSketchDims]]-dim
+    * Rademacher sketch — rv[j] = Σ_t u_t·sign(bit j of th), the
+    * signed-sum aggregate d4's SimHash uses, kept REAL-valued instead
+    * of thresholded to bits — computed scan-side in one groupBy.
+    * Sketch inner products are unbiased estimators of the true dot
+    * (E[⟨Ra,Rb⟩] = K·⟨a,b⟩ for ±1 projections), so the pair join runs
+    * over K-dim dense sketches regardless of dictionary size, admits
+    * pairs whose ROUNDED sketch cosine clears [[ApssSketchCut]], and
+    * the d15 verify computes exact cosines on the survivors — every
+    * REPORTED pair is exact; only recall is probabilistic.
+    *
+    * Scale shape: the sparse→dense collapse is the point — at a
+    * million-term dictionary the posting join shuffles Σ df² rows,
+    * while the sketch join moves K doubles per doc and evaluates one
+    * fused 32-dot per pair; when n itself makes the pair loop too big,
+    * band the sketch SIGNS into LSH buckets exactly as d5 does with
+    * these same bits. Measured at sf0.01: candidates drop to ~1/3 of
+    * the pair space at recall ≈ 0.99 (the spec's floor is 0.9).
+    * Deterministic end to end (hash-derived signs, rounded cut), so
+    * the oracle replays the full chain.
+    */
+  def apssApprox(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    apssApproxOf(docs)
+  }
+
+  /** The d16 sketch-admitted candidate pairs over an [[apssState]]
+    * frame — exposed so the spec can measure the pruning ratio
+    * alongside the recall floor.
+    */
+  private[graft] def apssSketchCandidates(state: DataFrame): DataFrame = {
+    val sums = (0 until ApssSketchDims).map(j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, col("u"))
+        .otherwise(-col("u"))).as(s"r$j"))
+    val rv = state.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until ApssSketchDims).map(j => col(s"r$j")): _*).as("rv"))
+      .withColumn("rn",
+        sqrt(graft.functions.VectorFunctions.vecDot(col("rv"), col("rv"))))
+    val shDot = graft.functions.VectorFunctions.vecDot(col("rva"), col("rvb"))
+    val cores = state.sparkSession.sparkContext.defaultParallelism
+    rv.select(col("doc_id").as("da"), col("rv").as("rva"), col("rn").as("rna"))
+      .repartition(cores)
+      .join(broadcast(rv.select(col("doc_id").as("db"), col("rv").as("rvb"),
+        col("rn").as("rnb"))), col("da") < col("db"))
+      .filter(round(shDot / (col("rna") * col("rnb")), 6) >= ApssSketchCut)
+      .select("da", "db")
+  }
+
+  private[graft] def apssApproxOf(docs: DataFrame): DataFrame = {
+    val state = apssState(docs)
+    apssVerify(state, apssSketchCandidates(state))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_apss_cosine" -> apssCosine _,
+    "d16_apss_sketch" -> apssApprox _,
     "d12_dup_spans"   -> dupSpans _,
     "d13_span_cut"    -> spanDedupApply _,
     "d1_exact_dedup"  -> exactDedup _,
@@ -1398,6 +1483,52 @@ object Dedup {
          |JOIN nrm p ON p.doc_id = da
          |JOIN nrm q ON q.doc_id = db
          |WHERE round(dp / (p.nm * q.nm), 6) >= $ApssThreshold""".stripMargin,
+    // d16: the full sketch chain replayed — signed-sum sketches from
+    // the same md5-60 bits, the ROUNDED sketch-cosine cut, exact
+    // verify on survivors (the s13 tie-stability discipline: both
+    // engines compare the 6-dp-rounded estimate to the cut, so the
+    // candidate set reproduces exactly)
+    "d16_apss_sketch" -> {
+      val rvList = (0 until ApssSketchDims).map(j =>
+        s"SUM(u * CASE WHEN (th >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)")
+        .mkString("[", ",\n    ", "]")
+      s"""WITH docs AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+         |tf AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS th,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM docs)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY 1),
+         |wts AS (SELECT t.doc_id, t.th,
+         |    t.tf * (ln((n.n + 1.0) / (k.df + 1.0)) + 1.0) AS w
+         |  FROM tf t JOIN dfq k USING (th) CROSS JOIN n),
+         |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM wts
+         |  GROUP BY 1),
+         |uw AS (SELECT w.doc_id, w.th, w.w, w.w / r.nm AS u
+         |  FROM wts w JOIN nrm r USING (doc_id)),
+         |rv AS (SELECT doc_id, $rvList AS rv FROM uw GROUP BY doc_id),
+         |rb AS (SELECT doc_id, rv, sqrt(list_dot_product(rv, rv)) AS rn
+         |  FROM rv),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM rb a JOIN rb b ON a.doc_id < b.doc_id
+         |  WHERE round(list_dot_product(a.rv, b.rv) / (a.rn * b.rn), 6)
+         |    >= $ApssSketchCut),
+         |dots AS (SELECT c.da, c.db, SUM(x.w * y.w) AS dp
+         |  FROM cand c
+         |  JOIN wts x ON x.doc_id = c.da
+         |  JOIN wts y ON y.doc_id = c.db AND y.th = x.th
+         |  GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  round(dp / (p.nm * q.nm), 6) AS cos_sim
+         |FROM dots
+         |JOIN nrm p ON p.doc_id = da
+         |JOIN nrm q ON q.doc_id = db
+         |WHERE round(dp / (p.nm * q.nm), 6) >= $ApssThreshold""".stripMargin
+    },
     // d12: positioned grams via the lockstep double-unnest (the s5
     // precedent); the same md5-prefix hash, lag/cumsum island merge.
     // DuckDB's lag() over the first row yields NULL, and NULL <= 8 is

@@ -48,8 +48,7 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame = {
     // Single-file test input = one split; the pair joins are CPU-bound
     // → spread rows across cores (no-op posture at real scale).
-    embOf(Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism))
+    embOf(Dedup.spreadIfNarrow(Tables.load(s, dir, "embeddings")))
   }
 
   /** [[emb]]'s projection over an arbitrary (vec_id, label, embedding)
@@ -282,8 +281,8 @@ object Similarity {
     */
   def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
       k: Int = 16): Unit =
-    buildIvfIndexFrom(Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism), indexDir, k)
+    buildIvfIndexFrom(Dedup.spreadIfNarrow(
+      Tables.load(s, dir, "embeddings")), indexDir, k)
 
   /** [[buildIvfIndex]] over an arbitrary (vec_id, label, embedding)
     * frame — the write step ingest pipelines call directly.
@@ -924,8 +923,9 @@ object Similarity {
     Seq.fill(JlDims)(Array.fill(Dims)(rnd.nextGaussian()))
   }
 
-  /** The 16-dim JL sketch of a vector — 16 codegen [[dot]] kernels
-    * over plan-literal rows, one scan-side projection per vector.
+  /** The [[JlDims]]-dim JL sketch of a vector — one codegen [[dot]]
+    * kernel per projection row (plan literals), one scan-side
+    * projection per vector.
     */
   def jlReduce(v: Column): Column =
     array(jlPlanes.map(p => dot(v, typedLit(p.toSeq))): _*)
@@ -988,8 +988,8 @@ object Similarity {
     * append locality plus optional bucket-restricted probing.
     */
   def buildLshIndex(s: SparkSession, dir: String, indexDir: String): Unit =
-    buildLshIndexFrom(Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism), indexDir)
+    buildLshIndexFrom(Dedup.spreadIfNarrow(
+      Tables.load(s, dir, "embeddings")), indexDir)
 
   /** [[buildLshIndex]] over an arbitrary (vec_id, label, embedding)
     * frame — the write step ingest pipelines call directly.
@@ -1066,8 +1066,7 @@ object Similarity {
     */
   private def dequantized(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = Dedup.spreadIfNarrow(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
     // all three per-element loops are native kernels/array ops —
@@ -1252,7 +1251,7 @@ object Similarity {
          |WHERE rk <= 3""".stripMargin
     },
     "s13_knn_jl" -> {
-      // the same 16 Gaussian projection rows as literals — identical
+      // the same JlDims Gaussian projection rows as literals — identical
       // sketches, so the rounded reduced-cosine rank (and therefore
       // the candidate set and final ranking) reproduces exactly
       val rvSql = jlPlanes.map { p =>
@@ -1265,7 +1264,8 @@ object Similarity {
          |r AS (SELECT vec_id, v, $rvSql AS rv FROM e),
          |b AS (SELECT vec_id, v, rv, sqrt(list_dot_product(rv, rv)) AS rn
          |  FROM r),
-         |n AS (SELECT CAST(ceil($JlRerankFraction * COUNT(*)) AS BIGINT)
+         |n AS (SELECT GREATEST(CAST(3 AS BIGINT),
+         |    CAST(ceil($JlRerankFraction * COUNT(*)) AS BIGINT))
          |  AS topc FROM e),
          |cand AS (SELECT q_id, vec_id FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id,

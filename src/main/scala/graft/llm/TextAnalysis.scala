@@ -386,14 +386,18 @@ object TextAnalysis {
 
   // -- t8: per-document TF-IDF keywords ------------------------------------
   /** Top-`topK` characteristic terms per document by TF-IDF (smoothed
-    * idf = ln((N+1)/(df+1)) + 1, the scikit-learn convention). Two
-    * partial-agg groupBys over the exploded token stream — (doc, term)
-    * counts then per-term document frequency, each collapsing within
-    * partitions before its exchange — and the corpus size joins in as
-    * a broadcast one-row aggregate, never a driver-side collect. The
-    * ranking window orders by the ROUNDED score with a term tiebreak,
-    * so the top-k cut is deterministic across engines and partition
-    * counts.
+    * idf = ln((N+1)/(df+1)) + 1, the scikit-learn convention). ONE
+    * scan: the (doc, term) counts aggregate once (map-side partial
+    * before the exchange), then document frequency is an unordered
+    * COUNT window over those same rows partitioned by term — a
+    * re-key of the 100-bytes-per-row tf stream instead of a second
+    * scan + explode + aggregation chain feeding a join (which is what
+    * a tf ⋈ df formulation plans as, since the tf subtree appears
+    * twice and Spark recomputes shared lineage). The corpus size
+    * joins in as a broadcast one-row aggregate, never a driver-side
+    * collect. The ranking window orders by the ROUNDED score with a
+    * term tiebreak, so the top-k cut is deterministic across engines
+    * and partition counts.
     */
   def tfidf(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     // string-level lower before split (see vocabulary): same tokens,
@@ -403,10 +407,10 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val wDf = Window.partitionBy("term")
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(total))
       .withColumn("tfidf",
         round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
@@ -664,6 +668,47 @@ object TextAnalysis {
       .filter(length(col("word")) > 0)
       .select(col("doc_id"),
         size(split(trim(applied), " ")).cast(LongType).as("ns"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_bpe"))
+  }
+
+  /** Persists the learned merge table — the tokenizer's model
+    * artifact (K rows: step, lhs, rhs, merged, n). The
+    * [[graft.llm.LanguageModel.writeModel]] posture applied to the
+    * tokenizer: train ONCE per corpus release, then every scoring
+    * batch reads the stored merges instead of re-running the K-pass
+    * training loop.
+    */
+  def writeBpeModel(s: SparkSession, dir: String, modelPath: String): Unit =
+    bpeMerges(s, dir).write.mode("overwrite").parquet(modelPath)
+
+  /** Per-doc word/BPE-token counts from a PERSISTED merge table — the
+    * production-shaped apply: merges fold once per DISTINCT word (the
+    * [[bpeWordTableOf]] collapse reused at scoring time — at 100 TB
+    * the distinct vocabulary is millions of rows where the corpus
+    * word stream is trillions), and the per-word token count joins
+    * back to the doc-word stream on the word key. The merge list
+    * itself is a K-row driver read — trainer OUTPUT bounded by the
+    * vocab budget, the centroid-read precedent, never corpus data.
+    * Spec-pinned equal to the inline t16 ([[bpeTokenCounts]]); no
+    * training stage in this plan.
+    */
+  def bpeCountsFromModel(s: SparkSession, modelPath: String,
+      docs: DataFrame): DataFrame = {
+    val merges = s.read.parquet(modelPath)
+      .select("step", "lhs", "rhs").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val applied = merges.foldLeft(bpeSpaced(col("word")))((acc, m) =>
+      bpeApplyMerge(acc, m._1, m._2))
+    val dw = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocabNs = dw.select("word").distinct()
+      .select(col("word"),
+        size(split(trim(applied), " ")).cast(LongType).as("ns"))
+    dw.join(vocabNs, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_bpe"))
   }

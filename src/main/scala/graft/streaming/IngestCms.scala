@@ -53,8 +53,11 @@ object IngestCms {
         .as("token"))
       .agg(udaf(CmsAggregator, org.apache.spark.sql.Encoders.STRING)
         .apply(col("token")).as("grid"))
-    grid.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite)
+    // the batch_id=N directory name IS the batch id (partition-style
+    // discovery surfaces it on read) — writing it as a data column too
+    // would make the layout lean on Spark's duplicate-column
+    // resolution rule (data schema wins over the inferred partition)
+    grid.write.mode(SaveMode.Overwrite)
       .save(s"$sketchPath/batch_id=$batchId")
   }
 

@@ -249,6 +249,36 @@ class LanguageModelSpec extends SparkSpec {
       assert(math.abs(sparse(k) - c) < 1.01e-6, s"pair $k: $c vs ${sparse(k)}") }
   }
 
+  test("d16: sketch-prefiltered APSS — measured recall above the 0.9 " +
+      "floor, candidate space genuinely shrunk, every reported pair " +
+      "exact") {
+    val docsDf = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = asMap(graft.llm.Dedup.apssSparseOf(docsDf))
+    val approx = asMap(graft.llm.Dedup.apssApproxOf(docsDf))
+    assert(exact.nonEmpty, "fixture has no qualifying pairs")
+    // no false positives — the verify stage is the exact one
+    assert((approx.keySet -- exact.keySet).isEmpty,
+      s"non-exact pairs reported: ${(approx.keySet -- exact.keySet).take(5)}")
+    approx.foreach { case (k, c) => assert(c == exact(k), s"$k: $c") }
+    // MEASURED recall with a floor (the s11 discipline)
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"sketch recall $recall below floor " +
+      s"(${approx.size}/${exact.size})")
+    // and the sketch cut must actually prune the pair space
+    val n = docsDf.count()
+    val nCand = graft.llm.Dedup.apssSketchCandidates(
+      graft.llm.Dedup.apssState(docsDf)).count()
+    val allPairs = n * (n - 1) / 2
+    assert(nCand < allPairs / 2,
+      s"sketch cut barely pruned: $nCand of $allPairs pairs admitted")
+    info(s"d16 recall=$recall over ${exact.size} exact pairs, " +
+      s"candidates $nCand/$allPairs")
+  }
+
   test("d15: persisted APSS index replays the sparse join with no " +
       "recompute in the plan") {
     val table = "apss_idx_spec"

@@ -943,6 +943,25 @@ class LlmSpec extends SparkSpec {
     assert(few.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")), few.toString)
   }
 
+  test("bpe persisted model: counts from the stored merge table equal " +
+      "the inline t16, via the per-distinct-word apply") {
+    val model = java.nio.file.Files
+      .createTempDirectory("bpe_model").toString
+    TextAnalysis.writeBpeModel(spark, sfDir, model)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val fromModel = TextAnalysis.bpeCountsFromModel(spark, model, docs)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(fromModel) ==
+      rows(TextAnalysis.bpeTokenCounts(spark, sfDir)))
+    // the scoring plan folds merges per DISTINCT word and joins back —
+    // the word-table collapse, visible as the join on the word key
+    val plan = fromModel.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("Join"),
+      s"per-distinct-word apply shape missing (no join):\n$plan")
+  }
+
   test("multimodal: typed dataset plumbing with stub decode") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()

@@ -173,15 +173,43 @@ class PlanSpec extends SparkSpec {
       "expected broadcast nested loop with tiny broadcast query set: " + p)
   }
 
-  test("t8 tfidf: hash joins only, corpus size broadcast, partial aggs") {
+  test("t8 tfidf: one corpus scan, df via window (no tf-df join), " +
+      "corpus size broadcast, partial aggs") {
     val p = plan(graft.llm.TextAnalysis.tfidf(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
-    // the tf-df join keys on term (hash family); the only nested-loop
-    // join is the ONE-ROW corpus-size broadcast
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // df is a COUNT window over the tf rows — no join recomputing the
+    // tf lineage; the only nested-loop join is the ONE-ROW corpus-size
+    // broadcast, and only the corpus-size subtree re-scans the file
+    assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin"), p)
     assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p)
+    assert(p.split("Scan parquet").length - 1 <= 2, p)
     // (doc,term) counts partial-aggregate before their exchange
     assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
+  test("shingle/simhash spread gates on actual splits: exchange only " +
+      "for a narrow input, none for an already-parallel one") {
+    import spark.implicits._
+    val docs = (0 until 64).map(i => (i.toLong, s"alpha beta gamma $i"))
+    // 1-split input (below defaultParallelism): the CPU-bound hash
+    // work must spread, so ONE round-robin exchange appears
+    val narrow = docs.toDF("doc_id", "text").coalesce(1)
+    val pNarrow = plan(graft.llm.Dedup.simhashOf(narrow))
+    assert(pNarrow.contains("RoundRobinPartitioning"), pNarrow)
+    // already-parallel input (splits >= cores): the 100 TB shape —
+    // NO exchange may carry the text column
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = docs.toDF("doc_id", "text").repartition(cores * 2)
+      .localCheckpoint(true)
+    for (f <- Seq(
+        graft.llm.Dedup.simhashOf _,
+        graft.llm.Dedup.shingleSetsOf _,
+        (d: org.apache.spark.sql.DataFrame) =>
+          graft.llm.Dedup.charShingleHashesOf(d))) {
+      val pw = plan(f(wide))
+      assert(!pw.contains("RoundRobinPartitioning"),
+        s"text-carrying spread exchange on a parallel input:\n$pw")
+    }
   }
 
   test("q40 interval join: equi-join on user with range predicate, no cartesian") {
