@@ -14,6 +14,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Plan-fingerprint stability: simpleString TRUNCATES long
+      // metadata (DataFilters, PushedFilters) at 100 chars, and the
+      // truncation point depends on how many DIGITS the plan's
+      // expression ids carry — ids grow with the number of queries
+      // the JVM has planned, so the same query fingerprinted after
+      // 100 suite queries hashed differently than fingerprinted
+      // alone (#1234 vs #123456 shifts where "..." lands BEFORE the
+      // id normalization strips them). Round-10's "plans_changed"
+      // noise was exactly this. Untruncated metadata + id stripping
+      // makes the hash a pure function of the plan.
+      .config("spark.sql.maxMetadataStringLength", "100000")
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timed(f: => Unit): Double = {

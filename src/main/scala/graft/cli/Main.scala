@@ -40,6 +40,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main bpe count <tableDir> <outDir>     // inline train+apply (t16)
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
+  *   graft.cli.Main apss-index <tableDir> <termTable>   // APSS state, stored
+  *   graft.cli.Main apss-join  <termTable> <outDir>     // exact join from index
   *   graft.cli.Main cluster-index <tableDir> <clusterTable>   // d8 once, stored
   *   graft.cli.Main dedup-apply <tableDir> <clusterTable> <outDir>  // indexed d9
   *   graft.cli.Main split <tableDir> <clusterTable> <outDir>  // indexed d14
@@ -169,6 +171,15 @@ object Main {
     // resolution ONCE and stores (doc_id, cluster_id, keep) bucketed
     // by doc_id; the -indexed twins of apply/split then read the
     // stored table — no shingling, LSH, or iteration in their plans
+    // APSS term-index lifecycle: `apss-index` materializes the full
+    // per-(doc, term) TF-IDF state bucketed by term hash; `apss-join`
+    // replays the exact similarity join from the stored table — no
+    // tokenization, df aggregation, or window in the plan
+    case Seq("apss-index", in, table) =>
+      graft.llm.Dedup.writeApssIndex(spark, in, table)
+    case Seq("apss-join", table, out) =>
+      graft.llm.Dedup.apssFromIndex(spark, table)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("cluster-index", in, table) =>
       graft.llm.Dedup.writeClusterIndex(spark, in, table)
     case Seq("dedup-apply", in, table, out) =>

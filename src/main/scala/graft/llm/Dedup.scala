@@ -1216,13 +1216,19 @@ object Dedup {
     * [[apssCosine]] for the regime rationale.
     */
   private[graft] def apssCosineOf(docs: DataFrame): DataFrame = {
-    // two O(1)-result probe aggregates (a deployment reads both from
+    // ONE O(1)-result probe pass: doc count and dictionary size as two
+    // distinct-aggregates over the same exploded scan (explode_outer
+    // keeps token-less docs in the doc count; their null terms drop
+    // out of the vocab count). A deployment reads both numbers from
     // catalog stats or the persisted index; exact counts keep the
-    // regime decision deterministic for the oracle gate)
-    val nDocs = docs.count()
-    val vocab = docs.select(explode(col("t")).as("term"))
-      .select(graft.llm.TextAnalysis.hash60(col("term")).as("th"))
-      .distinct().count()
+    // regime decision deterministic for the oracle gate.
+    val probe = docs
+      .select(col("doc_id"), explode_outer(col("t")).as("term"))
+      .agg(countDistinct(col("doc_id")).as("docs"),
+        countDistinct(graft.llm.TextAnalysis.hash60(col("term")))
+          .as("vocab"))
+      .head()
+    val (nDocs, vocab) = (probe.getLong(0), probe.getLong(1))
     if (vocab <= ApssDenseVocabMax && nDocs <= ApssDenseDocsMax)
       apssDenseOf(docs, vocab.toInt)
     else apssSparseOf(docs)
@@ -1291,10 +1297,18 @@ object Dedup {
     * while the sketch join moves K doubles per doc and evaluates one
     * fused 32-dot per pair; when n itself makes the pair loop too big,
     * band the sketch SIGNS into LSH buckets exactly as d5 does with
-    * these same bits. Measured at sf0.01: candidates drop to ~1/3 of
-    * the pair space at recall ≈ 0.99 (the spec's floor is 0.9).
+    * these same bits. Measured at sf0.001: candidates drop to ~1/4 of
+    * the pair space at recall 0.994 (the spec's floor is 0.9).
     * Deterministic end to end (hash-derived signs, rounded cut), so
     * the oracle replays the full chain.
+    *
+    * Bench framing: on the TEST corpus d16 is slower than d15 —
+    * expected, because the 31-term dictionary puts d15 in its dense
+    * regime, where exact pairs cost one 31-dot each and the sketch
+    * saves nothing while its verify stage pays posting joins. d16's
+    * regime is the opposite corner (huge dictionary + weak Bayardo
+    * pruning), which the test corpus cannot exhibit; the bench row
+    * prices the sketch machinery itself, not its winning case.
     */
   def apssApprox(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashFunctions.register(s)

@@ -414,6 +414,24 @@ class IoCliSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cli apss-index + apss-join: stored-index join equals the inline " +
+      "sparse APSS end to end") {
+    val dir = Files.createTempDirectory("graft_apsscli").toString
+    graft.cli.Main.run(spark, Seq("apss-index", sfDir, "apss_cli_spec"))
+    graft.cli.Main.run(spark,
+      Seq("apss-join", "apss_cli_spec", s"$dir/pairs"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text"))), "\\s+").as("t"))
+    assert(rows(spark.read.parquet(s"$dir/pairs")) ==
+      rows(graft.llm.Dedup.apssSparseOf(docs)))
+  }
+
   test("cli ingest cms: drained file-stream sketch equals the one-shot " +
       "batch grid over the same corpus") {
     import org.apache.spark.sql.functions.{col, explode, lower, udaf => _}
