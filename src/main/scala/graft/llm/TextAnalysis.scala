@@ -359,6 +359,105 @@ object TextAnalysis {
         (col("est") * 100 >= col("n")).cast(LongType).as("is_hh"))
   }
 
+  // -- t20/t21: KMV distinct sketch ----------------------------------------
+
+  /** Consecutive-token bigrams of a document stream, hashed to the
+    * portable 60-bit space — the shared input of the KMV queries.
+    * `zip_with(slice(t,1,n-1), slice(t,2,n-1), concat)` builds the
+    * pairs inside one projection (no posexplode self-join), so the
+    * bigram stream is a narrow map over the scan.
+    */
+  private def bigramHashes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select((col("doc_id") % 4).cast(LongType).as("shard"),
+        tokens(lower(col("text"))).as("t"))
+      .select(col("shard"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .select(col("shard"), hash60(col("bg")).as("h"))
+  }
+
+  /** KMV distinct estimate from a sketch column: the sketch size while
+    * it is not yet full (the sketch IS the distinct set there), else
+    * the Bar-Yossef `(K−1)·2^60 / kth` estimator. Unrounded — callers
+    * round at output precision.
+    */
+  private def kmvEst(sk: Column): Column = {
+    val k = graft.functions.KmvAggregator.K
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+        element_at(sk, k).cast("double"))
+  }
+
+  /** t20 — distinct bigram counts per corpus shard (and the rollup
+    * total) from a [[graft.functions.KmvAggregator]] k-minimum-values
+    * sketch, with the exact `count_distinct` riding along so the
+    * sketch error is VISIBLE and oracle-checked.
+    *
+    * Scale shape: one narrow pass over the token stream with map-side
+    * partial sketches — the shuffle carries one ≤K-long array per
+    * partition and group, never the bigram stream; the rollup total
+    * is the same aggregation one level up, so the union row
+    * exercises the sketch MERGE path end to end. At 100 TB this is
+    * per-slice cardinality profiling without `count_distinct`'s
+    * value-keyed shuffle (kept here precisely to expose the error).
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvAggregator
+    val agg = udaf(KmvAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    bigramHashes(s, dir)
+      .rollup(col("shard"))
+      .agg(agg(col("h")).as("sk"), count_distinct(col("h")).as("n_exact"))
+      .select(coalesce(col("shard"), lit(-1L)).as("shard"), col("n_exact"),
+        size(col("sk")).cast(LongType).as("n_sk"),
+        round(kmvEst(col("sk")), 2).as("est"))
+      .orderBy("shard")
+  }
+
+  /** t21 — distinct-set ALGEBRA on KMV sketches (Beyer et al. 2007
+    * AKMV): sketches of shard 0, shard 1, and their union; the
+    * intersection estimate `K∩/|L| · est(A∪B)` where `K∩` counts
+    * union k-mins present in BOTH side sketches; the Jaccard estimate
+    * `K∩/|L|`. Exact counterparts ride along for the error contract.
+    * This is what HLL cannot do: one O(K) synopsis per slice answers
+    * union, intersection, and overlap questions between ANY pair of
+    * slices after the fact — no second pass over the data.
+    *
+    * Scale shape: three sketch aggregations over one scan (each a
+    * map-side partial), then pure array algebra on three 1-row frames
+    * — `array_intersect` over ≤K-long arrays, broadcast everywhere.
+    */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvAggregator
+    val agg = udaf(KmvAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    val hh = bigramHashes(s, dir).filter(col("shard") < 2)
+    val ska = hh.filter(col("shard") === 0)
+      .agg(agg(col("h")).as("ska"), count_distinct(col("h")).as("n_a"))
+    val skb = hh.filter(col("shard") === 1)
+      .agg(agg(col("h")).as("skb"), count_distinct(col("h")).as("n_b"))
+    val sku = hh.agg(agg(col("h")).as("sku"),
+      count_distinct(col("h")).as("n_union"))
+    val ni = hh.select(col("shard"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("sides"))
+      .filter(col("sides") === 2)
+      .agg(count(lit(1)).as("n_intersect"))
+    val kInt = size(array_intersect(array_intersect(col("sku"), col("ska")),
+      col("skb"))).cast("double")
+    val estU = kmvEst(col("sku"))
+    sku.crossJoin(broadcast(ska)).crossJoin(broadcast(skb))
+      .crossJoin(broadcast(ni))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+        round(kmvEst(col("ska")), 2).as("est_a"),
+        round(kmvEst(col("skb")), 2).as("est_b"),
+        round(estU, 2).as("est_union"),
+        round(kInt / size(col("sku")).cast("double") * estU, 2)
+          .as("est_intersect"),
+        round(kInt / size(col("sku")).cast("double"), 4).as("jaccard_est"))
+  }
+
   // -- t14: vocabulary coverage / OOV rate ---------------------------------
   /** t14 — per-document out-of-vocabulary rate against the [[vocabulary]]
     * top-k: the standard tokenizer-coverage QA metric (a doc whose
@@ -730,9 +829,28 @@ object TextAnalysis {
     "t7_vocab"       -> ((s: SparkSession, dir: String) => vocabulary(s, dir)),
     "t9_quality_rules" -> qualityRules _,
     "t10_repetition"   -> repetitionStats _,
-    "t19_cms_heavy"    -> cmsHeavyHitters _)
+    "t19_cms_heavy"    -> cmsHeavyHitters _,
+    "t20_kmv_distinct" -> kmvDistinct _,
+    "t21_kmv_setops"   -> kmvSetOps _)
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val KmvK = graft.functions.KmvAggregator.K
+
+  /** Shared t20/t21 oracle prefix: the sharded bigram hash stream.
+    * `t[:-2]` is all-but-last and `t[2:]` all-but-first (both length
+    * n−1, verified — list_zip would NULL-pad a length mismatch), so
+    * the zip is exactly the engine's slice/zip_with projection.
+    */
+  private val kmvBigramCte =
+    """WITH toks AS (SELECT doc_id % 4 AS shard,
+      |    string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |bg AS (SELECT shard, unnest(list_zip(t[:-2], t[2:])) AS z FROM toks),
+      |hh AS (SELECT shard,
+      |    CAST(('0x' || substr(md5(z[1] || ' ' || z[2]), 1, 15)) AS BIGINT)
+      |      AS h
+      |  FROM bg)""".stripMargin
 
   /** t10's oracle over an arbitrary source relation — reused by the
     * composed-pipeline oracle (c8), whose first stage filters on the
@@ -1022,6 +1140,74 @@ object TextAnalysis {
          |SELECT token, tf, df, est, est - tf AS overcount,
          |  CAST(est * 100 >= (SELECT n FROM tot) AS BIGINT) AS is_hh
          |FROM e""".stripMargin,
+    // t20: the k-min set replayed value-for-value — ORDER BY hash
+    // LIMIT K per group IS the sketch, so n_sk/est match bit-for-bit;
+    // the rollup total is the same computation over the unsharded
+    // distinct set (= the merged sketch, since k-min is partition-
+    // order-free)
+    "t20_kmv_distinct" ->
+      s"""$kmvBigramCte,
+         |u AS (SELECT shard, h FROM hh
+         |      UNION ALL SELECT CAST(-1 AS BIGINT) AS shard, h FROM hh),
+         |d AS (SELECT DISTINCT shard, h FROM u),
+         |r AS (SELECT shard, h,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+         |  FROM d),
+         |g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(LEAST(COUNT(*), $KmvK) AS BIGINT) AS n_sk,
+         |    MAX(CASE WHEN rn = $KmvK THEN h END) AS kth
+         |  FROM r GROUP BY shard)
+         |SELECT shard, n_exact, n_sk,
+         |  CASE WHEN n_sk < $KmvK THEN CAST(n_sk AS DOUBLE)
+         |    ELSE round(${KmvK - 1}.0 * power(2.0, 60)
+         |      / CAST(kth AS DOUBLE), 2) END AS est
+         |FROM g ORDER BY shard""".stripMargin,
+    // t21: AKMV set algebra replayed from the same three k-min sets;
+    // K∩ counts union k-mins present in both side sketches (set
+    // membership via joins), every estimate uses the identical
+    // double arithmetic before the shared rounding
+    "t21_kmv_setops" ->
+      s"""$kmvBigramCte,
+         |da AS (SELECT DISTINCT h FROM hh WHERE shard = 0),
+         |db AS (SELECT DISTINCT h FROM hh WHERE shard = 1),
+         |du AS (SELECT DISTINCT h FROM hh WHERE shard IN (0, 1)),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM da),
+         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM db),
+         |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM du),
+         |ka AS (SELECT h FROM ra WHERE rn <= $KmvK),
+         |kb AS (SELECT h FROM rb WHERE rn <= $KmvK),
+         |ku AS (SELECT h FROM ru WHERE rn <= $KmvK),
+         |st AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM da) AS n_a,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM db) AS n_b,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM du) AS n_union,
+         |    (SELECT CAST(COUNT(*) AS BIGINT)
+         |       FROM da JOIN db USING (h)) AS n_intersect,
+         |    (SELECT COUNT(*) FROM ka) AS sz_a,
+         |    (SELECT COUNT(*) FROM kb) AS sz_b,
+         |    (SELECT COUNT(*) FROM ku) AS sz_u,
+         |    (SELECT MAX(CASE WHEN rn = $KmvK THEN h END) FROM ra) AS kth_a,
+         |    (SELECT MAX(CASE WHEN rn = $KmvK THEN h END) FROM rb) AS kth_b,
+         |    (SELECT MAX(CASE WHEN rn = $KmvK THEN h END) FROM ru) AS kth_u,
+         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM ku
+         |       JOIN ka USING (h) JOIN kb USING (h)) AS k_int),
+         |est AS (SELECT *,
+         |    CASE WHEN sz_a < $KmvK THEN CAST(sz_a AS DOUBLE)
+         |      ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(kth_a AS DOUBLE)
+         |      END AS ea,
+         |    CASE WHEN sz_b < $KmvK THEN CAST(sz_b AS DOUBLE)
+         |      ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(kth_b AS DOUBLE)
+         |      END AS eb,
+         |    CASE WHEN sz_u < $KmvK THEN CAST(sz_u AS DOUBLE)
+         |      ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(kth_u AS DOUBLE)
+         |      END AS eu
+         |  FROM st)
+         |SELECT n_a, n_b, n_union, n_intersect,
+         |  round(ea, 2) AS est_a, round(eb, 2) AS est_b,
+         |  round(eu, 2) AS est_union,
+         |  round(k_int / sz_u * eu, 2) AS est_intersect,
+         |  round(k_int / sz_u, 4) AS jaccard_est
+         |FROM est""".stripMargin,
     "t7_vocab" ->
       """SELECT token, tf, df FROM (
         |  SELECT token, CAST(count(*) AS BIGINT) AS tf,

@@ -683,12 +683,17 @@ object Extended {
     * long-pair keys only; the degree table (one row per node) rides
     * along via AQE-broadcast hash joins.
     */
-  def q63Triangles(s: SparkSession, dir: String): DataFrame = {
+  def q63Triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOf(copurchaseEdges(s, dir))
+
+  /** Undirected co-purchase edges in canonical id order (u < v),
+    * support >= 2 — pruned on DISTINCT orders so support means
+    * "co-purchased in >= 2 orders" even if a part repeats within one
+    * order. Shared by q63 and q66.
+    */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    // undirected edges in canonical id order (u < v), support >= 2;
-    // prune on distinct orders so support means "co-purchased in >= 2
-    // orders" even if a part repeats within one order
-    val edges = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"),
@@ -696,7 +701,6 @@ object Extended {
       .groupBy("u", "v").agg(countDistinct(col("ok")).as("sup"))
       .filter(col("sup") >= 2)
       .select("u", "v")
-    trianglesOf(edges)
   }
 
   /** Per-node triangle counts over an undirected edge set given in
@@ -726,6 +730,51 @@ object Extended {
     val tris = wedges.join(edges, Seq("u", "v"))
     tris.select(explode(array(col("apex"), col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** q66 — k-core decomposition of the q63 co-purchase graph: peel
+    * nodes of degree < k until fixpoint, report the surviving nodes
+    * with their in-core degrees. The classic graph-density filter
+    * (Seidman 1983) — the subgraph where every node keeps ≥ k
+    * neighbors — used to strip low-engagement fringe before the
+    * expensive triangle/community passes.
+    *
+    * Runs a FIXED 8 peel rounds (fixpoint is reached in ≤6 on every
+    * test SF; an already-converged round is a no-op join, and the
+    * spec pins round 9 ≡ round 8), which is what makes the iteration
+    * SQL-expressible — the oracle unrolls the same 8 rounds as a CTE
+    * chain, so both engines compute the identical fixpoint.
+    */
+  def q66Kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOf(copurchaseEdges(s, dir), k = 2, iters = 8)
+
+  /** Fixed-round k-core peel over an undirected edge set in canonical
+    * id order — factored out of q66 so specs can drive it with
+    * arbitrary graphs and round counts.
+    *
+    * Scale shape: each round is one degree aggregation (shuffle on
+    * node id, map-side partial counts) plus two semi-join prunes, the
+    * Pregel peel step expressed relationally; the edge set is
+    * localCheckpointed per round, truncating lineage exactly like the
+    * BPE trainer's merge loop — without it the plan tree triples per
+    * round (the degree subtree embeds the previous round twice). At
+    * 100 TB each round's working set only ever SHRINKS, and a
+    * converged round is a join against an unchanged node list.
+    */
+  def kcoreOf(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    var e = edges.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val good = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("n")
+      e = e.join(good.withColumnRenamed("n", "u"), "u")
+        .join(good.withColumnRenamed("n", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
   }
 
   /** q64 — deterministic FIXED-SIZE per-group sample: the k=10 orders
@@ -875,6 +924,7 @@ object Extended {
     "q49_stratified_hash" -> q49StratifiedHash _,
     "q54_pagerank"       -> q54PageRank _,
     "q63_triangles"      -> q63Triangles _,
+    "q66_kcore"          -> q66Kcore _,
     "q64_bottomk_sample" -> ((s: SparkSession, dir: String) => q64BottomkSample(s, dir)),
     "q65_fuzzy_join"     -> q65FuzzyJoin _,
     "q56_range_join_auto" -> q56RangeJoinAuto _,
@@ -1204,6 +1254,31 @@ object Extended {
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
         |FROM (SELECT unnest([apex, u, v]) AS node FROM tris)
         |GROUP BY 1""".stripMargin,
+    // q66: the same edge builder, then the 8 peel rounds unrolled as
+    // a CTE chain — degree filter (>= 2) and two-sided edge prune per
+    // round, exactly the engine's fixed-round loop
+    "q66_kcore" -> {
+      // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+      // and each round references the previous one 5x (1 edge scan +
+      // 2 degree scans per side) — inlined, the tree is 5^8 scans of
+      // e0; materialized, it is the same 8 linear passes Spark runs
+      def round(i: Int): String =
+        s"""g$i AS MATERIALIZED (SELECT n
+           |  FROM (SELECT u AS n FROM e${i - 1}
+           |        UNION ALL SELECT v FROM e${i - 1})
+           |  GROUP BY n HAVING COUNT(*) >= 2),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN g$i a ON e.u = a.n JOIN g$i b ON e.v = b.n)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM (SELECT u AS n FROM e8 UNION ALL SELECT v FROM e8)
+         |GROUP BY 1""".stripMargin
+    },
     // q54: the three power iterations unrolled as chained CTEs — the
     // fixed iteration count is what makes an iterative algorithm
     // SQL-expressible. r0's 1.0 casts to DOUBLE so pr/deg divides in

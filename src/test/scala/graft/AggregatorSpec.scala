@@ -74,6 +74,61 @@ class AggregatorSpec extends SparkSpec {
       s"hh estimate ${est("hh")} implausibly far from 500")
   }
 
+  test("KMV sketch: merge-order invariant and equal to the brute " +
+      "k-min distinct set") {
+    import graft.functions.KmvAggregator
+    import spark.implicits._
+    val kmv = udaf(KmvAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    val rnd = new scala.util.Random(20L)
+    val base = Seq.fill(20000)(rnd.nextLong() & ((1L << 60) - 1))
+    val vals = base ++ base.take(5000) // duplicates must not double-insert
+    val df = vals.toDF("h")
+    val g1 = df.repartition(1).agg(kmv(col("h"))).head.getSeq[Long](0)
+    val g8 = df.repartition(8, col("h")).agg(kmv(col("h"))).head.getSeq[Long](0)
+    assert(g1 == g8, "sketch differs under repartitioning")
+    assert(g1 == base.distinct.sorted.take(KmvAggregator.K),
+      "sketch is not the k smallest distinct hashes")
+    assert(g1.size == KmvAggregator.K)
+  }
+
+  test("KMV estimator: exact below K, within 4 sigma above (t20), and " +
+      "the rollup row is the shard union") {
+    import graft.functions.KmvAggregator
+    val rows = graft.llm.TextAnalysis.kmvDistinct(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(-1L, 0L, 1L, 2L, 3L))
+    rows.foreach { case (shard, (nExact, nSk, est)) =>
+      if (nExact < KmvAggregator.K) {
+        assert(nSk == nExact && est == nExact.toDouble,
+          s"shard $shard: below-K sketch must be exact")
+      } else {
+        assert(nSk == KmvAggregator.K)
+        // sigma ~ n/sqrt(K-2) ~ 6.3% at K=256; 4 sigma = 25%
+        assert(math.abs(est - nExact) <= 0.25 * nExact,
+          s"shard $shard: est $est vs exact $nExact")
+      }
+    }
+    val (totExact, _, _) = rows(-1L)
+    assert(totExact >= rows.filter(_._1 >= 0).values.map(_._1).max)
+  }
+
+  test("t21: AKMV set-algebra estimates bracket the exact counts") {
+    val r = graft.llm.TextAnalysis.kmvSetOps(spark, sfDir).head()
+    val (na, nb, nu, ni) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (estA, estB, estU, estI, jac) = (r.getDouble(4), r.getDouble(5),
+      r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    assert(ni <= math.min(na, nb) && nu >= math.max(na, nb))
+    assert(nu + ni == na + nb, "inclusion-exclusion broken on exacts")
+    assert(jac >= 0.0 && jac <= 1.0)
+    for ((est, exact) <- Seq((estA, na), (estB, nb), (estU, nu)))
+      assert(math.abs(est - exact) <= 0.25 * exact, s"$est vs $exact")
+    assert(math.abs(estI - ni) <= 0.30 * ni, s"intersect $estI vs $ni")
+    assert(math.abs(jac - ni.toDouble / nu) <= 0.15,
+      s"jaccard $jac vs ${ni.toDouble / nu}")
+  }
+
   test("t19: overcount never negative and is_hh matches the 1% rule") {
     val rows = graft.llm.TextAnalysis.cmsHeavyHitters(spark, sfDir).collect()
     assert(rows.nonEmpty)

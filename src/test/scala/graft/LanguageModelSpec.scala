@@ -377,4 +377,45 @@ class LanguageModelSpec extends SparkSpec {
     assert(got == brute.toMap, s"got $got want $brute")
     assert(brute.values.sum >= 3, "fixture degenerate: too few triangles")
   }
+
+  test("q66 core: fixed-round peel equals brute-force k-core fixpoint " +
+      "on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(66L)
+    val n = 60
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n
+      if rnd.nextDouble() < 0.06
+    } yield (u.toLong, v.toLong)).toSeq
+    // brute peel to fixpoint, counting the rounds it needs
+    var es = edges.toSet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val next = es.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+      rounds += 1
+      done = next == es
+      es = next
+    }
+    assert(rounds <= 12, s"fixture needs $rounds rounds, raise iters")
+    val want = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = graft.queries.Extended.kcoreOf(edges.toDF("u", "v"), 3, 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got ${got.size} nodes want ${want.size}")
+    assert(want.nonEmpty && want.size < n,
+      s"fixture degenerate: core has ${want.size} of $n nodes")
+  }
+
+  test("q66: round 8 is the fixpoint on the test graph (round 9 changes " +
+      "nothing)") {
+    val e = graft.queries.Extended.copurchaseEdges(spark, sfDir)
+    def rows(it: Int) = graft.queries.Extended.kcoreOf(e, 2, it)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r8 = rows(8)
+    assert(r8 == rows(9), "peel not converged after 8 rounds")
+    assert(r8.nonEmpty, "2-core empty at test SF")
+  }
 }
