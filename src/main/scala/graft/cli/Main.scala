@@ -42,6 +42,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
   *   graft.cli.Main apss-index <tableDir> <termTable>   // APSS state, stored
   *   graft.cli.Main apss-join  <termTable> <outDir>     // exact join from index
+  *   graft.cli.Main bm25-index <tableDir> <table>    // inverted index, stored
+  *   graft.cli.Main bm25-search <table> <outDir>     // t11 from the index
   *   graft.cli.Main cluster-index <tableDir> <clusterTable>   // d8 once, stored
   *   graft.cli.Main dedup-apply <tableDir> <clusterTable> <outDir>  // indexed d9
   *   graft.cli.Main split <tableDir> <clusterTable> <outDir>  // indexed d14
@@ -179,6 +181,15 @@ object Main {
       graft.llm.Dedup.writeApssIndex(spark, in, table)
     case Seq("apss-join", table, out) =>
       graft.llm.Dedup.apssFromIndex(spark, table)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    // BM25 inverted-index lifecycle: `bm25-index` materializes the
+    // full postings (bucketed by term), doc lengths, and corpus stats
+    // once; `bm25-search` scores a query from the stored tables with
+    // no tokenization or corpus text scan in the plan
+    case Seq("bm25-index", in, table) =>
+      graft.llm.TextAnalysis.writeBm25Index(spark, in, table)
+    case Seq("bm25-search", table, out) =>
+      graft.llm.TextAnalysis.bm25FromIndex(spark, table)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("cluster-index", in, table) =>
       graft.llm.Dedup.writeClusterIndex(spark, in, table)

@@ -432,6 +432,17 @@ class IoCliSpec extends SparkSpec {
       rows(graft.llm.Dedup.apssSparseOf(docs)))
   }
 
+  test("cli bm25-index + bm25-search: stored-index scoring equals the " +
+      "inline t11 end to end") {
+    val dir = Files.createTempDirectory("graft_bm25cli").toString
+    graft.cli.Main.run(spark, Seq("bm25-index", sfDir, "bm25_cli_spec"))
+    graft.cli.Main.run(spark, Seq("bm25-search", "bm25_cli_spec", s"$dir/hits"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(rows(spark.read.parquet(s"$dir/hits")) ==
+      rows(graft.llm.TextAnalysis.bm25(spark, sfDir)))
+  }
+
   test("cli ingest cms: drained file-stream sketch equals the one-shot " +
       "batch grid over the same corpus") {
     import org.apache.spark.sql.functions.{col, explode, lower, udaf => _}

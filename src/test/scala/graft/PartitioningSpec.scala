@@ -250,4 +250,23 @@ class PartitioningSpec extends SparkSpec {
     assert(salted.agg(sum("l_quantity")).head.getDouble(0)
       == plain.agg(sum("l_quantity")).head.getDouble(0))
   }
+
+  test("bm25 from the inverted index: bucket-pruned postings, no " +
+      "tokenization or text in the plan, matches inline t11") {
+    graft.llm.TextAnalysis.writeBm25Index(spark, sfDir, "bm25_idx",
+      buckets = 8)
+    val viaIndex = graft.llm.TextAnalysis.bm25FromIndex(spark, "bm25_idx")
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    // the query's IN-list prunes the postings scan to its terms'
+    // buckets; the corpus text is never read, never tokenized
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    assert(!plan.contains("documents"), plan)
+    assert(!plan.toLowerCase.contains("generate"), plan)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val inline = rows(graft.llm.TextAnalysis.bm25(spark, sfDir))
+    val got = rows(viaIndex)
+    assert(got == inline, s"got $got want $inline")
+    assert(got.nonEmpty)
+  }
 }
