@@ -30,6 +30,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
   *   graft.cli.Main ingest cms   <watchDir> <sketchDir> <ckDir>  // live CMS
+  *   graft.cli.Main ingest kmv   <watchDir> <sketchDir> <ckDir>  // live KMV
   *   graft.cli.Main lm train <tableDir> <modelDir>   // persisted bigram LM
   *   graft.cli.Main lm score <modelDir> <docs> <outDir>  // perplexity scores
   *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
@@ -272,6 +273,13 @@ object Main {
     // micro-batch, summed at read time (t19's streaming twin)
     case Seq("ingest", "cms", watch, sketch, ck) =>
       val q = graft.streaming.IngestCms.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), sketch, ck)
+      try q.processAllAvailable() finally q.stop()
+    // `kmv`: live distinct-cardinality sketch — one k-min array per
+    // micro-batch, the t20 estimator over the merged set at read time
+    case Seq("ingest", "kmv", watch, sketch, ck) =>
+      val q = graft.streaming.IngestKmv.run(
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), sketch, ck)
       try q.processAllAvailable() finally q.stop()

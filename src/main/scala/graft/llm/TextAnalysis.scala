@@ -369,7 +369,17 @@ object TextAnalysis {
     */
   private def bigramHashes(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashFunctions.register(s)
-    Tables.load(s, dir, "documents")
+    bigramHashesOf(Tables.load(s, dir, "documents"))
+  }
+
+  /** The same sharded bigram hash stream over an arbitrary (doc_id,
+    * text) frame — the streaming KMV twin feeds micro-batches through
+    * this so batch and continuous sketches see identical elements.
+    * Callers outside a query entry point must register HashFunctions
+    * first.
+    */
+  private[graft] def bigramHashesOf(docs: DataFrame): DataFrame =
+    docs
       .select((col("doc_id") % 4).cast(LongType).as("shard"),
         tokens(lower(col("text"))).as("t"))
       .select(col("shard"), explode(zip_with(
@@ -377,7 +387,6 @@ object TextAnalysis {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
       .select(col("shard"), hash60(col("bg")).as("h"))
-  }
 
   /** KMV distinct estimate from a sketch column: the sketch size while
     * it is not yet full (the sketch IS the distinct set there), else

@@ -597,4 +597,42 @@ class StreamingSpec extends SparkSpec {
     truth.foreach { case (t, c) => assert(est(t) >= c) }
     assert(est == truth, s"collisions at toy cardinality: $est")
   }
+
+  test("streaming KMV: merged batch sketches equal the one-shot sketch " +
+      "over the union; replayed batch converges; estimate exact below K") {
+    import graft.streaming.IngestKmv
+    import graft.functions.KmvAggregator
+    implicit val sc = spark.sqlContext
+    graft.functions.HashFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = IngestKmv.run(mem.toDF().toDF("doc_id", "text"),
+      s"$base/sk", s"$base/ck")
+    val b1 = Seq((1L, "alpha beta gamma alpha"), (2L, "beta beta delta"))
+    val b2 = Seq((3L, "alpha epsilon"), (4L, "gamma gamma gamma"))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = IngestKmv.readSketch(spark, s"$base/sk")
+    // one-shot batch sketch over the same corpus
+    val oneShot = graft.llm.TextAnalysis
+      .bigramHashesOf((b1 ++ b2).toDF("doc_id", "text"))
+      .agg(udaf(KmvAggregator, org.apache.spark.sql.Encoders.scalaLong)
+        .apply(col("h")))
+      .head.getSeq[Long](0)
+    assert(merged.toSeq == oneShot)
+    // crash-replay of a committed batch: same array, same directory
+    IngestKmv.processBatch(b2.toDF("doc_id", "text"), 1L, s"$base/sk")
+    assert(IngestKmv.readSketch(spark, s"$base/sk").toSeq == oneShot)
+    // 8 distinct bigrams across the two batches — far below K, so the
+    // estimate is the exact distinct count
+    val distinctBigrams = (b1 ++ b2).flatMap { case (_, t) =>
+      val w = t.split("\\s+"); w.init.zip(w.tail).map(p => s"${p._1} ${p._2}")
+    }.distinct.size
+    assert(merged.length == distinctBigrams)
+    assert(IngestKmv.estimate(spark, s"$base/sk") == distinctBigrams.toDouble)
+  }
 }
