@@ -870,6 +870,64 @@ object Extended {
         col("dist").cast(LongType).as("dist"))
   }
 
+  /** Histogram bin count for q67 — 256 equi-width bins bound the
+    * interpolation error of any quantile estimate by one bin width.
+    */
+  val HistBins = 256
+
+  /** q67 — quantile estimation from a MERGEABLE equi-width histogram
+    * sketch: per-group bin counts (one narrow pass, map-side partial
+    * counts — the shuffle carries ≤ groups×[[HistBins]] rows, never
+    * values), then p50/p90/p99 by cumulative-count rank lookup with
+    * linear interpolation inside the target bin. The exact rank-r
+    * values ride along (computed the expensive way, one per-group
+    * sort) so the sketch error is VISIBLE and oracle-checked —
+    * |est − exact| ≤ one bin width by construction, spec-pinned.
+    *
+    * This is the quantile analogue of t19/t20: where q31's exact
+    * percentiles sort every group's values, the histogram answers any
+    * quantile over 100 TB from a fixed-size synopsis that merges
+    * across partitions, batches, or days by plain addition. Ranks use
+    * exact integer arithmetic (`ceil(qn)` as `floor((qn+q)/d)` over
+    * longs); bin placement and interpolation are the same IEEE double
+    * chain in both engines, rounded at output.
+    */
+  def q67HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val b = li.agg(min("x"), max("x")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val w = (hi - lo) / HistBins
+    val binned = li
+      .select(col("g"),
+        least(floor((col("x") - lo) / w), lit((HistBins - 1).toDouble))
+          .cast(LongType).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    val cum = binned
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("bin")))
+      .withColumn("prev", col("cum") - col("c"))
+    val ranks = binned.groupBy("g").agg(sum(col("c")).as("n"))
+      .select(col("g"), col("n"), explode(array(
+        struct(lit("p50").as("q"),
+          floor((col("n") + 1) / lit(2.0)).cast(LongType).as("r")),
+        struct(lit("p90").as("q"),
+          floor((col("n") * 9 + 9) / lit(10.0)).cast(LongType).as("r")),
+        struct(lit("p99").as("q"),
+          floor((col("n") * 99 + 99) / lit(100.0)).cast(LongType).as("r"))))
+        .as("qr"))
+      .select(col("g"), col("n"), col("qr.q").as("q"), col("qr.r").as("r"))
+    val est = cum.join(broadcast(ranks), Seq("g"))
+      .filter(col("prev") < col("r") && col("r") <= col("cum"))
+      .select(col("g"), col("q"), col("n"), col("r"),
+        round(lit(lo) + lit(w) * (col("bin") +
+          (col("r") - col("prev")).cast("double") / col("c")), 4).as("est"))
+    val ranked = li.withColumn("rn",
+      row_number().over(Window.partitionBy("g").orderBy("x")))
+    est.join(ranked, est("g") === ranked("g") && col("r") === col("rn"))
+      .select(est("g").as("g"), col("q"), col("n"), col("est"),
+        col("x").as("exact"))
+  }
+
   /** q48 — DETERMINISTIC Bernoulli sample, the reproducible twin of
     * q11's RNG `sample()`: keep a row iff hash60 of its salted key
     * lands in the first 1% of hash space. RNG sampling is
@@ -925,6 +983,7 @@ object Extended {
     "q54_pagerank"       -> q54PageRank _,
     "q63_triangles"      -> q63Triangles _,
     "q66_kcore"          -> q66Kcore _,
+    "q67_hist_quantiles" -> q67HistQuantiles _,
     "q64_bottomk_sample" -> ((s: SparkSession, dir: String) => q64BottomkSample(s, dir)),
     "q65_fuzzy_join"     -> q65FuzzyJoin _,
     "q56_range_join_auto" -> q56RangeJoinAuto _,
@@ -1279,6 +1338,42 @@ object Extended {
          |FROM (SELECT u AS n FROM e8 UNION ALL SELECT v FROM e8)
          |GROUP BY 1""".stripMargin
     },
+    // q67: the same histogram/cum/rank/interpolation chain; ranks in
+    // exact integer arithmetic, bin + interpolation in the identical
+    // IEEE double sequence, rounded at output; exact rank-r values via
+    // row_number (ties collapse to the same x either way)
+    "q67_hist_quantiles" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+         |b AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+         |    (MAX(x) - MIN(x)) / $HistBins AS w FROM li),
+         |binned AS (SELECT g,
+         |    CAST(LEAST(FLOOR((x - b.lo) / b.w),
+         |      ${HistBins - 1}) AS BIGINT) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM li, b GROUP BY 1, 2),
+         |cum AS (SELECT g, bin, c,
+         |    SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum
+         |  FROM binned),
+         |cum2 AS (SELECT *, cum - c AS prev FROM cum),
+         |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM binned GROUP BY g),
+         |ranks AS (
+         |  SELECT g, n, 'p50' AS q,
+         |    CAST(FLOOR((n + 1) / 2.0) AS BIGINT) AS r FROM n
+         |  UNION ALL SELECT g, n, 'p90',
+         |    CAST(FLOOR((n * 9 + 9) / 10.0) AS BIGINT) FROM n
+         |  UNION ALL SELECT g, n, 'p99',
+         |    CAST(FLOOR((n * 99 + 99) / 100.0) AS BIGINT) FROM n),
+         |est AS (SELECT c2.g, rk.q, rk.n, rk.r,
+         |    round(b.lo + b.w * (c2.bin
+         |      + CAST(rk.r - c2.prev AS DOUBLE) / c2.c), 4) AS est
+         |  FROM cum2 c2 JOIN ranks rk
+         |    ON rk.g = c2.g AND c2.prev < rk.r AND rk.r <= c2.cum
+         |  CROSS JOIN b),
+         |ranked AS (SELECT g, x,
+         |    row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM li)
+         |SELECT e.g, e.q, e.n, e.est, rd.x AS exact
+         |FROM est e JOIN ranked rd ON rd.g = e.g AND rd.rn = e.r""".stripMargin,
     // q54: the three power iterations unrolled as chained CTEs — the
     // fixed iteration count is what makes an iterative algorithm
     // SQL-expressible. r0's 1.0 casts to DOUBLE so pr/deg divides in

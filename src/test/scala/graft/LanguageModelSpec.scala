@@ -409,6 +409,25 @@ class LanguageModelSpec extends SparkSpec {
       s"fixture degenerate: core has ${want.size} of $n nodes")
   }
 
+  test("q67: histogram quantile estimate is within one bin width of the " +
+      "exact rank value, for every group and quantile") {
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val b = li.agg(org.apache.spark.sql.functions.min("l_extendedprice"),
+      org.apache.spark.sql.functions.max("l_extendedprice")).head()
+    val w = (b.getDouble(1) - b.getDouble(0)) /
+      graft.queries.Extended.HistBins
+    val rows = graft.queries.Extended.q67HistQuantiles(spark, sfDir)
+      .collect()
+    assert(rows.length == 9, s"3 groups x 3 quantiles, got ${rows.length}")
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(3), r.getDouble(4))
+      // the true rank-r value lies inside the bin the estimate
+      // interpolates in, so the error cannot exceed the bin width
+      assert(math.abs(est - exact) <= w + 1e-9,
+        s"${r.getString(0)}/${r.getString(1)}: est $est exact $exact w $w")
+    }
+  }
+
   test("q66: round 8 is the fixpoint on the test graph (round 9 changes " +
       "nothing)") {
     val e = graft.queries.Extended.copurchaseEdges(spark, sfDir)
