@@ -44,6 +44,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main apss-index <tableDir> <termTable>   // APSS state, stored
   *   graft.cli.Main apss-join  <termTable> <outDir>     // exact join from index
   *   graft.cli.Main bm25-index <tableDir> <table>    // inverted index, stored
+  *   graft.cli.Main bm25-append <batch.parquet> <table>   // O(batch) ingest
   *   graft.cli.Main bm25-search <table> <outDir>     // t11 from the index
   *   graft.cli.Main cluster-index <tableDir> <clusterTable>   // d8 once, stored
   *   graft.cli.Main dedup-apply <tableDir> <clusterTable> <outDir>  // indexed d9
@@ -189,6 +190,8 @@ object Main {
     // no tokenization or corpus text scan in the plan
     case Seq("bm25-index", in, table) =>
       graft.llm.TextAnalysis.writeBm25Index(spark, in, table)
+    case Seq("bm25-append", in, table) =>
+      graft.llm.TextAnalysis.appendToBm25Index(spark, read(spark, in), table)
     case Seq("bm25-search", table, out) =>
       graft.llm.TextAnalysis.bm25FromIndex(spark, table)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -610,9 +610,47 @@ object TextAnalysis {
     graft.ops.Partitioning.writeBucketed(
       docs.select(col("doc_id"), size(col("t")).cast("double").as("dl")),
       s"${table}_doclen", "doc_id", buckets)
-    s.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    graft.ops.Partitioning.dropManaged(s, s"${table}_stats")
+    // stored as ADDITIVE components (count, length sum) rather than
+    // the average itself, so an ingest batch can fold in with two
+    // additions — and since doc lengths are integer-valued, the sum is
+    // exact in double under ANY accumulation order, keeping the
+    // derived avgdl (and therefore the scores) bit-identical to the
+    // inline t11's avg()
     docs.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(col("t"))).as("avgdl"))
+        sum(size(col("t")).cast("double")).as("sum_dl"))
+      .write.mode("overwrite").saveAsTable(s"${table}_stats")
+  }
+
+  /** Folds an ingest batch into a persisted BM25 index: postings and
+    * doc lengths INSERT into the bucketed tables (re-bucketed on
+    * write, so bucket pruning keeps working across the old and new
+    * files), and the stats row adds the batch's (count, length-sum)
+    * components — O(batch) work, the corpus never rescanned. The spec
+    * pins append-then-search ≡ index-built-from-everything.
+    *
+    * Contract: a batch must not re-carry doc_ids already indexed
+    * (postings would double); dedup ingest (d6) runs upstream.
+    */
+  def appendToBm25Index(s: SparkSession, batch: DataFrame,
+      table: String): Unit = {
+    val docs = batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+    docs.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "term", "tf")
+      .write.mode(SaveMode.Append).insertInto(s"${table}_postings")
+    docs.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+      .write.mode(SaveMode.Append).insertInto(s"${table}_doclen")
+    val old = s.table(s"${table}_stats")
+      .head()
+    val add = docs.agg(count(lit(1)).cast("double"),
+      sum(size(col("t")).cast("double"))).head()
+    val merged = Seq((old.getDouble(0) + add.getDouble(0),
+      old.getDouble(1) + add.getDouble(1)))
+    graft.ops.Partitioning.dropManaged(s, s"${table}_stats")
+    import s.implicits._
+    merged.toDF("n_docs", "sum_dl")
       .write.mode("overwrite").saveAsTable(s"${table}_stats")
   }
 
@@ -629,7 +667,8 @@ object TextAnalysis {
       s.table(s"${table}_postings")
         .filter(col("term").isInCollection(Bm25Query)),
       s.table(s"${table}_doclen"),
-      s.table(s"${table}_stats"),
+      s.table(s"${table}_stats")
+        .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl")),
       topK)
 
   // -- t12: sliding-window chunking ----------------------------------------

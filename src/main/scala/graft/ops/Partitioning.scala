@@ -15,10 +15,21 @@ object Partitioning {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
-    val spark = df.sparkSession
+    dropManaged(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Drops a managed table AND its warehouse directory. `DROP TABLE IF
+    * EXISTS` alone is a no-op in a fresh JVM (the default catalog is
+    * in-memory), but the previous JVM's directory persists on disk and
+    * blocks the next managed-table creation with
+    * LOCATION_ALREADY_EXISTS — every managed-table writer must clear
+    * both.
+    */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a stale location without catalog metadata (e.g. from a previous
-    // JVM) blocks managed-table creation — clear it
     val warehouse = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = new java.io.File(warehouse, table)
@@ -29,9 +40,6 @@ object Partitioning {
       }
       rm(loc)
     }
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
   }
 
   /** True iff the physical plan of `df` contains no SHUFFLE exchange —

@@ -870,6 +870,54 @@ object Extended {
         col("dist").cast(LongType).as("dist"))
   }
 
+  /** q68 — fixed-depth BFS reachability levels over the (thinned)
+    * supplier↔customer trade graph: level = min hops from the seed set
+    * (nodes ≡ 0 mod 500), three frontier-expansion rounds. The
+    * reachability face of the graph family next to q54's ranking,
+    * q63's counting, and q66's density peel; the high-quantity edge
+    * prune keeps the graph sparse enough that three hops don't
+    * saturate it (every level non-trivial at every test SF).
+    *
+    * Scale shape per round: frontier ⋈ edges (keyed equi-join),
+    * distinct, anti-join against the visited set — each carries
+    * (long, long) pairs only; visited is localCheckpointed per round
+    * (the q54/d8 iteration discipline), and each round's cost is
+    * O(frontier out-edges), never the whole graph. The oracle unrolls
+    * the same three rounds as MATERIALIZED CTEs.
+    */
+  def q68BfsLevels(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000L).as("src"),
+        col("o_custkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 500 === 0)
+    bfsLevelsOf(edges, seeds, depth = 3)
+  }
+
+  /** The q68 core over arbitrary directed (src, dst) edges and a
+    * (node) seed frame — spec entry point for brute-force fixtures.
+    */
+  def bfsLevelsOf(edges: DataFrame, seeds: DataFrame,
+      depth: Int): DataFrame = {
+    var visited = seeds.select(col("node"))
+      .withColumn("lvl", lit(0L))
+      .localCheckpoint(true)
+    for (i <- 1 to depth) {
+      val frontier = visited.filter(col("lvl") === (i - 1))
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("lvl", lit(i.toLong))
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+
   /** Histogram bin count for q67 — 256 equi-width bins bound the
     * interpolation error of any quantile estimate by one bin width.
     */
@@ -984,6 +1032,7 @@ object Extended {
     "q63_triangles"      -> q63Triangles _,
     "q66_kcore"          -> q66Kcore _,
     "q67_hist_quantiles" -> q67HistQuantiles _,
+    "q68_bfs_levels"     -> q68BfsLevels _,
     "q64_bottomk_sample" -> ((s: SparkSession, dir: String) => q64BottomkSample(s, dir)),
     "q65_fuzzy_join"     -> q65FuzzyJoin _,
     "q56_range_join_auto" -> q56RangeJoinAuto _,
@@ -1337,6 +1386,29 @@ object Extended {
          |SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
          |FROM (SELECT u AS n FROM e8 UNION ALL SELECT v FROM e8)
          |GROUP BY 1""".stripMargin
+    },
+    // q68: the same three frontier rounds unrolled as MATERIALIZED
+    // CTEs (the q66 discipline — inlined, each round re-derives the
+    // whole prefix); NOT IN is null-safe here (keys are non-null)
+    "q68_bfs_levels" -> {
+      def round(i: Int): String =
+        s"""f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+           |  FROM v${i - 1} v JOIN e ON e.src = v.node
+           |  WHERE v.lvl = ${i - 1}
+           |    AND e.dst NOT IN (SELECT node FROM v${i - 1})),
+           |v$i AS MATERIALIZED (SELECT node, lvl FROM v${i - 1}
+           |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_quantity >= 45),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst, src FROM e0),
+         |v0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+         |    CAST(0 AS BIGINT) AS lvl
+         |  FROM e WHERE src % 500 = 0),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node, lvl FROM v3""".stripMargin
     },
     // q67: the same histogram/cum/rank/interpolation chain; ranks in
     // exact integer arithmetic, bin + interpolation in the identical

@@ -409,6 +409,32 @@ class LanguageModelSpec extends SparkSpec {
       s"fixture degenerate: core has ${want.size} of $n nodes")
   }
 
+  test("q68 core: fixed-depth BFS levels equal brute-force shortest hops " +
+      "on a seeded random digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(68L)
+    val n = 50
+    val edges = (for {
+      u <- 0 until n; v <- 0 until n
+      if u != v && rnd.nextDouble() < 0.04
+    } yield (u.toLong, v.toLong)).toSeq
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = Seq(0L, 17L, 34L)
+    // brute BFS to depth 4
+    var lvl = seeds.map(_ -> 0L).toMap
+    for (i <- 1 to 4) {
+      val front = lvl.collect { case (nd, l) if l == i - 1 => nd }
+      val nxt = front.flatMap(adj.getOrElse(_, Nil)).toSet -- lvl.keySet
+      lvl = lvl ++ nxt.map(_ -> i.toLong)
+    }
+    val got = graft.queries.Extended.bfsLevelsOf(
+        edges.toDF("src", "dst"), seeds.toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lvl, s"got ${got.size} want ${lvl.size}")
+    assert(lvl.values.exists(_ == 4L) || lvl.values.exists(_ == 3L),
+      "fixture degenerate: BFS saturates too early")
+  }
+
   test("q67: histogram quantile estimate is within one bin width of the " +
       "exact rank value, for every group and quantile") {
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")

@@ -269,4 +269,23 @@ class PartitioningSpec extends SparkSpec {
     assert(got == inline, s"got $got want $inline")
     assert(got.nonEmpty)
   }
+
+  test("bm25 index append: base index + ingest batch scores exactly " +
+      "like an index built from everything") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    // base corpus = 4/5 of the docs, the ingest batch the remaining 1/5
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25a").toString
+    docs.filter(col("doc_id") % 5 =!= 4)
+      .write.parquet(s"$base/documents.parquet")
+    graft.llm.TextAnalysis.writeBm25Index(spark, base, "bm25_app",
+      buckets = 8)
+    graft.llm.TextAnalysis.appendToBm25Index(spark,
+      docs.filter(col("doc_id") % 5 === 4), "bm25_app")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val appended = rows(graft.llm.TextAnalysis.bm25FromIndex(spark, "bm25_app"))
+    val full = rows(graft.llm.TextAnalysis.bm25(spark, sfDir))
+    assert(appended == full, s"got $appended want $full")
+  }
 }
