@@ -23,6 +23,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main search ivf|lsh <indexDir> <outDir> [nprobe] // ANN query
   *   graft.cli.Main search pq <tableDir> <indexDir> <outDir>    // ADC query
   *   graft.cli.Main layout zorder  <in> <out> <numFiles> <c1,c2[,…]>
+  *   graft.cli.Main layout manifest <table> <out> <c1,c2[,…]>  // zone maps
   *   graft.cli.Main layout sort    <in> <out> <numFiles> <c1[,…]>
   *   graft.cli.Main layout compact <in> <out> [targetMB]
   *   graft.cli.Main ingest init-dedup <corpus> <indexTable>     // fp-index bootstrap
@@ -310,6 +311,11 @@ object Main {
     case Seq("layout", "sort", in, out, nFiles, cols) =>
       graft.ops.Partitioning.writeSorted(read(spark, in), out,
         nFiles.toInt, cols.split(",").toIndexedSeq: _*)
+    // `manifest`: file-level min/max zone-map table over an existing
+    // parquet layout — planning-time file pruning for range filters
+    case Seq("layout", "manifest", in, out, cols) =>
+      graft.ops.Partitioning.writeManifest(spark, in, out,
+        cols.split(",").toSeq)
     case Seq("layout", "compact", in, out) =>
       graft.ops.Partitioning.writeCompacted(read(spark, in), out)
     case Seq("layout", "compact", in, out, mb) =>

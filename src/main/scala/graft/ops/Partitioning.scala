@@ -152,6 +152,51 @@ object Partitioning {
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Writes a FILE-LEVEL min/max manifest for `cols` of a parquet
+    * table — the Iceberg/Delta zone-map posture: one row per data
+    * file with each column's [min, max]. Parquet footers already
+    * carry these stats, but the reader must OPEN every file to see
+    * them; the manifest lifts them into one tiny table consulted at
+    * PLANNING time, so a range filter never lists, opens, or
+    * schedules the files it excludes. Composes with [[writeSorted]] /
+    * [[writeZOrdered]], whose layouts are what make per-file ranges
+    * tight (an unsorted layout's manifest prunes nothing — every
+    * file spans the domain).
+    */
+  def writeManifest(spark: SparkSession, path: String,
+      manifestPath: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+  }
+
+  /** Reads only the files whose manifest ranges intersect every
+    * `(column, lo, hi)` bound — planning-time file pruning — then
+    * applies the exact predicate to the surviving rows, so the result
+    * equals the full-scan filter by construction (a manifest range
+    * check can only over-admit, never exclude a matching row's file).
+    * The driver materializes the pruned FILE LIST (pruning metadata,
+    * like bucket-id lists — bounded by file count, never data).
+    */
+  def manifestPrunedRead(spark: SparkSession, path: String,
+      manifestPath: String, bounds: Seq[(String, Column, Column)]): DataFrame = {
+    val admitted = bounds.map { case (c, lo, hi) =>
+      col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+    }.reduce(_ && _)
+    val files = spark.read.parquet(manifestPath)
+      .filter(admitted).select("file")
+      .collect().map(_.getString(0))
+    val exact = bounds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(exact).limit(0)
+    else spark.read.parquet(files: _*).filter(exact)
+  }
+
   /** Rows the parquet reader actually decoded for `df`'s scan (the
     * scan operator's numOutputRows after row-group/page pruning) —
     * the observable that proves a data-skipping layout works.

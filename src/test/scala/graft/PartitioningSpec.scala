@@ -251,6 +251,42 @@ class PartitioningSpec extends SparkSpec {
       == plain.agg(sum("l_quantity")).head.getDouble(0))
   }
 
+  test("manifest pruning: z-ordered layout + file-level min/max manifest " +
+      "answers a 2-D box from a fraction of the files, result-exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft_mani").toString
+    val l = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Partitioning.writeZOrdered(l, s"$base/t", 32,
+      Seq("l_orderkey", "l_partkey"))
+    Partitioning.writeManifest(spark, s"$base/t", s"$base/m",
+      Seq("l_orderkey", "l_partkey"))
+    val mani = spark.read.parquet(s"$base/m")
+    assert(mani.count() == 32, "one manifest row per data file")
+    // a box on both clustered dims: the z-layout makes per-file ranges
+    // tight on each, so the manifest admits only a fraction of files
+    val (okLo, okHi, pkLo, pkHi) = (100L, 300L, 20L, 60L)
+    val admitted = mani.filter(
+      col("l_orderkey_min") <= okHi && col("l_orderkey_max") >= okLo &&
+      col("l_partkey_min") <= pkHi && col("l_partkey_max") >= pkLo).count()
+    assert(admitted < 32 / 2, s"manifest admitted $admitted of 32 files")
+    val pruned = Partitioning.manifestPrunedRead(spark, s"$base/t",
+      s"$base/m", Seq(
+        ("l_orderkey", lit(okLo), lit(okHi)),
+        ("l_partkey", lit(pkLo), lit(pkHi))))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val full = l.filter(col("l_orderkey").between(okLo, okHi) &&
+      col("l_partkey").between(pkLo, pkHi))
+    assert(rows(pruned) == rows(full))
+    assert(rows(full).nonEmpty, "fixture degenerate: empty box")
+    // a box outside the domain admits zero files and returns empty
+    // with the table's schema
+    val none = Partitioning.manifestPrunedRead(spark, s"$base/t",
+      s"$base/m", Seq(("l_orderkey", lit(-10L), lit(-1L))))
+    assert(none.isEmpty && none.schema == pruned.schema)
+  }
+
   test("bm25 from the inverted index: bucket-pruned postings, no " +
       "tokenization or text in the plan, matches inline t11") {
     graft.llm.TextAnalysis.writeBm25Index(spark, sfDir, "bm25_idx",
