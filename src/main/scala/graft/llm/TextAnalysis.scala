@@ -467,6 +467,55 @@ object TextAnalysis {
         round(kInt / size(col("sku")).cast("double"), 4).as("jaccard_est"))
   }
 
+  // -- t22: HyperLogLog distinct sketch ------------------------------------
+
+  /** t22 — distinct bigram counts per corpus shard (and the rollup
+    * total) from a [[graft.functions.HllAggregator]] HyperLogLog
+    * sketch, the fixed-memory sibling of t20's KMV: 512 one-byte
+    * registers per sketch instead of 256 longs, at the price of set
+    * algebra (HLL registers only merge by max — union and cardinality
+    * are the whole query surface; t21's intersection/Jaccard stay
+    * KMV-only). The exact `count_distinct` rides along so the sketch
+    * error is VISIBLE and oracle-checked.
+    *
+    * Scale shape: identical to t20 — one narrow pass with map-side
+    * partial sketches, the shuffle carrying one 512-byte array per
+    * partition and group; the rollup row exercises the register-max
+    * MERGE path. Cross-engine determinism is arranged by computing the
+    * harmonic denominator Σ_j 2^−M_j as the EXACT integer
+    * Σ_j 2^(52−M_j) (each term a power of two ≤ 2^52; the 512-term
+    * sum < 2^61 fits a long), divided out once — no float-summation
+    * order anywhere, so DuckDB replays the estimate bit-for-bit from
+    * `h % 512` and `52 − length(bin(h // 512))`.
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllAggregator
+    val agg = udaf(HllAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    val m = HllAggregator.M
+    val sInt = expr("aggregate(sk, CAST(0 AS BIGINT), (acc, x) -> " +
+      "acc + shiftleft(CAST(1 AS BIGINT), 52 - CAST(x AS INT)))")
+    val v = size(filter(col("sk"),
+      (x: Column) => x === 0)).cast("double")
+    val raw = lit(HllConst) / sInt.cast("double")
+    val est = when(v > 0 && raw <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / v))
+      .otherwise(raw)
+    bigramHashes(s, dir)
+      .rollup(col("shard"))
+      .agg(agg(col("h")).as("sk"), count_distinct(col("h")).as("n_exact"))
+      .select(coalesce(col("shard"), lit(-1L)).as("shard"), col("n_exact"),
+        v.cast(LongType).as("v_zero"), round(est, 2).as("est"))
+      .orderBy("shard")
+  }
+
+  /** `alpha_m · m² · 2^52` — the numerator over the integer harmonic
+    * sum; one shared double literal in both engines.
+    */
+  private val HllConst: Double = {
+    val m = graft.functions.HllAggregator.M
+    graft.functions.HllAggregator.Alpha * m.toDouble * m * math.pow(2, 52)
+  }
+
   // -- t14: vocabulary coverage / OOV rate ---------------------------------
   /** t14 — per-document out-of-vocabulary rate against the [[vocabulary]]
     * top-k: the standard tokenizer-coverage QA metric (a doc whose
@@ -934,7 +983,8 @@ object TextAnalysis {
     "t10_repetition"   -> repetitionStats _,
     "t19_cms_heavy"    -> cmsHeavyHitters _,
     "t20_kmv_distinct" -> kmvDistinct _,
-    "t21_kmv_setops"   -> kmvSetOps _)
+    "t21_kmv_setops"   -> kmvSetOps _,
+    "t22_hll_distinct" -> hllDistinct _)
 
   private val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1311,6 +1361,36 @@ object TextAnalysis {
          |  round(k_int / sz_u * eu, 2) AS est_intersect,
          |  round(k_int / sz_u, 4) AS jaccard_est
          |FROM est""".stripMargin,
+    // t22: the register array replayed — bucket = h % m, rank from
+    // the remaining bits' bit length, per-bucket MAX, then the same
+    // exact-integer harmonic sum (absent buckets contribute 2^52
+    // each) and the identical constant / linear-counting branch
+    "t22_hll_distinct" -> {
+      val m = graft.functions.HllAggregator.M
+      val mr = graft.functions.HllAggregator.MaxRank
+      val c = "%.17g".format(HllConst)
+      s"""$kmvBigramCte,
+         |u AS (SELECT shard, h FROM hh
+         |      UNION ALL SELECT CAST(-1 AS BIGINT) AS shard, h FROM hh),
+         |r AS (SELECT shard, h % $m AS b,
+         |    CASE WHEN h // $m = 0 THEN $mr
+         |         ELSE $mr - length(bin(h // $m)) END AS rk
+         |  FROM u),
+         |mx AS (SELECT shard, b, MAX(rk) AS mj FROM r GROUP BY 1, 2),
+         |ag AS (SELECT shard,
+         |    SUM(CAST(1 AS BIGINT) << (52 - mj))
+         |      + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << 52) AS s_int,
+         |    CAST($m - COUNT(*) AS BIGINT) AS v_zero
+         |  FROM mx GROUP BY 1),
+         |ex AS (SELECT shard, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+         |  FROM u GROUP BY 1)
+         |SELECT shard, n_exact, v_zero,
+         |  round(CASE WHEN v_zero > 0
+         |      AND $c / CAST(s_int AS DOUBLE) <= ${2.5 * m}
+         |    THEN $m.0 * ln($m.0 / v_zero)
+         |    ELSE $c / CAST(s_int AS DOUBLE) END, 2) AS est
+         |FROM ag JOIN ex USING (shard) ORDER BY shard""".stripMargin
+    },
     "t7_vocab" ->
       """SELECT token, tf, df FROM (
         |  SELECT token, CAST(count(*) AS BIGINT) AS tf,

@@ -129,6 +129,64 @@ class AggregatorSpec extends SparkSpec {
       s"jaccard $jac vs ${ni.toDouble / nu}")
   }
 
+  test("HLL sketch: merge-order invariant and equal to the brute " +
+      "per-register max-rank computation") {
+    import graft.functions.HllAggregator
+    val hll = udaf(HllAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    val rnd = new scala.util.Random(21L)
+    val base = Seq.fill(30000)(rnd.nextLong() & ((1L << 60) - 1))
+    val vals = base ++ base.take(8000) // duplicates must not move any register
+    val df = vals.toDF("h")
+    val g1 = df.repartition(1).agg(hll(col("h"))).head.getSeq[Byte](0)
+    val g8 = df.repartition(8, col("h")).agg(hll(col("h"))).head.getSeq[Byte](0)
+    assert(g1 == g8, "registers differ under repartitioning")
+    val brute = new Array[Byte](HllAggregator.M)
+    base.foreach { h =>
+      val idx = (h % HllAggregator.M).toInt
+      val w = h / HllAggregator.M
+      val rank =
+        if (w == 0L) HllAggregator.MaxRank
+        else HllAggregator.MaxRank -
+          (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > brute(idx)) brute(idx) = rank.toByte
+    }
+    assert(g1 == brute.toSeq, "registers differ from brute-force")
+  }
+
+  test("HLL estimator: linear counting near-exact at tiny n, harmonic " +
+      "within 5 sigma at 100k, and t22 rows hold the error bound") {
+    import graft.functions.HllAggregator
+    val hll = udaf(HllAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    val m = HllAggregator.M
+    def estOf(n: Int, seed: Long): Double = {
+      val rnd = new scala.util.Random(seed)
+      val sk = Seq.fill(n)(rnd.nextLong() & ((1L << 60) - 1)).toDF("h")
+        .agg(hll(col("h"))).head.getSeq[Byte](0)
+      val sInt = sk.map(r => 1L << (52 - r)).sum
+      val v = sk.count(_ == 0)
+      val raw = HllAggregator.Alpha * m.toDouble * m *
+        math.pow(2, 52) / sInt.toDouble
+      if (v > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / v) else raw
+    }
+    // tiny n: the occupancy estimator is near-exact (64 distinct in
+    // 512 registers — MLE error ~ a few percent)
+    assert(math.abs(estOf(64, 7L) - 64) <= 8.0)
+    // 100k distinct: harmonic regime; 5 sigma = 5 * 1.04/sqrt(512)
+    assert(math.abs(estOf(100000, 9L) - 100000) <= 0.23 * 100000)
+    // t22 itself: every shard (and the rollup) within the same bound,
+    // and the rollup exact is at least each shard's
+    val rows = graft.llm.TextAnalysis.hllDistinct(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set(-1L, 0L, 1L, 2L, 3L))
+    rows.foreach { case (shard, (nExact, vZero, est)) =>
+      assert(vZero >= 0 && vZero <= m)
+      assert(math.abs(est - nExact) <= 0.23 * nExact,
+        s"shard $shard: est $est vs exact $nExact")
+    }
+    assert(rows(-1L)._1 >= rows.filter(_._1 >= 0).values.map(_._1).max)
+  }
+
   test("t19: overcount never negative and is_hh matches the 1% rule") {
     val rows = graft.llm.TextAnalysis.cmsHeavyHitters(spark, sfDir).collect()
     assert(rows.nonEmpty)
