@@ -918,6 +918,56 @@ object Extended {
     visited
   }
 
+  /** q69 — weighted single-source shortest paths over the same trade
+    * graph as q68, edge weight `min(l_quantity) − 40` per trade pair
+    * (integral 5..10 — distances stay exact longs): four rounds of
+    * Bellman–Ford relaxation from the q68 seed set. The weighted
+    * generalization of q68's hop levels; four fixed rounds make the
+    * result well-defined independent of execution order (dist after
+    * round i is the exact min-cost over paths of ≤ i edges), which is
+    * what the oracle unrolls.
+    *
+    * Scale shape per round: frontier ⋈ edges keyed on the edge source
+    * (a shuffle of (long, long) pairs), then a min-combine groupBy —
+    * partial aggregation collapses duplicate relaxations map-side, so
+    * the shuffle carries one candidate per (partition, node), not one
+    * per in-edge. The distance frame localCheckpoints per round (the
+    * q54/q68 iteration discipline), keeping the plan O(1) deep; at
+    * 1000 executors each round is two narrow shuffles over the
+    * frontier's out-neighborhood, never the whole graph.
+    */
+  def q69Sssp(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000L).as("src"),
+        col("o_custkey").as("dst"),
+        col("l_quantity").cast(LongType).as("q"))
+      .groupBy("src", "dst").agg((min(col("q")) - 40L).as("w"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 500 === 0)
+    ssspOf(edges, seeds, rounds = 4)
+  }
+
+  /** The q69 core over arbitrary weighted directed (src, dst, w)
+    * edges and a (node) seed frame — `rounds` Bellman–Ford passes;
+    * spec entry point for brute-force fixtures.
+    */
+  def ssspOf(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Histogram bin count for q67 — 256 equi-width bins bound the
     * interpolation error of any quantile estimate by one bin width.
     */
@@ -1033,6 +1083,7 @@ object Extended {
     "q66_kcore"          -> q66Kcore _,
     "q67_hist_quantiles" -> q67HistQuantiles _,
     "q68_bfs_levels"     -> q68BfsLevels _,
+    "q69_sssp"           -> q69Sssp _,
     "q64_bottomk_sample" -> ((s: SparkSession, dir: String) => q64BottomkSample(s, dir)),
     "q65_fuzzy_join"     -> q65FuzzyJoin _,
     "q56_range_join_auto" -> q56RangeJoinAuto _,
@@ -1409,6 +1460,30 @@ object Extended {
          |  FROM e WHERE src % 500 = 0),
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT node, lvl FROM v3""".stripMargin
+    },
+    // q69: the four Bellman-Ford rounds unrolled — each round is the
+    // min over (carry forward, relax one more edge); all-integer
+    // distances, so no float accumulation anywhere
+    "q69_sssp" -> {
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, d.dist + e.w AS dist
+           |  FROM d${i - 1} d JOIN e ON e.src = d.node) GROUP BY node)"""
+          .stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT l_suppkey + 1000000 AS src, o_custkey AS dst,
+         |    CAST(MIN(l_quantity) - 40 AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_quantity >= 45 GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT src, dst, w FROM e0
+         |  UNION ALL SELECT dst, src, w FROM e0),
+         |d0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM e WHERE src % 500 = 0),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, dist FROM d4""".stripMargin
     },
     // q67: the same histogram/cum/rank/interpolation chain; ranks in
     // exact integer arithmetic, bin + interpolation in the identical

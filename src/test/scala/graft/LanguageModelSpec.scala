@@ -435,6 +435,42 @@ class LanguageModelSpec extends SparkSpec {
       "fixture degenerate: BFS saturates too early")
   }
 
+  test("q69 core: bounded-round Bellman-Ford equals brute-force min-cost " +
+      "over <=k-edge paths on a seeded weighted digraph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(69L)
+    val n = 40
+    val edges = (for {
+      u <- 0 until n; v <- 0 until n
+      if u != v && rnd.nextDouble() < 0.15
+    } yield (u.toLong, v.toLong, (rnd.nextInt(9) + 1).toLong)).toSeq
+    val adj = edges.groupBy(_._1)
+      .map { case (k, es) => k -> es.map(e => (e._2, e._3)) }
+    val seeds = Seq(0L, 13L, 26L)
+    // brute: k rounds of relaxation over the full distance map
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Nil).map { case (v, w) => v -> (d + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, ds) => k -> ds.map(_._2).min }
+    }
+    val got = graft.queries.Extended.ssspOf(
+        edges.toDF("src", "dst", "w"), seeds.toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist, s"got ${got.size} want ${dist.size}")
+    // non-degenerate: some node must be strictly cheaper via a longer
+    // path than its first-reached distance (weights actually matter)
+    var hop1 = seeds.map(_ -> 0L).toMap
+    val r1 = hop1.toSeq.flatMap { case (u, d) =>
+      adj.getOrElse(u, Nil).map { case (v, w) => v -> (d + w) } }
+    hop1 = (hop1.toSeq ++ r1).groupBy(_._1)
+      .map { case (k, ds) => k -> ds.map(_._2).min }
+    assert(dist.exists { case (nd, d) => hop1.get(nd).exists(_ > d) },
+      "fixture degenerate: no multi-edge path ever improved a distance")
+  }
+
   test("q67: histogram quantile estimate is within one bin width of the " +
       "exact rank value, for every group and quantile") {
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
