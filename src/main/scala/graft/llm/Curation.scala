@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -664,7 +664,96 @@ object Curation {
       .join(qualityClassifierScores(s, dir)
         .filter(col("model_pass") === 1).select("doc_id"), "doc_id"))
 
+  // -- c14/c15: DSIR importance weighting & budgeted selection -------------
+
+  /** Hashed n-gram feature space for DSIR (2^12 buckets — the paper
+    * uses 10^4; the bucket table stays broadcast-size at any corpus
+    * scale because it is FIXED, not vocabulary-sized).
+    */
+  val DsirBuckets = 4096
+
+  /** Token budget for the c15 selection cut (~30% of the sf0.01
+    * corpus's tokens — a genuinely selective cut at every test SF).
+    */
+  val DsirBudget = 8000L
+
+  /** c14 — DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-unigram
+    * features are under the TARGET distribution (here the `lang='en'`
+    * slice standing in for a curated seed corpus) than under the RAW
+    * corpus distribution — `imp(d) = Σ_tokens log p̂_t(b) − log
+    * p̂_r(b)` with add-one smoothing over [[DsirBuckets]] hashed
+    * buckets. High-importance docs "look like" the target set;
+    * selection by this weight tilts a 100 TB crawl toward the seed
+    * domain without training a classifier.
+    *
+    * Scale shape: two fixed-width aggregations over one token scan
+    * (the bucket table is ≤ [[DsirBuckets]] rows regardless of corpus
+    * size — the whole point of hashed features), then the per-token
+    * scoring join BROADCASTS that table, so the only doc-keyed
+    * shuffle is the final per-doc sum. Per-bucket log-ratios round to
+    * 6 dp before the per-doc sum (the t18 discipline), keeping the
+    * compared surface reproducible cross-engine.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    dsirWeightsOf(Tables.load(s, dir, "documents"), lit("en"))
+  }
+
+  /** The c14 core over an arbitrary (doc_id, lang, text) frame and a
+    * target-language literal — spec entry point.
+    */
+  private[graft] def dsirWeightsOf(docs: DataFrame,
+      targetLang: Column): DataFrame = {
+    val tk = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (TextAnalysis.hash60(col("tok")) % DsirBuckets).as("b"))
+    val raw = tk.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = tk.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tot = tk.agg(count(lit(1)).as("tr"),
+      count(when(col("lang") === targetLang, 1)).as("tt"))
+    // target tokens are a subset of raw tokens, so a left join from
+    // the raw bucket table covers every bucket any token can hit;
+    // absent target buckets smooth to ct = 0
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+          (col("tt") + lit(DsirBuckets.toDouble))) -
+        log((col("cr") + lit(1.0)) /
+          (col("tr") + lit(DsirBuckets.toDouble))), 6).as("lr"))
+    tk.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 4).as("imp"))
+  }
+
+  /** c15 — importance-ranked selection under a token budget: take
+    * documents in (imp desc, doc_id) order while the running token
+    * total stays within [[DsirBudget]] — DSIR's resampling step in
+    * its deterministic top-rank form (the seeded-Bernoulli variant is
+    * q11/c7's machinery applied to `imp`-derived weights).
+    *
+    * The cut is a running sum over the globally ranked doc list — a
+    * range-partitioned sort over ONE ROW PER DOC (thousands of bytes
+    * per billion docs, not corpus-scale); at 100 TB the same cut can
+    * run as q44's two-pass bucket count to avoid even that sort.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(desc("imp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dsirWeights(s, dir)
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= DsirBudget)
+      .select("doc_id", "n_toks", "imp", "cum_toks")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_dsir_weights" -> dsirWeights _,
+    "c15_dsir_select" -> dsirSelect _,
     "c12_quality_model" -> qualityClassifierScores _,
     "c10_enrich_asof" -> enrichFreshness _,
     "c8_curate_full" -> ((s: SparkSession, dir: String) => curateFull(s, dir)),
@@ -770,7 +859,43 @@ object Curation {
        |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
   }
 
+  /** Shared c14/c15 oracle prefix: per-doc (n_toks, imp) replay —
+    * identical hash/bucket arithmetic, the identical smoothed
+    * double-division sequence inside the 6-dp per-bucket round, and
+    * the same 4-dp per-doc rounding.
+    */
+  private def dsirWeightsOracle: String =
+    s"""tk AS (SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+       |      % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents WHERE text IS NOT NULL)),
+       |r AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tk GROUP BY 1),
+       |tg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tk
+       |  WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+       |    CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS tt FROM tk),
+       |lrt AS (SELECT r.b,
+       |    round(ln((COALESCE(tg.ct, 0) + 1.0) / (tot.tt + $DsirBuckets.0))
+       |      - ln((r.cr + 1.0) / (tot.tr + $DsirBuckets.0)), 6) AS lr
+       |  FROM r LEFT JOIN tg USING (b) CROSS JOIN tot),
+       |wts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |    round(SUM(lrt.lr), 4) AS imp
+       |  FROM tk JOIN lrt USING (b) GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "c14_dsir_weights" ->
+      s"""WITH $dsirWeightsOracle
+         |SELECT doc_id, n_toks, imp FROM wts""".stripMargin,
+    "c15_dsir_select" ->
+      s"""WITH $dsirWeightsOracle,
+         |ranked AS (SELECT doc_id, n_toks, imp,
+         |    SUM(n_toks) OVER (ORDER BY imp DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |  FROM wts)
+         |SELECT doc_id, n_toks, imp, cum_toks FROM ranked
+         |WHERE cum_toks <= $DsirBudget""".stripMargin,
     "c1_curate" -> curateOracle(),
     // epoch() keeps sub-second fractions DuckDB-side while Spark's
     // unix_timestamp truncates — floor() matches them (floor commutes

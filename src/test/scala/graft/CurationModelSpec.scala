@@ -54,4 +54,48 @@ class CurationModelSpec extends SparkSpec {
     // pipeline keeps are excluded
     assert(gated.size < full.size, s"gate admitted everything (${full.size})")
   }
+
+  test("c14: importance weights rank the target language above the rest " +
+      "on average, and separate cleanly on a synthetic two-vocab corpus") {
+    import org.apache.spark.sql.functions._
+    // real corpus: en docs must average higher importance than non-en
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val byLang = graft.llm.Curation.dsirWeights(spark, sfDir)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("imp"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false) + 0.3,
+      s"en mean ${byLang(true)} not above rest ${byLang(false)}")
+    // synthetic: disjoint vocabularies — every target doc must outrank
+    // every raw-only doc
+    import spark.implicits._
+    val synth = ((0 until 20).map(i =>
+        (i.toLong, "en", s"alpha beta gamma delta tok$i")) ++
+      (20 until 40).map(i =>
+        (i.toLong, "de", s"zeta eta theta iota tok$i"))).toDF(
+      "doc_id", "lang", "text")
+    graft.functions.HashFunctions.register(spark)
+    val imps = graft.llm.Curation.dsirWeightsOf(synth, lit("en"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val minTgt = (0 until 20).map(i => imps(i.toLong)).min
+    val maxOther = (20 until 40).map(i => imps(i.toLong)).max
+    assert(minTgt > maxOther,
+      s"target min $minTgt does not clear non-target max $maxOther")
+  }
+
+  test("c15: the selection is the exact greedy prefix of the importance " +
+      "ranking under the token budget") {
+    val wts = graft.llm.Curation.dsirWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ranked = wts.sortBy { case (id, _, imp) => (-imp, id) }
+    var cum = 0L
+    val expect = ranked.takeWhile { case (_, n, _) =>
+      cum += n; cum <= graft.llm.Curation.DsirBudget
+    }.map(_._1).toSet
+    val got = graft.llm.Curation.dsirSelect(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+    assert(got.nonEmpty && got.size < wts.length,
+      "budget cut degenerate (empty or everything)")
+  }
 }
