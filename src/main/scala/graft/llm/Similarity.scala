@@ -1122,7 +1122,63 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0).as("keep"))
 
+  // -- s14: hybrid retrieval via reciprocal-rank fusion --------------------
+  /** Candidate-list depth each retriever contributes to the fusion. */
+  val RrfDepth = 50
+  /** The RRF rank-smoothing constant (60 is the value of Cormack,
+    * Clarke & Büttcher, SIGIR'09, used essentially unchanged since).
+    */
+  val RrfK = 60.0
+
+  /** s14 — hybrid retrieval: the BM25 lexical ranking (t11's scorer)
+    * and the embedding cosine ranking (query-by-example from vec_id
+    * 0, the shared doc/vec id space) fused by reciprocal-rank fusion
+    * `Σ 1/(k + rank)` — the standard way a RAG data pipeline combines
+    * a keyword index with a vector index without score calibration
+    * (ranks, not scores, are what fuse — so the two retrievers'
+    * incomparable score scales never meet).
+    *
+    * Scale shape: each side produces its top-[[RrfDepth]] ids with
+    * the machinery that already scales — BM25 from the pruned posting
+    * aggregate (or [[graft.llm.TextAnalysis.bm25FromIndex]] against
+    * the persisted index), the vector side through the s9 bounded-heap
+    * aggregate (no global sort, no window over the corpus: the heap's
+    * posexplode position IS the rank). The fusion itself joins two
+    * ≤[[RrfDepth]]-row frames — driver-negligible at any corpus size.
+    * Both ranks order by (rounded score desc, id), so the fused list
+    * is deterministic cross-engine; the oracle replays both rankings
+    * and the same two-term reciprocal sum.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val k = RrfDepth
+    val wT = Window.orderBy(desc("score"), col("doc_id"))
+    val txt = graft.llm.TextAnalysis.bm25(s, dir, k)
+      .select(col("doc_id"), row_number().over(wT).cast(LongType).as("rt"))
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6)
+          .as("sim"))
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("sim"), col("vec_id"), lit(k)).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col.id").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rv"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(RrfK) + col("rt")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)), 6)
+    txt.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rt").as("rank_bm25"),
+        col("rv").as("rank_vec"), rrf.as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_hybrid_rrf" -> hybridRrf _,
     "s1_knn_brute" -> knnBrute _,
     "s9_knn_topk"  -> knnBruteTopK _,
     "s8_embed_clusters" -> embedClusters _,
@@ -1155,6 +1211,49 @@ object Similarity {
        |WHERE rk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // s14: the t11 BM25 chain (verbatim arithmetic) and the s1 cosine
+    // chain, each ranked to depth 50, fused with the identical
+    // two-term reciprocal sum
+    "s14_hybrid_rrf" -> {
+      val cosQ = cosSql.replace("av", "q.v").replace("bv", "e.v")
+      s"""WITH d AS (SELECT doc_id,
+         |  list_transform(string_split_regex(trim(text), '\\s+'),
+         |    x -> lower(x)) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+         |  WHERE term IN ('query', 'stream', 'merge') GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |dlen AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM d),
+         |bs AS (SELECT doc_id,
+         |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+         |    AS score
+         |  FROM tf JOIN dfc USING (term) JOIN dlen USING (doc_id)
+         |    CROSS JOIN st
+         |  GROUP BY doc_id),
+         |tr AS (SELECT doc_id, rt FROM (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |      (ORDER BY score DESC, doc_id) AS BIGINT) AS rt
+         |  FROM bs) WHERE rt <= $RrfDepth),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |vs AS (SELECT e.vec_id AS doc_id, round($cosQ, 6) AS sim
+         |  FROM ev e JOIN ev q ON q.vec_id = 0 AND e.vec_id <> 0),
+         |vr AS (SELECT doc_id, rv FROM (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS rv
+         |  FROM vs) WHERE rv <= $RrfDepth)
+         |SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+         |  tr.rt AS rank_bm25, vr.rv AS rank_vec,
+         |  round(COALESCE(1.0 / ($RrfK + tr.rt), 0.0)
+         |    + COALESCE(1.0 / ($RrfK + vr.rv), 0.0), 6) AS rrf
+         |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
     // s7: same quantize arithmetic as s5 (proved cross-engine there),
     // then ADC scoring — fp query · dequantized corpus
     "s7_knn_int8" -> {

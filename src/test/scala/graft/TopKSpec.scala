@@ -112,4 +112,32 @@ class TopKSpec extends SparkSpec {
     assert(plan.contains("partial_topk_by"))
     assert(!plan.contains("Window"), "pair set must not be window-sorted")
   }
+
+  test("s14: fusion is the exact reciprocal-rank sum of both lists, " +
+      "nontrivial on the test corpus, and heap-ranked on the vector side") {
+    val df = Similarity.queries("s14_hybrid_rrf")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Long]),
+      Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3)))
+    assert(rows.length == 20)
+    // rrf recomputes exactly from the two ranks
+    rows.foreach { case (id, rt, rv, rrf) =>
+      val want = rt.map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+        rv.map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"doc $id: $rrf vs $want")
+    }
+    // ordered desc with doc_id tiebreak, and the fusion is nontrivial:
+    // docs from both retrievers AND a both-lists doc appear in the top
+    val sorted = rows.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+    assert(rows.toSeq == sorted.toSeq, "not ordered by (rrf desc, doc_id)")
+    assert(rows.exists(r => r._2.isDefined && r._3.isEmpty))
+    assert(rows.exists(r => r._2.isEmpty && r._3.isDefined))
+    assert(rows.exists(r => r._2.isDefined && r._3.isDefined),
+      "no doc retrieved by both sides — fixture degenerate")
+    // the corpus-sized vector ranking runs through the bounded heap,
+    // never a corpus window (the only Window is over the <=50-row
+    // BM25 frame)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by"))
+  }
 }
