@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Extended.queries ++
+      graft.queries.Mining.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Extended.oracleSql ++
+      graft.queries.Mining.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
