@@ -1177,8 +1177,80 @@ object Similarity {
       .limit(20)
   }
 
+  // -- s15: semi-hard negative mining --------------------------------------
+  /** Negatives returned per query. */
+  val HardNegK = 3
+
+  /** s15 — semi-hard negative mining for contrastive training data
+    * (the FaceNet band of Schroff et al. 2015; the retrieval use is
+    * DPR's hard-negative selection, Karpukhin et al. 2020): for each
+    * query vector, candidates of a DIFFERENT label ranked by cosine,
+    * keeping the top-[[HardNegK]] whose similarity is strictly below
+    * the query's best same-label (positive) similarity — negatives
+    * hard enough to inform the loss but not harder than the positive,
+    * the band that trains stably.
+    *
+    * Scale shape: one scored pair stream (corpus × broadcast queries,
+    * the s1 form — at 100 TB the candidate stream comes from an ANN
+    * tier instead, same downstream plan); the per-query positive
+    * ceiling is a ≤|queries|-row aggregate broadcast back onto the
+    * negative stream, never a window over the pair set (a q_id window
+    * would shuffle every pair to |queries| partitions — skew by
+    * construction). Ranking orders by the ROUNDED sim with a vec_id
+    * tiebreak, so the cut is deterministic cross-engine.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6)
+          .as("sim"))
+    val posCeil = scored.filter(col("label") === col("q_label"))
+      .groupBy("q_id").agg(max(col("sim")).as("max_pos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    scored.filter(col("label") =!= col("q_label"))
+      .join(broadcast(posCeil), "q_id")
+      .filter(col("sim") < col("max_pos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HardNegK)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("max_pos"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
+  // -- s16: SemDeDup-style embedding-dedup resolution ----------------------
+  /** s16 — the dedup DECISION over the s3 near-dup pair stream
+    * (SemDeDup, Abbas et al. 2023: drop all but one member of each
+    * semantic-duplicate neighborhood): a vector is dropped iff some
+    * qualifying partner has a smaller id, and records the smallest
+    * such partner as its `dup_of` — the same keep-lowest-id canonical
+    * rule the MinHash dedup family (d9) uses, so the decision is
+    * execution-order-free and SQL-replayable (no clustering step, no
+    * RNG).
+    *
+    * Scale shape: the pair join is s3's cell-blocked enumeration
+    * (never all-pairs); the drop resolution is one groupBy(min) over
+    * pairs keyed by the larger id plus a left join back onto the
+    * vector ids — both shuffles carry (long, long) rows only.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val dropped = embedDupPairs(s, dir)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    emb(s, dir).select("vec_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"),
+        col("dup_of"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s14_hybrid_rrf" -> hybridRrf _,
+    "s15_hard_negatives" -> hardNegatives _,
+    "s16_semdedup" -> semDedup _,
     "s1_knn_brute" -> knnBrute _,
     "s9_knn_topk"  -> knnBruteTopK _,
     "s8_embed_clusters" -> embedClusters _,
@@ -1302,6 +1374,42 @@ object Similarity {
          |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6) AS sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.35""".stripMargin,
+    // s15: the s1 scored-pair chain with the positive-ceiling
+    // aggregate and the same strict semi-hard band on rounded sims
+    "s15_hard_negatives" -> {
+      val cosQ = cosSql.replace("av", "q.v").replace("bv", "e.v")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+         |    e.vec_id, e.label, round($cosQ, 6) AS sim
+         |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id),
+         |p AS (SELECT q_id, MAX(sim) AS max_pos FROM s
+         |  WHERE label = q_label GROUP BY 1)
+         |SELECT q_id, vec_id, sim, max_pos, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT s.q_id, s.vec_id, s.sim, p.max_pos,
+         |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+         |      ORDER BY s.sim DESC, s.vec_id) AS rk
+         |  FROM s JOIN p USING (q_id)
+         |  WHERE s.label <> s.q_label AND s.sim < p.max_pos)
+         |WHERE rk <= $HardNegK""".stripMargin
+    },
+    // s16: s3's pair predicate resolved by the keep-lowest-id rule —
+    // min qualifying smaller partner, left-joined onto the id set
+    "s16_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |pairs AS (SELECT id_a, id_b FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6) AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.35),
+         |drp AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of
+         |  FROM pairs GROUP BY 1)
+         |SELECT e.vec_id,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         |    AS keep,
+         |  d.dup_of
+         |FROM e LEFT JOIN drp d USING (vec_id)""".stripMargin,
     // s8: s3's pair predicate feeding the same recursive reachability
     // closure as the d8 oracle — min(reach) is the component minimum
     "s8_embed_clusters" ->

@@ -694,6 +694,47 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("s15: negatives sit in the semi-hard band and never share the " +
+      "query's label") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, sim, maxPos) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(e(q) != e(n), s"negative $n shares query $q's label")
+      assert(sim < maxPos, s"($q,$n) sim $sim not below positive ceiling")
+    }
+    // at most K per query, ranks contiguous from 1
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val rks = g.map(_.getLong(4)).sorted.toSeq
+      assert(rks.length <= Similarity.HardNegK)
+      assert(rks == (1L to rks.length).toSeq,
+        s"query $q ranks: ${rks.mkString(",")}")
+    }
+  }
+
+  test("s16: drop decision matches the s3 pair stream exactly") {
+    val pairs = Similarity.embedDupPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minPartner = pairs.groupBy(_._2).map { case (b, g) =>
+      b -> g.map(_._1).min
+    }
+    val got = Similarity.semDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // dropped iff a smaller qualifying partner exists; dup_of is its min
+    got.foreach { case (id, (keep, dupOf)) =>
+      assert((keep == 0) == minPartner.contains(id))
+      assert(dupOf == minPartner.get(id))
+    }
+    assert(got.values.exists(_._1 == 0), "fixture should drop something")
+    assert(got.values.exists(_._1 == 1))
+  }
+
   test("tfidf: top-3 per doc, scores ranked desc, rare terms beat stopwords") {
     val rows = TextAnalysis.tfidf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
