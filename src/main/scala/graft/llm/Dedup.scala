@@ -580,6 +580,70 @@ object Dedup {
     setSimJoinOf(Tables.load(s, dir, "documents")
       .filter(col("text").isNotNull).select(col("doc_id"), col("text")))
 
+  // -- d17: exact token-set containment join -------------------------------
+  /** d17 — set-containment resolution over distinct-token
+    * vocabularies (the set-containment join of the SSJoin literature,
+    * e.g. Mamoulis VLDB'03): for every document whose token set is a
+    * SUBSET of at least one other document's, the number of such
+    * containers and the smallest container id. This is the
+    * subsumption case Jaccard near-dup misses by construction — a
+    * small doc swallowed whole by a much larger one has low Jaccard
+    * (|A|/|B|) however complete the overlap.
+    *
+    * EXACT with single-key blocking: if A ⊆ B then B carries every
+    * token of A — in particular A's globally RAREST token — so
+    * pairing A only against the posting list of its rarest token
+    * loses nothing, and candidate fanout is bounded by that token's
+    * document frequency instead of |corpus| (the prefix-filter
+    * argument collapsed to a length-1 prefix; Xiao et al.'s ordering
+    * by ascending df is what makes the prefix rare). The rarest-token
+    * election is a groupBy-min over (doc, token-hash, df) structs —
+    * no window. Shuffles carry (long, long) rows; the full hashed
+    * token arrays join in only for the O(candidates) subset verify.
+    * Known hazard at 100 TB: a head token that is some doc's rarest
+    * (tiny-vocab shards) concentrates its posting list — the
+    * [[MaxBucket]] cap/salt treatment applies to the posting join.
+    */
+  def containmentJoin(s: SparkSession, dir: String): DataFrame =
+    containmentJoinOf(spreadIfNarrow(Tables.load(s, dir, "documents")))
+
+  /** [[containmentJoin]] over an arbitrary (doc_id, text) frame — the
+    * spec entry point for hand-built fixtures.
+    */
+  def containmentJoinOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          TextAnalysis.tokens(lower(col("text"))), t => xxhash64(t)))
+          .as("hs"))
+      .withColumn("n", size(col("hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = toks.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    val rare = posts.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(min(struct(col("df"), col("h"))).as("m"))
+      .select(col("doc_id").as("id_a"), col("m.h").as("rh"))
+    val cand = rare.join(
+        posts.select(col("doc_id").as("id_b"), col("h")),
+        col("rh") === col("h") && col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    val out = cand
+      .join(toks.select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
+        col("n").as("na")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("hs").as("hs_b"),
+        col("n").as("nb")), "id_b")
+      .filter(col("na") <= col("nb") &&
+        size(array_except(col("hs_a"), col("hs_b"))) === 0)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"),
+        min(col("id_b")).as("min_container"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
   // -- d8: dedup cluster resolution ----------------------------------------
   /** Connected components over a symmetric-closed candidate edge list:
     * returns (id, cluster_id) with cluster_id = the component's min id.
@@ -1350,6 +1414,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_apss_cosine" -> apssCosine _,
     "d16_apss_sketch" -> apssApprox _,
+    "d17_containment" -> containmentJoin _,
     "d12_dup_spans"   -> dupSpans _,
     "d13_span_cut"    -> spanDedupApply _,
     "d1_exact_dedup"  -> exactDedup _,
@@ -1470,6 +1535,19 @@ object Dedup {
     // pair join or pruned Bayardo posting join); both must land on
     // this definitionally-complete pair set, which is precisely what
     // makes the pruning bounds' exactness oracle-visible.
+    // d17: brute-force containment (no blocking — output-defined, so
+    // Spark's rarest-token pruning must lose nothing to hash-match)
+    "d17_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.doc_id <> b.doc_id AND len(a.s) <= len(b.s)
+        |  WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) = len(a.s))
+        |SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers,
+        |  MIN(id_b) AS min_container
+        |FROM p GROUP BY 1""".stripMargin,
     "d15_apss_cosine" ->
       s"""WITH docs AS (SELECT doc_id,
          |    string_split_regex(lower(trim(text)), '\\s+') AS t

@@ -310,6 +310,60 @@ object Extended {
         round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
 
+  /** q72 — per-group winsorization (robust clipping): every lineitem
+    * price clipped to its return-flag group's exact interpolated
+    * [p05, p95] band — the outlier treatment a feature-curation pass
+    * applies before normalization (Tukey's trimming made clip-shaped,
+    * so no rows are lost, only tails flattened).
+    *
+    * Scale shape: the bounds are a 3-row exact-percentile aggregate
+    * (one sort-based agg per group, the q31 machinery) broadcast back
+    * onto the row stream — the clip itself is a map-only projection,
+    * so the whole operator costs one aggregate plus one scan at any
+    * corpus size. Bounds are ROUNDED at 6dp before the clip in both
+    * engines, so the boundary decision never sits on a ulp.
+    */
+  def q72Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bounds = li.groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("lo"), col("hi"),
+        round(greatest(col("lo"),
+          least(col("hi"), col("l_extendedprice"))), 2).as("clipped"))
+  }
+
+  /** q73 — Bloom-filtered semi-join reduction (the distributed
+    * runtime-filter pattern: Bloom join of Mackert–Lohman's bloomjoin
+    * lineage, the same shape Spark's own
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter` injects): the
+    * BUILDING-segment customer keys fold into a Bloom filter whose
+    * bits embed in the plan as a literal, and the orders scan drops
+    * non-matching rows BEFORE the join shuffle — at 100 TB this is
+    * the difference between shuffling the whole fact table and
+    * shuffling the ~1/5 that can match. False positives only ever
+    * ADMIT rows, and the exact join behind the probe removes them, so
+    * the result is identical to the unfiltered join (which is the
+    * oracle) — the filter is pure shuffle-volume savings.
+    */
+  def q73BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val dim = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bits = graft.functions.BloomFunctions
+      .buildSerialized(dim, "c_custkey", 50000L)
+    t(s, dir, "orders")
+      .filter(graft.functions.BloomFunctions
+        .bloomMightContain(col("o_custkey").cast(LongType), bits))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   /** q32 — multi-distinct aggregate (Expand-based plan): distinct
     * customers and distinct ship-modes... here distinct parts and
     * suppliers per return flag.
@@ -1100,6 +1154,8 @@ object Extended {
     "q45_gap_fill"       -> q45GapFill _,
     "q31_percentiles"    -> q31Percentiles _,
     "q32_multi_distinct" -> q32MultiDistinct _,
+    "q72_winsorize"      -> q72Winsorize _,
+    "q73_bloom_join"     -> q73BloomJoin _,
     "q16_semi_join"      -> q16SemiJoin _,
     "q17_anti_join"      -> q17AntiJoin _,
     "q18_window_running" -> q18WindowRunning _,
@@ -1265,6 +1321,26 @@ object Extended {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // q72: same interpolated-percentile bounds (the q31 equivalence),
+    // rounded at 6dp before the clip in both engines
+    "q72_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |  lo, hi, round(greatest(lo, least(hi, l_extendedprice)), 2)
+        |    AS clipped
+        |FROM lineitem JOIN b USING (l_returnflag)""".stripMargin,
+    // q73: the UNFILTERED join — the Bloom prefilter must be
+    // result-invisible (no false negatives), so any pruning loss
+    // would hash-mismatch here
+    "q73_bloom_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  round(SUM(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin,
     "q16_semi_join" ->
       """SELECT c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

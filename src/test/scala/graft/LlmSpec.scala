@@ -694,6 +694,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("d17: containment resolves a hand-built subsumption fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"),              // ⊂ 2, ⊂ 3
+      (2L, "alpha beta gamma"),        // ⊂ 3
+      (3L, "alpha beta gamma delta"),
+      (4L, "epsilon zeta"),            // unique vocab — contained nowhere
+      (5L, "beta alpha")               // same set as 1 → mutual containment
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoinOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 1 ⊆ {2,3,5} (5 has the identical set); 2 ⊆ {3}; 5 ⊆ {1,2,3}
+    assert(got(1L) == ((3L, 2L)))
+    assert(got(2L) == ((1L, 3L)))
+    assert(got(5L) == ((3L, 1L)))
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
   test("s15: negatives sit in the semi-hard band and never share the " +
       "query's label") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

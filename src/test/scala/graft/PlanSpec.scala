@@ -252,4 +252,22 @@ class PlanSpec extends SparkSpec {
     // plan would mean the anti-join is carrying document bodies
     assert(!p.contains("text"), s"text column leaked into the apply plan:\n$p")
   }
+
+  test("q73: the bloom probe prunes the orders scan before the join") {
+    val df = Extended.q73BloomJoin(spark, sfDir)
+    val p = plan(df)
+    // the probe must sit in a Filter on the fact side, not after the join
+    assert(p.contains("bloom_might_contain"), p)
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe above the join in the plan tree (probe@$probeAt join@$joinAt)")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q72: bounds broadcast back onto the row stream, no row-stream window") {
+    val p = plan(Extended.q72Winsorize(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"clip must not window the row stream:\n$p")
+  }
 }
