@@ -34,6 +34,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest kmv   <watchDir> <sketchDir> <ckDir>  // live KMV
   *   graft.cli.Main lm train <tableDir> <modelDir>   // persisted bigram LM
   *   graft.cli.Main lm score <modelDir> <docs> <outDir>  // perplexity scores
+  *   graft.cli.Main dsir train <tableDir> <modelDir>  // persist DSIR ratios
+  *   graft.cli.Main dsir score <modelDir> <docs> <outDir> // importance wts
   *   graft.cli.Main ingest upsert <watchDir> <tablePath> <k1[,k2…]> <orderCol> <ckDir>
   *   graft.cli.Main ingest scd2   <watchDir> <tablePath> <k1[,k2…]> <tsCol> <ckDir>
   *   graft.cli.Main chunk <tableDir> <outDir> [chars|tokens]    // doc chunking
@@ -145,6 +147,16 @@ object Main {
       graft.llm.LanguageModel.writeModel(spark, in, model)
     case Seq("lm", "score", model, in, out) =>
       graft.llm.LanguageModel.scoreFromModel(spark, model,
+          read(spark, if (new java.io.File(s"$in/documents.parquet").exists())
+            s"$in/documents.parquet" else in))
+        .write.mode("overwrite").parquet(out)
+
+    // DSIR lifecycle: estimate the hashed importance ratios once,
+    // score any candidate batch from the stored table (c14's posture)
+    case Seq("dsir", "train", in, model) =>
+      graft.llm.Curation.writeDsirModel(spark, in, model)
+    case Seq("dsir", "score", model, in, out) =>
+      graft.llm.Curation.dsirScoreFromModel(spark, model,
           read(spark, if (new java.io.File(s"$in/documents.parquet").exists())
             s"$in/documents.parquet" else in))
         .write.mode("overwrite").parquet(out)

@@ -706,16 +706,39 @@ object Curation {
     */
   private[graft] def dsirWeightsOf(docs: DataFrame,
       targetLang: Column): DataFrame = {
-    val tk = docs.filter(col("text").isNotNull)
+    val tk = dsirBucketTokens(docs)
+    val (lr, meta) = dsirRatioTables(tk, targetLang)
+    dsirScoreWith(tk, lr, meta)
+  }
+
+  /** Per-token hashed-bucket stream (doc_id, lang, b) — shared by the
+    * inline c14 derivation, the persisted-model trainer, and the
+    * incremental scorer. Projects the token to its bucket id BEFORE
+    * any shuffle, so downstream exchanges never carry text.
+    */
+  private def dsirBucketTokens(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
       .select(col("doc_id"), col("lang"),
         (TextAnalysis.hash60(col("tok")) % DsirBuckets).as("b"))
+
+  /** The smoothed per-bucket log-ratio table (b, lr) and the one-row
+    * meta (tr, tt, default_lr), where `default_lr` is the same
+    * add-one-smoothed ratio evaluated at cr = ct = 0 — what a bucket
+    * UNSEEN at train time scores when a later ingest batch hits it.
+    */
+  private def dsirRatioTables(tk: DataFrame,
+      targetLang: Column): (DataFrame, DataFrame) = {
     val raw = tk.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgt = tk.filter(col("lang") === targetLang)
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val tot = tk.agg(count(lit(1)).as("tr"),
       count(when(col("lang") === targetLang, 1)).as("tt"))
+    val meta = tot.select(col("tr"), col("tt"), round(
+      log(lit(1.0) / (col("tt") + lit(DsirBuckets.toDouble))) -
+        log(lit(1.0) / (col("tr") + lit(DsirBuckets.toDouble))), 6)
+      .as("default_lr"))
     // target tokens are a subset of raw tokens, so a left join from
     // the raw bucket table covers every bucket any token can hit;
     // absent target buckets smooth to ct = 0
@@ -726,9 +749,50 @@ object Curation {
           (col("tt") + lit(DsirBuckets.toDouble))) -
         log((col("cr") + lit(1.0)) /
           (col("tr") + lit(DsirBuckets.toDouble))), 6).as("lr"))
-    tk.join(broadcast(lr), "b")
+    (lr, meta)
+  }
+
+  /** Per-doc importance from a ratio table: tokens left-join the
+    * BROADCAST lr table (≤ [[DsirBuckets]] rows), buckets absent from
+    * it take the smoothed `default_lr` — so scoring a batch the model
+    * never saw still yields exact DSIR-smoothed weights. The only
+    * doc-keyed shuffle is the final per-doc sum.
+    */
+  private def dsirScoreWith(tk: DataFrame, lr: DataFrame,
+      meta: DataFrame): DataFrame =
+    tk.join(broadcast(lr), Seq("b"), "left")
+      .crossJoin(broadcast(meta.select(col("default_lr"))))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 4).as("imp"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(coalesce(col("lr"), col("default_lr"))), 4).as("imp"))
+
+  /** PERSISTS the DSIR model — the ≤[[DsirBuckets]]-row log-ratio
+    * table plus the one-row meta with the unseen-bucket default —
+    * under `modelPath/{ratios,meta}`. A production release estimates
+    * the importance ratios ONCE over the reference corpus and scores
+    * every candidate batch from the stored tables;
+    * [[dsirScoreFromModel]] is spec-pinned equal to the inline c14.
+    */
+  def writeDsirModel(s: SparkSession, dir: String,
+      modelPath: String): Unit = {
+    graft.functions.HashFunctions.register(s)
+    val tk = dsirBucketTokens(Tables.load(s, dir, "documents"))
+    val (lr, meta) = dsirRatioTables(tk, lit("en"))
+    lr.write.mode("overwrite").parquet(s"$modelPath/ratios")
+    meta.write.mode("overwrite").parquet(s"$modelPath/meta")
+  }
+
+  /** Scores an arbitrary (doc_id, lang, text) frame from a PERSISTED
+    * DSIR model — the incremental-ingest form: per-batch cost is one
+    * pass over the batch's tokens plus a broadcast lookup; no
+    * ratio-estimation stage in the plan at all.
+    */
+  def dsirScoreFromModel(s: SparkSession, modelPath: String,
+      docs: DataFrame): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    dsirScoreWith(dsirBucketTokens(docs),
+      s.read.parquet(s"$modelPath/ratios"),
+      s.read.parquet(s"$modelPath/meta"))
   }
 
   /** c15 — importance-ranked selection under a token budget: take

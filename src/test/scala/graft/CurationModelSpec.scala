@@ -98,4 +98,33 @@ class CurationModelSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < wts.length,
       "budget cut degenerate (empty or everything)")
   }
+
+  test("persisted DSIR model: dsirScoreFromModel equals the inline c14 " +
+      "weights and the loaded plan has no ratio-estimation stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    Curation.writeDsirModel(spark, sfDir, dir)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val fromIdx = Curation.dsirScoreFromModel(spark, dir, docs)
+    val inline = Curation.dsirWeights(spark, sfDir)
+    val a = fromIdx.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = inline.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a == b)
+    // the loaded plan reads the stored ratio table — no target-language
+    // comparison (the estimation stage's fingerprint) anywhere in it.
+    // Validated against the INLINE plan first so a renderer change can
+    // never make the absence check vacuous.
+    val marker = " = en"
+    assert(inline.queryExecution.optimizedPlan.toString().contains(marker),
+      "marker no longer matches the inline plan's renderer")
+    val plan = fromIdx.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains(marker),
+      s"ratio estimation present in loaded plan:\n$plan")
+    // a batch the model never saw still scores: unseen buckets take
+    // the persisted smoothed default, so imp is always non-null
+    import spark.implicits._
+    val novel = Seq((999999L, "en", "zzqx1 zzqx2 zzqx3"))
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.dsirScoreFromModel(spark, dir, novel).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 3L && !got(0).isNullAt(2))
+  }
 }
