@@ -964,7 +964,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_bpe"))
   }
 
+  // -- t23: PMI collocations -----------------------------------------------
+
+  /** t23 — collocation mining: adjacent word pairs seen ≥
+    * [[PmiMinCount]] times ranked by pointwise mutual information
+    * `ln(n·c_xy / (c_x·c_y))` — the classic measure of "these words
+    * co-occur more than their frequencies predict" (multi-word
+    * expressions, named entities) a tokenizer-vocabulary or
+    * phrase-table build runs corpus-wide.
+    *
+    * Scale shape: one token scan feeds both the unigram and the
+    * (index-exploded) bigram count — fixed-width (word, count) rows
+    * shuffle, never documents. The bigram table prunes on the count
+    * floor BEFORE joining unigram counts, so the joins carry only the
+    * ≥[[PmiMinCount]] survivors (AQE broadcasts them when small). All
+    * counts are exact longs; c·n and c_x·c_y stay < 2^53 up to ~10¹³
+    * tokens per side, past which the products move to double with no
+    * change in ranking.
+    */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+    val uni = docs.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val n = docs.agg(sum(size(col("t"))).cast(LongType).as("n"))
+    docs.filter(size(col("t")) >= 2)
+      .select(col("t"), explode(sequence(lit(2), size(col("t")))).as("i"))
+      .select(element_at(col("t"), col("i") - 1).as("w1"),
+        element_at(col("t"), col("i")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c"),
+        round(log((col("c") * col("n")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+  }
+
+  /** Bigram count floor for t23 — rare pairs have unstable PMI. */
+  val PmiMinCount = 5L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_pmi" -> pmiCollocations _,
     "t15_bpe_merges" -> bpeMerges _,
     "t16_bpe_tokens" -> bpeTokenCounts _,
     "t8_tfidf"       -> ((s: SparkSession, dir: String) => tfidf(s, dir)),
@@ -1091,6 +1133,29 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // t23: the LM oracle's tokenization, exact integer counts, one
+    // double ratio + ln per kept bigram
+    "t23_pmi" ->
+      s"""WITH docs AS (
+         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |uni AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(t) AS w FROM docs) GROUP BY w),
+         |n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM docs),
+         |big AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT t[i-1] AS w1, t[i] AS w2
+         |        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+         |              FROM docs WHERE len(t) >= 2))
+         |  GROUP BY w1, w2 HAVING COUNT(*) >= $PmiMinCount)
+         |SELECT b.w1, b.w2, b.c,
+         |  round(ln(CAST(b.c * n.n AS DOUBLE)
+         |    / CAST(u1.cu * u2.cu AS DOUBLE)), 6) AS pmi
+         |FROM big b
+         |JOIN uni u1 ON u1.w = b.w1
+         |JOIN uni u2 ON u2.w = b.w2
+         |CROSS JOIN n""".stripMargin,
     "t15_bpe_merges" -> {
       val steps = (1 to BpeMergeCount).map(i =>
         s"""SELECT CAST($i AS INTEGER) AS step, a AS lhs, b AS rhs,

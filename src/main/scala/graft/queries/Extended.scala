@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -1121,7 +1121,122 @@ object Extended {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q74 — 2-D skyline (Pareto frontier): parts no other part beats on
+    * BOTH (p_retailprice, p_size), i.e. nothing is ≤ on both axes and
+    * < on at least one. Two exact phases: a LOCAL sweep per hash
+    * bucket (parallel — a point dominated inside its bucket is
+    * dominated globally, so bucket-local pruning never loses a skyline
+    * point), then the same sweep over the few survivors globally. The
+    * sweep is the classic sorted scan: ordered by (x, y), a row is
+    * dominated iff some EARLIER row's (y, x) is lexicographically
+    * smaller — encoded as one BIGINT running window min (cents are
+    * exact for 2-dp prices, and 1e9 exceeds any cents value, so
+    * k = size·1e9 + cents sorts (size, price) lexicographically).
+    * Each phase is a window over a sort of one-row-per-entity data,
+    * never the O(n²) self-join — THAT form is the oracle, which keeps
+    * the check independent of this derivation.
+    */
+  def q74Skyline(s: SparkSession, dir: String): DataFrame = {
+    val x = col("p_retailprice")
+    val y = col("p_size")
+    val k = y.cast(LongType) * lit(1000000000L) +
+      round(x * 100, 0).cast(LongType)
+    def sweep(df: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*).orderBy(x, y)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__mk", min(k).over(w))
+        .filter(col("__mk").isNull || col("__mk") >= k)
+        .drop("__mk")
+    }
+    val base = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val local = sweep(base, Seq(pmod(hash(col("p_partkey")), lit(64))))
+    sweep(local, Seq.empty)
+  }
+
+  /** q75 — two-sample Kolmogorov–Smirnov statistic between the
+    * open-order and filled-order price distributions: D = max over v
+    * of |ECDF_O(v) − ECDF_F(v)|. The raw rows compress to one row per
+    * DISTINCT value first (the only corpus-sized aggregation), so the
+    * global ordered window walks |distinct values| rows, not |orders|;
+    * at 100 TB the same statistic runs over a binned ECDF (q67's
+    * histogram) instead of exact distinct values. Every intermediate
+    * is an exact integer count; the only floating math is one division
+    * per distinct value and the final max — order-independent, so the
+    * result is partitioning-proof.
+    */
+  def q75KsTest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_totalprice").as("v"),
+        when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("ia"))
+    val c = o.groupBy("v").agg(sum(col("ia")).as("ca"),
+      (count(lit(1)) - sum(col("ia"))).as("cb"))
+    val n = c.agg(sum(col("ca")).cast(LongType).as("na"),
+      sum(col("cb")).cast(LongType).as("nb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c.select(sum(col("ca")).over(w).as("cuma"),
+        sum(col("cb")).over(w).as("cumb"))
+      .crossJoin(broadcast(n))
+      .groupBy("na", "nb")
+      .agg(round(max(abs(col("cuma").cast("double") / col("na") -
+        col("cumb").cast("double") / col("nb"))), 6).as("ks"))
+  }
+
+  /** q76 — deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws a reproducible uniform
+    * u from the q48 md5 trick and scores key = ln(u)/w (w = its char
+    * length, the weight); the k LARGEST keys are exactly a w-weighted
+    * sample without replacement. Top-k runs as TakeOrdered (bounded
+    * per-partition heap + driver merge of k), never a global sort.
+    * Keys round to 6 dp before ranking so the order is
+    * engine-portable; doc_id makes the order total.
+    */
+  def q76WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val w = greatest(length(col("text")).cast(LongType), lit(1L))
+    val u = (graft.llm.TextAnalysis.hash60(concat(lit("q76:"),
+      col("doc_id").cast("string"))) % 1000000 + 1) / lit(1000001.0)
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), w.as("w"), round(log(u) / w, 6).as("es_key"))
+      .orderBy(desc("es_key"), col("doc_id"))
+      .limit(50)
+  }
+
+  /** q77 — per-group closed-form least squares (extended price on
+    * quantity per supplier): slope and intercept from the five
+    * classical sums. The sums accumulate in DECIMAL so
+    * partial-aggregation order can't perturb them (double sums would
+    * make the 6-dp output partitioning-dependent at the margin); each
+    * group then does ONE division sequence in DOUBLE, identical in any
+    * engine. The whole regression is a single fixed-width aggregate —
+    * it shuffles once on the group key and scales exactly like a sum.
+    */
+  def q77GroupedOls(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      col("l_quantity").cast("decimal(18,2)").as("x"),
+      col("l_extendedprice").cast("decimal(18,2)").as("y"))
+    val d = (c: String) => col(c).cast("double")
+    val agg = li.groupBy("l_suppkey").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("dsx"), sum(col("y")).as("dsy"),
+      sum(col("x") * col("y")).as("dsxy"),
+      sum(col("x") * col("x")).as("dsxx"))
+      .select(col("l_suppkey"), col("n"), d("dsx").as("sx"),
+        d("dsy").as("sy"), d("dsxy").as("sxy"), d("dsxx").as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    agg.filter(col("n") >= 2 && den =!= 0.0)
+      .select(col("l_suppkey"), col("n"), round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_skyline"        -> q74Skyline _,
+    "q75_ks_test"        -> q75KsTest _,
+    "q76_weighted_sample" -> q76WeightedSample _,
+    "q77_grouped_ols"    -> q77GroupedOls _,
     "q40_interval_join"  -> q40IntervalJoin _,
     "q41_unpivot"        -> q41Unpivot _,
     "q39_psi"            -> q39Psi _,
@@ -1172,6 +1287,66 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q74's oracle is the brute-force O(n²) dominance definition — a
+    // deliberately DIFFERENT algorithm than the engine's bucketed
+    // sorted sweep, so an error in the sweep derivation can't cancel
+    "q74_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |      OR q.p_size < p.p_size))""".stripMargin,
+    // q75: exact integer counts per distinct value; the only floats
+    // are the per-value ECDF divisions and the final max
+    "q75_ks_test" ->
+      """WITH o AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS ia
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |c AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+        |  FROM o GROUP BY v),
+        |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT
+        |    SUM(ca) OVER (ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v) AS cumb FROM c)
+        |SELECT n.na, n.nb,
+        |  round(MAX(ABS(CAST(cuma AS DOUBLE) / na
+        |    - CAST(cumb AS DOUBLE) / nb)), 6) AS ks
+        |FROM cum, n GROUP BY n.na, n.nb""".stripMargin,
+    // q76: the q48 md5-prefix uniform verbatim, the identical
+    // ln(u)/w key sequence, same 6-dp rounding and total tie-break
+    "q76_weighted_sample" ->
+      """SELECT doc_id, w, es_key FROM (
+        |  SELECT doc_id, GREATEST(LENGTH(text), 1) AS w,
+        |    round(ln((CAST(('0x' || substr(md5('q76:' || doc_id), 1, 15))
+        |        AS BIGINT) % 1000000 + 1) / 1000001.0)
+        |      / GREATEST(LENGTH(text), 1), 6) AS es_key
+        |  FROM documents WHERE text IS NOT NULL)
+        |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+    // q77: sums in exact DECIMAL, then the identical double division
+    // sequence — slope appears twice so both engines share one tree
+    "q77_grouped_ols" ->
+      """WITH a AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM (SELECT l_suppkey,
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |    FROM lineitem)
+        |  GROUP BY l_suppkey)
+        |SELECT l_suppkey, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept
+        |FROM a
+        |WHERE n >= 2 AND (n * sxx - sx * sx) <> 0""".stripMargin,
     "q39_psi" ->
       """SELECT bin, n_old, n_new,
         |  round(p_old, 6) AS p_old, round(p_new, 6) AS p_new,

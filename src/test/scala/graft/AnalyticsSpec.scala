@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Extended
+
+/** q74–q77 + t23: the statistical-analytics extensions. Each query is
+  * oracle-hashed at the driver gate; these specs pin the parts a SQL
+  * replay can't — brute-force equivalence on adversarial fixtures,
+  * determinism under re-partitioning, and closed-form ground truth.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- q74 skyline ----------------------------------------------------------
+
+  /** Brute-force dominance over a collected fixture. */
+  private def bruteSkyline(pts: Seq[(Long, Double, Int)]): Set[Long] =
+    pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx <= x && qy <= y && (qx < x || qy < y)
+      }
+    }.map(_._1).toSet
+
+  test("q74: bucketed sweep equals brute-force dominance on a seeded " +
+      "random fixture, duplicates and corner ties included") {
+    val rnd = new scala.util.Random(74)
+    val base = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(500) / 100.0) * 100 + 900, rnd.nextInt(40) + 1))
+    // duplicate points (both must survive if on the frontier) and an
+    // exact corner tie on each axis
+    val pts = base ++ Seq((1000L, base.head._2, base.head._3),
+      (1001L, 900.0, 50), (1002L, 5000.0, 1))
+    val df = pts.toDF("p_partkey", "p_retailprice", "p_size")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    df.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val got = Extended.q74Skyline(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == bruteSkyline(pts))
+  }
+
+  test("q74: result on the real table is a true antichain that dominates " +
+      "every non-member") {
+    val all = graft.core.Tables.load(spark, sfDir, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val sky = Extended.q74Skyline(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(sky == bruteSkyline(all))
+  }
+
+  // -- q75 Kolmogorov–Smirnov ----------------------------------------------
+
+  test("q75: KS statistic matches the hand-computed value on a crafted " +
+      "two-sample fixture") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: ECDFs diverge most at v=2 (2/4 vs 0)
+    val rows =
+      Seq(1, 2, 3, 4).map(v => (v * 1.0, "O")) ++
+        Seq(3, 4, 5, 6).map(v => (v * 1.0, "F"))
+    val df = rows.zipWithIndex.map { case ((v, st), i) =>
+      (i.toLong, i.toLong, st, v,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Extended.q75KsTest(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 4L && r(0).getLong(1) == 4L)
+    assert(r(0).getDouble(2) == 0.5)
+  }
+
+  test("q75: identical samples give D = 0") {
+    val rows = (1 to 6).flatMap(v => Seq((v * 1.0, "O"), (v * 1.0, "F")))
+    val df = rows.zipWithIndex.map { case ((v, st), i) =>
+      (i.toLong, i.toLong, st, v,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ks0").toString
+    df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    assert(Extended.q75KsTest(spark, tmp).collect()(0).getDouble(2) == 0.0)
+  }
+
+  // -- q76 weighted sampling ------------------------------------------------
+
+  test("q76: the top-k is the exact driver-side replay of the A-ES keys, " +
+      "and repeated runs agree") {
+    graft.functions.HashFunctions.register(spark)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("w"),
+        (graft.llm.TextAnalysis.hash60(concat(lit("q76:"),
+          col("doc_id").cast("string"))) % 1000000 + 1).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.map { case (id, w, m) =>
+      val key = BigDecimal(math.log(m / 1000001.0) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, w, key)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(50).toSeq
+    val got = Extended.q76WeightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    val again = Extended.q76WeightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == got)
+  }
+
+  test("q76: heavier docs are systematically favored — mean weight of the " +
+      "sample exceeds the corpus mean") {
+    val sampleMean = Extended.q76WeightedSample(spark, sfDir)
+      .agg(avg("w")).collect()(0).getDouble(0)
+    val corpusMean = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .agg(avg(greatest(length(col("text")).cast("long"), lit(1L))))
+      .collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  // -- q77 grouped OLS -------------------------------------------------------
+
+  test("q77: slope/intercept match the closed form on a crafted exact-fit " +
+      "fixture and a known noisy one") {
+    // group 1: y = 2x + 3 exactly; group 2: three points with a known
+    // hand-computed fit (x,y) = (1,1),(2,3),(3,2) → slope 0.5, icpt 1.0
+    val rows = Seq(
+      (1L, 1.0, 5.0), (1L, 2.0, 7.0), (1L, 3.0, 9.0), (1L, 4.0, 11.0),
+      (2L, 1.0, 1.0), (2L, 2.0, 3.0), (2L, 3.0, 2.0))
+    val df = rows.zipWithIndex.map { case ((g, x, y), i) =>
+      (i.toLong, i.toLong, g, i + 1, x, y, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Extended.q77GroupedOls(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2.0, 3.0)))
+    assert(got(2L) == ((0.5, 1.0)))
+  }
+
+  test("q77: degenerate groups (single row, zero-variance x) are excluded") {
+    val rows = Seq((1L, 5.0, 2.0),
+      (2L, 4.0, 1.0), (2L, 4.0, 9.0),
+      (3L, 1.0, 1.0), (3L, 2.0, 2.0))
+    val df = rows.zipWithIndex.map { case ((g, x, y), i) =>
+      (i.toLong, i.toLong, g, i + 1, x, y, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ols2").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Extended.q77GroupedOls(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(3L))
+  }
+
+  // -- t23 PMI ---------------------------------------------------------------
+
+  test("t23: a pure collocation scores its analytic PMI, a mixed-context " +
+      "pair scores lower, and sub-floor pairs are dropped") {
+    // 'xx yy' only ever co-occur; 'aa' splits between 'bb' and 'cc',
+    // halving its pairs' PMI; 'zz ww' appears once (below the floor)
+    val docs =
+      (0 until 12).map(i => (i.toLong, "en", "xx yy")) ++
+        (12 until 24).map(i => (i.toLong, "en", "aa bb")) ++
+        (24 until 36).map(i => (i.toLong, "en", "aa cc")) ++
+        Seq((36L, "en", "zz ww"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pmi").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = graft.llm.TextAnalysis.pmiCollocations(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val n = 74.0 // 37 two-token docs
+    def pmi6(cxy: Long, cx: Long, cy: Long): Double =
+      BigDecimal(math.log(n * cxy / (cx.toDouble * cy)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("xx", "yy")) == ((12L, pmi6(12, 12, 12))))
+    assert(got(("aa", "bb")) == ((12L, pmi6(12, 24, 12))))
+    assert(got(("xx", "yy"))._2 > got(("aa", "bb"))._2)
+    assert(!got.contains(("zz", "ww")))
+  }
+}
