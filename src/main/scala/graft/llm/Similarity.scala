@@ -1247,7 +1247,83 @@ object Similarity {
         col("dup_of"))
   }
 
+  // -- s17: MMR diversified top-k ------------------------------------------
+
+  /** MMR selection size, candidate pool, and the relevance/diversity
+    * weights (Carbonell & Goldstein 1998). λ terms are SEPARATE
+    * literals — `1 − 0.7` in double is 0.30000000000000004, which
+    * would diverge from an engine parsing `0.3`.
+    */
+  val MmrK = 5
+  val MmrCandidates = 20
+  val MmrLambda = 0.7
+  val MmrLambdaC = 0.3
+
+  /** s17 — maximal-marginal-relevance re-ranking (Carbonell &
+    * Goldstein 1998): from the query's cosine top-[[MmrCandidates]],
+    * greedily pick [[MmrK]] results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance traded
+    * against redundancy with what's already picked, the diversity
+    * selection a retrieval-augmented or dataset-sampling pipeline
+    * runs after ANN. First pick maximizes λ·sim(q,d) (S empty ⇒
+    * diversity term 0).
+    *
+    * Scale shape: the corpus-sized work is the candidate stage — one
+    * scored pass + TakeOrdered top-C (any ANN tier can stand in for
+    * it). Everything after runs on C rows: the C² pair-sim matrix and
+    * [[MmrK]] chained argmax steps, localCheckpointed once so the
+    * corpus scan isn't replayed per step. Sims round to 6 dp before
+    * the λ-combination and ties break on vec_id, so every pick is
+    * deterministic and SQL-replayable (the oracle unrolls the greedy
+    * loop as CTEs, the q54 fixed-iteration discipline).
+    */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cands = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6)
+          .as("qsim"))
+      .orderBy(desc("qsim"), col("vec_id")).limit(MmrCandidates)
+      .localCheckpoint()
+    val pairs = cands.select(col("vec_id").as("a"), col("v").as("av"),
+        col("nrm").as("an"))
+      .join(cands.select(col("vec_id").as("b"), col("v").as("bv"),
+        col("nrm").as("bn")), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(pairCos(col("av"), col("an"), col("bv"), col("bn")), 6)
+          .as("ps"))
+    val base = cands.select(col("vec_id"), col("qsim"))
+    var selected = base
+      .select(col("vec_id"), col("qsim"),
+        round(col("qsim") * MmrLambda, 6).as("mmr"),
+        lit(1L).as("step"))
+      .orderBy(desc("mmr"), col("vec_id")).limit(1)
+    for (i <- 2 to MmrK) {
+      val next = base
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(pairs, col("vec_id") === col("b"))
+        .join(selected.select(col("vec_id").as("a")), "a")
+        .groupBy(col("vec_id"), col("qsim"))
+        .agg(max(col("ps")).as("ms"))
+        .select(col("vec_id"), col("qsim"),
+          round(col("qsim") * MmrLambda - col("ms") * MmrLambdaC, 6)
+            .as("mmr"),
+          lit(i.toLong).as("step"))
+        .orderBy(desc("mmr"), col("vec_id")).limit(1)
+      // each step references the previous selection three times
+      // (anti-join, pair filter, union) — without truncation the plan
+      // triples per iteration (the iterative-plan blowup the CC loop
+      // documents); the checkpoint is ≤ MmrK rows
+      selected = selected.unionAll(next).localCheckpoint(true)
+    }
+    selected.select(col("step"), col("vec_id"), col("qsim"), col("mmr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_mmr" -> mmrDiversify _,
     "s14_hybrid_rrf" -> hybridRrf _,
     "s15_hard_negatives" -> hardNegatives _,
     "s16_semdedup" -> semDedup _,
@@ -1348,6 +1424,44 @@ object Similarity {
          |  FROM dqt q JOIN dqt e ON e.label = q.label
          |    AND q.vec_id < 20 AND e.vec_id <> q.vec_id)
          |WHERE rk <= 3""".stripMargin
+    },
+    // s17: the greedy MMR loop unrolled as CTEs (the q54
+    // fixed-iteration discipline); each step's selected set is the
+    // union of the previous steps' one-row CTEs
+    "s17_mmr" -> {
+      def sel(i: Int): String =
+        (1 until i).map(j => s"SELECT vec_id FROM m$j").mkString(" UNION ALL ")
+      def step(i: Int): String =
+        s"""m$i AS (
+           |  SELECT vec_id, qsim,
+           |    round(qsim * $MmrLambda - ms * $MmrLambdaC, 6) AS mmr,
+           |    CAST($i AS BIGINT) AS step
+           |  FROM (
+           |    SELECT c.vec_id, c.qsim, MAX(p.ps) AS ms
+           |    FROM cand c JOIN p ON p.b = c.vec_id
+           |      AND p.a IN (${sel(i)})
+           |    WHERE c.vec_id NOT IN (${sel(i)})
+           |    GROUP BY c.vec_id, c.qsim)
+           |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, v,
+         |    round(${cosSql.replace("av", "qv").replace("bv", "v")}, 6)
+         |      AS qsim
+         |  FROM e, q WHERE vec_id <> 0
+         |  ORDER BY qsim DESC, vec_id LIMIT $MmrCandidates),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(${cosSql.replace("av", "a.v").replace("bv", "b.v")}, 6)
+         |      AS ps
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |m1 AS (SELECT vec_id, qsim, round(qsim * $MmrLambda, 6) AS mmr,
+         |    CAST(1 AS BIGINT) AS step
+         |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+         |${(2 to MmrK).map(step).mkString(",\n")}
+         |SELECT step, vec_id, qsim, mmr FROM (
+         |  ${(1 to MmrK).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})""".stripMargin
     },
     "s1_knn_brute" -> knnBruteSql,
     // s9 computes the identical ranking through the bounded-heap

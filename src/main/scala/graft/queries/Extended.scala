@@ -1232,7 +1232,53 @@ object Extended {
         round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  /** q78 — declarative data-quality expectations (the dbt-test /
+    * Deequ posture): a fixed rule set audited in ONE scan per table,
+    * one output row per rule with (rows checked, violations). Row
+    * rules compile to `sum(case)` inside a single aggregate — adding a
+    * rule adds a column, never a pass; a NULL predicate counts as a
+    * violation (unknown ≠ pass). The uniqueness rule rides the same
+    * aggregate via count − count_distinct; the FK rule is the one
+    * extra shape — a left-anti count against the referenced key set
+    * (broadcast when the dimension is small, shuffle-keyed otherwise).
+    * At 100 TB the audit cost is the table scans it already shares
+    * with ingest, not per-rule passes.
+    */
+  def q78Expectations(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def viol(pred: Column): Column =
+      sum(when(pred, 0L).otherwise(1L)).cast(LongType)
+    val orows = o.agg(count(lit(1)).cast(LongType).as("n"),
+        viol(col("o_totalprice") > 0).as("v1"),
+        viol(col("o_orderstatus").isin("O", "F", "P")).as("v2"),
+        (count(lit(1)) - count_distinct(col("o_orderkey")))
+          .cast(LongType).as("v3"))
+      .selectExpr("""stack(3,
+        'orders.totalprice_positive', n, v1,
+        'orders.status_domain', n, v2,
+        'orders.orderkey_unique', n, v3) AS (rule, n_checked, n_violations)""")
+    val d = t(s, dir, "documents")
+    val drows = d.agg(count(lit(1)).cast(LongType).as("n"),
+        viol(length(col("text")) >= 50).as("v1"),
+        viol(col("lang").isin("en", "de", "fr", "es", "zh")).as("v2"),
+        viol(col("n_chars") === length(col("text"))).as("v3"))
+      .selectExpr("""stack(3,
+        'documents.text_min_50', n, v1,
+        'documents.lang_domain', n, v2,
+        'documents.nchars_consistent', n, v3) AS (rule, n_checked, n_violations)""")
+    val li = t(s, dir, "lineitem")
+    val fk = li.agg(count(lit(1)).cast(LongType).as("n"))
+      .crossJoin(broadcast(
+        li.join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).cast(LongType).as("v"))))
+      .select(lit("lineitem.orderkey_fk").as("rule"),
+        col("n").as("n_checked"), col("v").as("n_violations"))
+    orows.unionAll(drows).unionAll(fk)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_expectations"   -> q78Expectations _,
     "q74_skyline"        -> q74Skyline _,
     "q75_ks_test"        -> q75KsTest _,
     "q76_weighted_sample" -> q76WeightedSample _,
@@ -1287,6 +1333,32 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q78: each rule restated as a bare aggregate; NULL predicates
+    // fall to ELSE (violation) in both engines
+    "q78_expectations" ->
+      """SELECT 'orders.totalprice_positive' AS rule,
+        |  CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |  CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_violations FROM orders
+        |UNION ALL SELECT 'orders.status_domain', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1
+        |    END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders.orderkey_unique', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'documents.text_min_50', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN LENGTH(text) >= 50 THEN 0 ELSE 1 END)
+        |    AS BIGINT) FROM documents
+        |UNION ALL SELECT 'documents.lang_domain', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0
+        |    ELSE 1 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'documents.nchars_consistent',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN n_chars = LENGTH(text) THEN 0 ELSE 1 END)
+        |    AS BIGINT) FROM documents
+        |UNION ALL SELECT 'lineitem.orderkey_fk', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey) THEN 0 ELSE 1 END)
+        |    AS BIGINT) FROM lineitem l""".stripMargin,
     // q74's oracle is the brute-force O(n²) dominance definition — a
     // deliberately DIFFERENT algorithm than the engine's bucketed
     // sorted sweep, so an error in the sweep derivation can't cancel

@@ -158,6 +158,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Set(3L))
   }
 
+  // -- q78 expectations -------------------------------------------------------
+
+  test("q78: injected violations are counted exactly, one row per rule, " +
+      "NULL predicate counts as a violation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // orders: one non-positive price, one bad status, one NULL status
+    // (violation), one duplicated key
+    Seq((1L, 1L, "O", 10.0), (2L, 1L, "X", 20.0), (3L, 1L, null, -5.0),
+      (4L, 1L, "F", 30.0), (4L, 1L, "P", 40.0))
+      .map { case (k, c, st, p) => (k, c, st, p, ts, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // documents: one short, one bad lang, one inconsistent n_chars
+    Seq((1L, "x" * 60, "en", "web", 60L), (2L, "short", "en", "web", 5L),
+      (3L, "y" * 55, "xx", "web", 55L), (4L, "z" * 50, "de", "web", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // lineitem: two orphans out of three rows
+    Seq((1L, 99L), (98L, 1L), (99L, 1L)).map { case (ok, pk) =>
+      (ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Extended.q78Expectations(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "orders.totalprice_positive" -> ((5L, 1L)),
+      "orders.status_domain" -> ((5L, 2L)), // 'X' and NULL
+      "orders.orderkey_unique" -> ((5L, 1L)),
+      "documents.text_min_50" -> ((4L, 1L)),
+      "documents.lang_domain" -> ((4L, 1L)),
+      "documents.nchars_consistent" -> ((4L, 1L)),
+      "lineitem.orderkey_fk" -> ((3L, 2L))))
+  }
+
+  test("q78: the shipped tables pass every integrity rule; the length " +
+      "expectation does real work") {
+    val got = Extended.q78Expectations(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("orders.orderkey_unique") == 0L)
+    assert(got("lineitem.orderkey_fk") == 0L)
+    assert(got("documents.lang_domain") == 0L)
+    assert(got("documents.text_min_50") > 0L,
+      "expected at least one short doc in the synthetic corpus")
+  }
+
   // -- t23 PMI ---------------------------------------------------------------
 
   test("t23: a pure collocation scores its analytic PMI, a mixed-context " +

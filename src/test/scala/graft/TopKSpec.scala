@@ -140,4 +140,46 @@ class TopKSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("partial_topk_by"))
   }
+
+  test("s17: the engine's chained selection equals a driver-side greedy " +
+      "MMR replay, and diversity genuinely reorders relevance") {
+    import graft.core.Tables
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = vecs(0L)
+    val cands = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cos(q, v))) }
+      .sortBy { case (id, s) => (-s, id) }.take(Similarity.MmrCandidates)
+    var selected = Vector.empty[(Long, Long, Double, Double)] // step,id,qsim,mmr
+    for (step <- 1 to Similarity.MmrK) {
+      val rem = cands.filterNot(c => selected.exists(_._2 == c._1))
+      val scored = rem.map { case (id, qs) =>
+        val ms =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => r6(cos(vecs(id), vecs(s._2)))).max
+        val mmr =
+          if (selected.isEmpty) r6(qs * Similarity.MmrLambda)
+          else r6(qs * Similarity.MmrLambda - ms * Similarity.MmrLambdaC)
+        (id, qs, mmr)
+      }
+      val pick = scored.minBy { case (id, _, m) => (-m, id) }
+      selected :+= ((step.toLong, pick._1, pick._2, pick._3))
+    }
+    val got = Similarity.mmrDiversify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toVector
+    assert(got == selected)
+    // the diversity term does real work: the MMR picks differ from the
+    // plain relevance top-k (else the fixture can't detect regressions)
+    val topk = cands.take(Similarity.MmrK).map(_._1).toSet
+    assert(got.map(_._2).toSet != topk,
+      "MMR selection degenerate: identical to relevance top-k")
+  }
 }
