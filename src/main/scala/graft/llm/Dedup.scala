@@ -599,13 +599,38 @@ object Dedup {
     * by ascending df is what makes the prefix rare). The rarest-token
     * election is a groupBy-min over (doc, token-hash, df) structs —
     * no window. Shuffles carry (long, long) rows; the full hashed
-    * token arrays join in only for the O(candidates) subset verify.
-    * Known hazard at 100 TB: a head token that is some doc's rarest
-    * (tiny-vocab shards) concentrates its posting list — the
-    * [[MaxBucket]] cap/salt treatment applies to the posting join.
+    * token arrays join in only for the O(candidates) subset verify,
+    * and candidates are prefiltered first on narrow (size, 64-bit
+    * signature) metadata — `sigA & ~sigB ≠ 0` PROVES non-containment
+    * (every token of a subset sets a bit its container also sets), so
+    * the signature drop is exact-safe at any scale and kills most of
+    * the candidate stream before any array ships.
+    *
+    * REGIME-AWARE like d15: rarest-token blocking presumes a large
+    * dictionary. On a tiny dictionary (≤ [[ContainDenseVocabMax]]
+    * distinct tokens — the synthetic corpus, enum-like columns) every
+    * token is common, the rarest posting list approaches |corpus|,
+    * and the posting plan degenerates to ~n²/64 candidates that each
+    * pay an array verify. But a dictionary that fits one machine word
+    * makes containment pure 64-bit SET ALGEBRA: assign each vocab
+    * token a bit, OR each doc's bits into one long, and A ⊆ B ⟺
+    * `maskA & ~maskB = 0` — exact (one bit per distinct token, no
+    * collisions), no posting lists, no arrays, one codegen long-op
+    * per ordered pair. The regime probe is one O(1)-result aggregate
+    * (a deployment reads it from catalog stats).
+    *
+    * Known hazard at 100 TB in the sparse regime: a head token that
+    * is some doc's rarest (small-vocab shards) concentrates its
+    * posting list — the [[MaxBucket]] cap/salt treatment applies to
+    * the posting join.
     */
   def containmentJoin(s: SparkSession, dir: String): DataFrame =
     containmentJoinOf(spreadIfNarrow(Tables.load(s, dir, "documents")))
+
+  /** Dictionaries at or under this size run containment as exact
+    * single-long bitset algebra (see [[containmentJoin]]).
+    */
+  val ContainDenseVocabMax = 64L
 
   /** [[containmentJoin]] over an arbitrary (doc_id, text) frame — the
     * spec entry point for hand-built fixtures.
@@ -619,6 +644,44 @@ object Dedup {
           .as("hs"))
       .withColumn("n", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.select(explode(col("hs")).as("h"))
+      .agg(countDistinct(col("h"))).head().getLong(0)
+    val out = (if (vocab <= ContainDenseVocabMax) containDense(toks)
+               else containSparse(toks))
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
+  /** Dense regime: exact bitset containment over a ≤ 64-token
+    * dictionary. The vocab table is ≤ 64 rows (its window sort is on
+    * pruning metadata, not data); the pair test is one AND-NOT per
+    * ordered pair, broadcast like the d16 sketch join.
+    */
+  private[graft] def containDense(toks: DataFrame): DataFrame = {
+    val w = Window.orderBy("h")
+    val vocab = toks.select(explode(col("hs")).as("h")).distinct()
+      .withColumn("bit", (row_number().over(w) - 1))
+    val masks = toks.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(vocab), "h")
+      .groupBy("doc_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("m"))
+    val cores = toks.sparkSession.sparkContext.defaultParallelism
+    masks.select(col("doc_id").as("id_a"), col("m").as("ma"))
+      .repartition(cores)
+      .join(broadcast(masks.select(col("doc_id").as("id_b"),
+          col("m").as("mb"))),
+        col("id_a") =!= col("id_b") && expr("(ma & ~mb) = 0"))
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"),
+        min(col("id_b")).as("min_container"))
+  }
+
+  /** Sparse regime: rarest-token blocking, then the (size, signature)
+    * prefilter on narrow metadata, then the array subset verify on
+    * what survives.
+    */
+  private[graft] def containSparse(toks: DataFrame): DataFrame = {
     val posts = toks.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = posts.join(dfreq, "h")
@@ -629,19 +692,26 @@ object Dedup {
         posts.select(col("doc_id").as("id_b"), col("h")),
         col("rh") === col("h") && col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
-    val out = cand
-      .join(toks.select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
-        col("n").as("na")), "id_a")
-      .join(toks.select(col("doc_id").as("id_b"), col("hs").as("hs_b"),
-        col("n").as("nb")), "id_b")
-      .filter(col("na") <= col("nb") &&
-        size(array_except(col("hs_a"), col("hs_b"))) === 0)
+    val meta = toks.select(col("doc_id"), col("n"),
+      expr("aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> " +
+        "acc | shiftleft(CAST(1 AS BIGINT), CAST(pmod(x, 64) AS INT)))")
+        .as("sig"))
+    val survivors = cand
+      .join(meta.select(col("doc_id").as("id_a"), col("n").as("na"),
+        col("sig").as("sa")), "id_a")
+      .join(meta.select(col("doc_id").as("id_b"), col("n").as("nb"),
+        col("sig").as("sb")), "id_b")
+      .filter(col("na") <= col("nb") && expr("(sa & ~sb) = 0"))
+      .select("id_a", "id_b")
+    survivors
+      .join(toks.select(col("doc_id").as("id_a"), col("hs").as("hs_a")),
+        "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("hs").as("hs_b")),
+        "id_b")
+      .filter(size(array_except(col("hs_a"), col("hs_b"))) === 0)
       .groupBy(col("id_a").as("doc_id"))
       .agg(count(lit(1)).as("n_containers"),
         min(col("id_b")).as("min_container"))
-      .localCheckpoint(true)
-    toks.unpersist()
-    out
   }
 
   // -- d8: dedup cluster resolution ----------------------------------------

@@ -712,6 +712,71 @@ class LlmSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L))
   }
 
+  test("d17: dense and sparse regimes agree with each other and with a " +
+      "brute subset check on a >64-token corpus (sparse dispatch), and " +
+      "the tiny-vocab corpus dispatches dense") {
+    import spark.implicits._
+    // 80-word vocabulary → past ContainDenseVocabMax, so the public
+    // entry point takes the SPARSE path; nested suffix chains + shared
+    // rare tails exercise blocking, signature, and verify stages
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 80).map(i => s"w$i")
+    val docs = (0 until 120).map { i =>
+      val k = 2 + rnd.nextInt(10)
+      val base = rnd.shuffle(vocab).take(k)
+      (i.toLong, base.mkString(" "))
+    } ++ Seq(
+      (200L, "w0 w1 w2 w3 w4 w5"),
+      (201L, "w0 w1 w2"), // ⊂ 200
+      (202L, "w2 w1 w0")) // same set as 201
+    val df = docs.toDF("doc_id", "text")
+    def brute(ds: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      val sets = ds.map { case (id, t) =>
+        id -> t.toLowerCase.trim.split("\\s+").toSet }.toMap
+      sets.keys.flatMap { a =>
+        val cs = sets.keys.filter(b => b != a && sets(a).subsetOf(sets(b)))
+        if (cs.isEmpty) None
+        else Some(a -> ((cs.size.toLong, cs.min)))
+      }.toMap
+    }
+    val expect = brute(docs)
+    def collectMap(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // 80 > ContainDenseVocabMax → the public dispatch takes the
+    // posting plan (the bitset plan would alias bits past 64 and is
+    // correctly not chosen)
+    assert(collectMap(Dedup.containmentJoinOf(df)) == expect)
+    // the two regime plans, called directly, agree with the brute
+    // check on corpora inside their own domains: sparse here, dense on
+    // the ≤64-token slice of the same fixture (drop the w64+ docs)
+    def toksOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+          array_distinct(transform(
+            graft.llm.TextAnalysis.tokens(lower(col("text"))),
+            t => xxhash64(t))).as("hs"))
+        .withColumn("n", size(col("hs")))
+    assert(collectMap(Dedup.containSparse(toksOf(df))) == expect)
+    val small = docs.filter { case (_, t) =>
+      t.split(" ").forall(w => w.drop(1).toInt < 64) }
+    assert(small.size >= 20, "fixture degenerate: too few ≤64-vocab docs")
+    assert(collectMap(Dedup.containDense(toksOf(
+      small.toDF("doc_id", "text")))) == brute(small))
+    // the sparse plan's fingerprint is the array verify; the dense
+    // plan has none (pure bitset algebra)
+    assert(Dedup.containSparse(toksOf(df)).queryExecution.optimizedPlan
+      .toString.contains("array_except"))
+    assert(!Dedup.containDense(toksOf(df)).queryExecution.optimizedPlan
+      .toString.contains("array_except"))
+    // the shipped corpus sits in the dense regime (the dispatch probe's
+    // precondition — containmentJoin on it runs the bitset plan)
+    val realVocab = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    assert(realVocab <= Dedup.ContainDenseVocabMax)
+  }
+
   test("s15: negatives sit in the semi-hard band and never share the " +
       "query's label") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
