@@ -1005,7 +1005,41 @@ object TextAnalysis {
   /** Bigram count floor for t23 — rare pairs have unstable PMI. */
   val PmiMinCount = 5L
 
+  // -- t24: tokenizer fertility by language ---------------------------------
+
+  /** t24 — tokenizer fertility per language: BPE tokens per
+    * whitespace word (`fertility`) and characters per BPE token
+    * (`chars_per_token`) under the t15-trained merges, grouped by the
+    * document language — the standard tokenizer-equity audit (a
+    * tokenizer trained on one language's corpus fragments the others;
+    * fertility is how that shows up in training cost and context use).
+    *
+    * Scale shape: rides t16's per-doc counts (merges fold over the
+    * DISTINCT word table, counts join back to the word stream), plus
+    * one map-side character count per doc; the final aggregate is
+    * |languages| fixed-width rows. All sums are exact longs; each
+    * ratio is one division rounded at output.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = bpeTokenCounts(s, dir)
+    val langs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+          .cast(LongType).as("nc"))
+    perDoc.join(langs, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast(LongType).as("n_words"),
+        sum(col("n_bpe")).cast(LongType).as("n_bpe"),
+        sum(col("nc")).cast(LongType).as("n_chars"),
+        round(sum(col("n_bpe")).cast("double") /
+          sum(col("n_words")).cast("double"), 6).as("fertility"),
+        round(sum(col("nc")).cast("double") /
+          sum(col("n_bpe")).cast("double"), 6).as("chars_per_token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_fertility" -> bpeFertility _,
     "t23_pmi" -> pmiCollocations _,
     "t15_bpe_merges" -> bpeMerges _,
     "t16_bpe_tokens" -> bpeTokenCounts _,
@@ -1179,6 +1213,37 @@ object TextAnalysis {
          |FROM (SELECT * FROM dw WHERE length(word) > 0) d
          |JOIN voc v USING (word)
          |GROUP BY 1""".stripMargin
+    },
+    // t24: t16's per-doc chain + a per-doc character count, grouped by
+    // language; exact long sums, one rounded division per ratio
+    "t24_fertility" -> {
+      s"""WITH ${bpeChainCte(BpeMergeCount)},
+         |voc AS (SELECT replace(w, ' ', '') AS word,
+         |    len(string_split(trim(w), ' ')) AS ns
+         |  FROM w$BpeMergeCount),
+         |dw AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |  FROM documents),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(v.ns) AS BIGINT) AS n_bpe
+         |  FROM (SELECT * FROM dw WHERE length(word) > 0) d
+         |  JOIN voc v USING (word)
+         |  GROUP BY 1),
+         |langs AS (SELECT doc_id, lang,
+         |    CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))
+         |      AS BIGINT) AS nc
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  round(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE), 6)
+         |    AS chars_per_token
+         |FROM perdoc JOIN langs USING (doc_id)
+         |GROUP BY lang""".stripMargin
     },
     // t8: same smoothed-idf arithmetic (ln((N+1)/(df+1)) + 1), ranked
     // on the rounded score with a term tiebreak for a deterministic cut

@@ -1277,7 +1277,62 @@ object Extended {
     orows.unionAll(drows).unionAll(fk)
   }
 
+  /** q79 — entity resolution: customers within a nation whose names
+    * are within edit distance 1 resolve to one entity (the smallest
+    * member id), transitively closed — the match → cluster → canonical
+    * pipeline of the ER literature (Fellegi–Sunter shaped match rule,
+    * survivorship by min id).
+    *
+    * Blocking is the FastSS deletion-variant trick (Bocek et al.
+    * 2007), EXACT for the lev ≤ 1 rule: two strings at edit distance
+    * ≤ 1 always share a member of {full string} ∪ {all 1-deletions}
+    * (equal → full; substitution at i → both i-deletions; insertion →
+    * the shorter string itself), so the equi-join on (nation, variant)
+    * is a complete candidate generator with ~(len+1) short rows per
+    * record and no n² anywhere — sharing a variant is necessary, not
+    * sufficient, so candidates still pass the exact levenshtein
+    * verify. Transitive closure is the d8 pointer-jumping CC (its
+    * oracle form is the same recursive reachability CTE). Shuffles
+    * carry (nation, short-string) then (long, long) rows only.
+    */
+  def q79EntityResolution(s: SparkSession, dir: String): DataFrame =
+    entityResolutionOf(t(s, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("nm"),
+      col("c_nationkey").as("nat")))
+
+  /** The q79 core over an arbitrary (id, nm, nat) frame — spec entry
+    * point for typo fixtures.
+    */
+  private[graft] def entityResolutionOf(c: DataFrame): DataFrame = {
+    val dels = transform(sequence(lit(1), length(col("nm"))),
+      i => concat(col("nm").substr(lit(1), i - lit(1)),
+        col("nm").substr(i + lit(1), length(col("nm")))))
+    val vars = c.select(col("id"), col("nat"),
+      explode(concat(array(col("nm")), dels)).as("v"))
+    val cand = vars.select(col("id").as("ia"), col("nat"), col("v"))
+      .join(vars.select(col("id").as("ib"), col("nat"), col("v")),
+        Seq("nat", "v"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    val names = c.select(col("id"), col("nm"))
+    val edges = cand
+      .join(names.select(col("id").as("ia"), col("nm").as("na")), "ia")
+      .join(names.select(col("id").as("ib"), col("nm").as("nb")), "ib")
+      .filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("ia"), col("ib"))
+    val lbl = graft.llm.Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("id"), col("cluster_id").as("ent"))
+    val resolved = c.select(col("id"))
+      .join(lbl, Seq("id"), "left")
+      .select(col("id").as("c_custkey"),
+        coalesce(col("ent"), col("id")).as("entity_id"))
+    val w = Window.partitionBy("entity_id")
+    resolved.select(col("c_custkey"), col("entity_id"),
+      count(lit(1)).over(w).as("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_entity_resolution" -> q79EntityResolution _,
     "q78_expectations"   -> q78Expectations _,
     "q74_skyline"        -> q74Skyline _,
     "q75_ks_test"        -> q75KsTest _,
@@ -1333,6 +1388,31 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q79: brute O(n²) match pairs (independent of the engine's
+    // deletion-variant blocking) + the d8 recursive reachability
+    // closure for the transitive cluster
+    "q79_entity_resolution" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nat
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id
+        |  WHERE levenshtein(a.nm, b.nm) <= 1),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |r AS (SELECT id AS node, id AS reach FROM nodes
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |lbl AS (SELECT node, MIN(reach) AS ent FROM r GROUP BY node),
+        |res AS (SELECT c.id AS c_custkey,
+        |    COALESCE(l.ent, c.id) AS entity_id
+        |  FROM c LEFT JOIN lbl l ON l.node = c.id)
+        |SELECT c_custkey, entity_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT)
+        |    AS n_members
+        |FROM res""".stripMargin,
     // q78: each rule restated as a bare aggregate; NULL predicates
     // fall to ELSE (violation) in both engines
     "q78_expectations" ->

@@ -207,6 +207,91 @@ class AnalyticsSpec extends SparkSpec {
       "expected at least one short doc in the synthetic corpus")
   }
 
+  // -- t24 tokenizer fertility -------------------------------------------------
+
+  test("t24: per-language ratios recompute exactly from the t16 per-doc " +
+      "counts, and fertility is non-degenerate across languages") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perDoc = graft.llm.TextAnalysis.bpeTokenCounts(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.replaceAll("\\s+", "").length.toLong))
+    val expect = docs.filter(d => perDoc.contains(d._1)).groupBy(_._2)
+      .map { case (lang, g) =>
+        val (w, b) = (g.map(d => perDoc(d._1)._1).sum,
+          g.map(d => perDoc(d._1)._2).sum)
+        val nc = g.map(_._3).sum
+        lang -> ((g.length.toLong, w, b, nc,
+          r6(b.toDouble / w), r6(nc.toDouble / b)))
+      }
+    val got = graft.llm.TextAnalysis.bpeFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got == expect)
+    // the audit does real work: languages don't all share one ratio
+    assert(got.values.map(_._5).toSet.size > 1,
+      "fertility identical across languages — fixture degenerate")
+  }
+
+  // -- q79 entity resolution --------------------------------------------------
+
+  test("q79: typo clusters resolve transitively to the min id, blocking " +
+      "respects nations, and clean singletons stay their own entity") {
+    // chain: smith → smyth → smythe (no direct smith↔smythe edge,
+    // distance 2 — only the transitive closure links them); jon/john
+    // (insertion); same name in ANOTHER nation must NOT merge
+    val rows = Seq(
+      (10L, "smith", 1), (11L, "smyth", 1), (12L, "smythe", 1),
+      (20L, "jon", 2), (21L, "john", 2),
+      (30L, "smith", 3), // same name, different nation — no merge
+      (40L, "zu", 1)) // singleton
+    val df = rows.toDF("id", "nm", "nat")
+    val got = Extended.entityResolutionOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) == ((10L, 3L)) && got(11L) == ((10L, 3L)) &&
+      got(12L) == ((10L, 3L)), s"typo chain: $got")
+    assert(got(20L) == ((20L, 2L)) && got(21L) == ((20L, 2L)))
+    assert(got(30L) == ((30L, 1L)), "cross-nation merge leaked")
+    assert(got(40L) == ((40L, 1L)))
+  }
+
+  test("q79: the variant blocking is complete — engine pairs equal the " +
+      "brute lev<=1 pairs on the real table") {
+    val c = graft.core.Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // brute entity ids via union-find over the same match rule
+    val parent = scala.collection.mutable.Map(c.map(x => x._1 -> x._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      (ia, na, ta) <- c; (ib, nb, tb) <- c
+      if ia < ib && ta == tb && lev(na, nb) <= 1
+    } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = c.map(x => x._1 -> find(x._1)).toMap
+    val got = Extended.q79EntityResolution(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(expect.values.toSet.size < c.length,
+      "fixture degenerate: no multi-member entity on the real table")
+  }
+
   // -- t23 PMI ---------------------------------------------------------------
 
   test("t23: a pure collocation scores its analytic PMI, a mixed-context " +
