@@ -1331,7 +1331,37 @@ object Extended {
       count(lit(1)).over(w).as("n_members"))
   }
 
+  /** q80 — the ranking-window family over (status, price): rank,
+    * dense_rank, percent_rank, cume_dist, ntile(4), and the
+    * full-frame first/last values, all on one deterministic order
+    * (price, orderkey — the unique tiebreak that makes every rank
+    * engine-portable). percent_rank/cume_dist are ratios of exact
+    * integer ranks, rounded only at output.
+    *
+    * Scale note: o_orderstatus has 3 values, so these partitions are
+    * corpus-sized — fine for demonstrating SEMANTICS at test SF, but
+    * at 100 TB a global rank inside a 3-value partition is the q44
+    * anti-pattern: rank against a percentile cut (q44's two-pass
+    * bucket count) or partition by a high-cardinality key instead.
+    */
+  def q80RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      rank().over(w).cast(LongType).as("rk"),
+      dense_rank().over(w).cast(LongType).as("drk"),
+      round(percent_rank().over(w), 6).as("prk"),
+      round(cume_dist().over(w), 6).as("cd"),
+      ntile(4).over(w).cast(LongType).as("nt"),
+      first(col("o_orderkey")).over(full).as("first_key"),
+      last(col("o_orderkey")).over(full).as("last_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_rank_family"    -> q80RankFamily _,
     "q79_entity_resolution" -> q79EntityResolution _,
     "q78_expectations"   -> q78Expectations _,
     "q74_skyline"        -> q74Skyline _,
@@ -1388,6 +1418,23 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q80: the same deterministic (price, key) order; percent_rank and
+    // cume_dist are integer-rank ratios, identical after round(6)
+    "q80_rank_family" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS nt,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  last_value(o_orderkey) OVER wf AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     // q79: brute O(n²) match pairs (independent of the engine's
     // deletion-variant blocking) + the d8 recursive reachability
     // closure for the transitive cluster
