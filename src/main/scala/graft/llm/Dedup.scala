@@ -1461,11 +1461,16 @@ object Dedup {
     val sums = (0 until ApssSketchDims).map(j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, col("u"))
         .otherwise(-col("u"))).as(s"r$j"))
+    // one row per doc (K doubles) — checkpoint so the probe and the
+    // broadcast side don't each replay the sketch aggregation and the
+    // whole upstream tokenize/tf/df pipeline (the uncut plan ran that
+    // subtree four times)
     val rv = state.groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
         array((0 until ApssSketchDims).map(j => col(s"r$j")): _*).as("rv"))
       .withColumn("rn",
         sqrt(graft.functions.VectorFunctions.vecDot(col("rv"), col("rv"))))
+      .localCheckpoint(true)
     val shDot = graft.functions.VectorFunctions.vecDot(col("rva"), col("rvb"))
     val cores = state.sparkSession.sparkContext.defaultParallelism
     rv.select(col("doc_id").as("da"), col("rv").as("rva"), col("rn").as("rna"))
@@ -1477,7 +1482,9 @@ object Dedup {
   }
 
   private[graft] def apssApproxOf(docs: DataFrame): DataFrame = {
-    val state = apssState(docs)
+    // the state feeds the sketch aggregation AND both verify sides —
+    // materialize it once ((doc, term) fixed-width rows)
+    val state = apssState(docs).localCheckpoint(true)
     apssVerify(state, apssSketchCandidates(state))
   }
 
