@@ -303,7 +303,135 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  // -- m5: perceptual near-dup ----------------------------------------------
+
+  /** m5 band layout: 60-bit signatures split into 6 bands of 10 bits;
+    * by pigeonhole any pair within hamming [[PhashMaxHamming]] = 5
+    * shares at least one exact band. 60 bits because that is the
+    * portable hash width ([[graft.llm.TextAnalysis.hash60]]), so the
+    * real-pixel and fallback signatures share one band layout.
+    */
+  val PhashBands = 6
+  val PhashBandBits = 10
+  val PhashMaxHamming = 5
+
+  /** 60-bit average-hash of a decoded image: luminance means over a
+    * fixed 10×6 grid, bit j set iff cell j's mean exceeds the grid
+    * mean — the classic aHash with the grid sized to the engine's
+    * 60-bit hash width. Downscale-invariant by construction (the
+    * block means ARE the resize), and robust to small local edits:
+    * a patch flips only the cells it covers.
+    */
+  private[graft] def pixelAHash60(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = Array.ofDim[Long](60)
+    val cnts = Array.ofDim[Long](60)
+    var y = 0
+    while (y < h) {
+      val cy = y * 6 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 10 / w
+        val p = img.getRGB(x, y)
+        val i = cy * 10 + cx
+        sums(i) += ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+          (p & 0xff) * 114L
+        cnts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(60)(i =>
+      if (cnts(i) == 0) 0.0 else sums(i).toDouble / cnts(i))
+    val avg = means.sum / 60
+    (0 until 60).foldLeft(0L)((acc, i) =>
+      if (means(i) > avg) acc | (1L << i) else acc)
+  }
+
+  private def tryPixelAHash(r: MediaRow): Option[Long] =
+    if (r.kind != "image" || r.payload == null ||
+      !looksLikeImage(r.payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None else Some(pixelAHash60(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-media 60-bit perceptual signature: the REAL [[pixelAHash60]]
+    * when an image payload decodes; otherwise the d4 SimHash machinery
+    * over the payload's UTF-8 text at the full 60-bit hash width — the
+    * content-shaped fallback that keeps the m5 query deterministic and
+    * SQL-replayable on the text-payload fixture (real decodes are
+    * spec-pinned on genuine PNG bytes). Decode runs once per row in a
+    * partition-batched pass; the checkpointed scan is (id, kind, flag,
+    * sig-or-payload), consumed by the two signature branches.
+    */
+  def mediaPhashOf(media: Dataset[MediaRow]): DataFrame = {
+    val sp = media.sparkSession
+    graft.functions.HashFunctions.register(sp)
+    import sp.implicits._
+    val scanned = media.mapPartitions(_.map { r =>
+      val ph = tryPixelAHash(r)
+      (r.media_id, r.kind, ph.isDefined, ph.getOrElse(0L),
+        if (ph.isDefined) null else r.payload)
+    }).toDF("media_id", "kind", "decoded", "psig", "payload")
+      .localCheckpoint(true)
+    val real = scanned.filter(col("decoded"))
+      .select(col("media_id"), col("kind"), col("psig").as("sig"))
+    val sums = (0 until 60).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val fallback = scanned
+      .filter(!col("decoded") && col("payload").isNotNull)
+      .select(col("media_id"), col("kind"),
+        explode(TextAnalysis.tokens(decode(col("payload"), "UTF-8")))
+          .as("tok"))
+      .select(col("media_id"), col("kind"),
+        TextAnalysis.hash60(col("tok")).as("hv"))
+      .groupBy("media_id", "kind").agg(sums.head, sums.tail: _*)
+      .select(col("media_id"), col("kind"),
+        (0 until 60).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+    real.unionByName(fallback)
+  }
+
+  /** m5 — perceptual near-dup media pairs within a kind: signatures
+    * band into [[PhashBands]]×[[PhashBandBits]]-bit slices; pigeonhole
+    * makes equal-(kind, band) buckets a complete candidate generator
+    * for hamming ≤ [[PhashMaxHamming]], then the exact popcount filter
+    * keeps true matches — the d5 machinery at the 60-bit width, with
+    * the same oversized-bucket star-link guard.
+    */
+  def mediaPhashPairsOf(media: Dataset[MediaRow],
+      maxBucket: Int = 1000): DataFrame = {
+    val sh = mediaPhashOf(media)
+    val banded = sh.select(col("media_id"), col("kind"), col("sig"),
+        posexplode(array((0 until PhashBands).map(b =>
+          shiftright(col("sig"), b * PhashBandBits)
+            .bitwiseAND((1 << PhashBandBits) - 1)): _*)))
+      .toDF("media_id", "kind", "sig", "band_idx", "band_val")
+    banded
+      .groupBy("kind", "band_idx", "band_val")
+      .agg(array_sort(collect_list(struct(col("media_id"), col("sig"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("kind"), col("ds"), posexplode(col("ds")))
+      .filter(size(col("ds")) <= maxBucket || col("pos") === 0)
+      .select(col("kind"), col("col.media_id").as("id_a"),
+        col("col.sig").as("sig_a"),
+        explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("o"))
+      .select(col("kind"), col("id_a"), col("o.media_id").as("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("o.sig"))).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+  }
+
+  def mediaPhashPairs(s: SparkSession, dir: String): DataFrame =
+    mediaPhashPairsOf(mediaTable(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_media_phash" -> mediaPhashPairs _,
     "m1_binary_meta" -> binaryMeta _,
     "m2_media_process" -> mediaProcess _,
     "m3_media_dedup" -> mediaDedup _,
@@ -311,6 +439,43 @@ object Multimodal {
       mediaChunkDedup(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    // m5: on the text-payload fixture every row takes the fallback
+    // path, so the whole chain replays — the d4/d5 SQL at 60 bits with
+    // 6×10-bit bands and the same star-link guard
+    "m5_media_phash" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    text FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT media_id, kind,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM m),
+         |h AS (SELECT media_id, kind,
+         |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM tk),
+         |bsum AS (SELECT media_id, kind, j,
+         |  SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+         |  GROUP BY 1, 2, 3),
+         |sh AS (SELECT media_id, kind,
+         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+         |    AS sig
+         |  FROM bsum GROUP BY 1, 2),
+         |banded AS (SELECT media_id, kind, sig, b AS band_idx,
+         |  (sig >> (b * $PhashBandBits)) & ${(1 << PhashBandBits) - 1}
+         |    AS band_val
+         |  FROM sh CROSS JOIN (
+         |    SELECT unnest(generate_series(0, ${PhashBands - 1})) AS b)),
+         |bsz AS (SELECT kind, band_idx, band_val, COUNT(*) AS n,
+         |    MIN(media_id) AS rep
+         |  FROM banded GROUP BY 1, 2, 3)
+         |SELECT DISTINCT x.kind, x.media_id AS id_a, y.media_id AS id_b,
+         |  bit_count(xor(x.sig, y.sig)) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.kind = y.kind AND x.band_idx = y.band_idx
+         |  AND x.band_val = y.band_val AND x.media_id < y.media_id
+         |JOIN bsz ON bsz.kind = x.kind AND bsz.band_idx = x.band_idx
+         |  AND bsz.band_val = x.band_val
+         |WHERE bit_count(xor(x.sig, y.sig)) <= $PhashMaxHamming
+         |  AND (bsz.n <= 1000 OR x.media_id = bsz.rep)""".stripMargin,
     // m4: character-based slicing on both engines (see the Spark-side
     // note); `//` is DuckDB's BIGINT floor division = Spark's `div`
     "m4_media_chunkdup" ->

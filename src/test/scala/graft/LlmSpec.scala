@@ -1150,4 +1150,47 @@ class LlmSpec extends SparkSpec {
       .map(f => f.media_id -> ((f.width, f.height, f.checksum))).toMap
     assert(viaReal == viaStub)
   }
+
+  test("m5: real pixel aHash — a one-cell patch edit lands at hamming 1 " +
+      "and is paired through the banded join; the inverted image is not") {
+    import spark.implicits._
+    def encode(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(80, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 80) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // grid cells are exactly 8×8 px (80/10 × 48/6); left half dark,
+    // right half bright keeps every cell far from the grid mean, so
+    // whitening ONE top-left cell flips exactly one bit
+    def halves(x: Int, y: Int): Int = if (x < 40) 0x101010 else 0xf0f0f0
+    val base = encode(halves)
+    val twin = encode((x, y) =>
+      if (x < 8 && y < 8) 0xffffff else halves(x, y))
+    val inverted = encode((x, y) => if (x < 40) 0xf0f0f0 else 0x101010)
+    def ah(p: Array[Byte]): Long = Multimodal.pixelAHash60(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+    assert(java.lang.Long.bitCount(ah(base) ^ ah(twin)) == 1)
+    assert(java.lang.Long.bitCount(ah(base) ^ ah(inverted)) == 60)
+    // through the full m5 pipeline on a mixed real + fallback frame:
+    // the patched twin pairs with the base, the inverted image doesn't,
+    // and the text-payload rows pair only among their own near-dups
+    val txtA = "alpha beta gamma delta".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", base, base.length.toLong),
+      Multimodal.MediaRow(2L, "image", twin, twin.length.toLong),
+      Multimodal.MediaRow(3L, "image", inverted, inverted.length.toLong),
+      Multimodal.MediaRow(4L, "audio", txtA, txtA.length.toLong),
+      Multimodal.MediaRow(5L, "audio", txtA, txtA.length.toLong))
+    val pairs = Multimodal.mediaPhashPairsOf(rows.toDS().repartition(2))
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    assert(pairs.get((1L, 2L)).contains(1), s"pairs: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs.get((4L, 5L)).contains(0), "identical fallback payloads " +
+      "must pair at hamming 0")
+    assert(!pairs.keys.exists(k => Set(1L, 2L, 3L).contains(k._1) ^
+      Set(1L, 2L, 3L).contains(k._2)), "cross-kind pair leaked")
+  }
 }
