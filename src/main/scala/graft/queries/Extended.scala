@@ -1360,7 +1360,40 @@ object Extended {
       last(col("o_orderkey")).over(full).as("last_key"))
   }
 
+  /** q81 — time-weighted average value per user (TWAP): each event's
+    * value holds until the user's next event, and the average weighs
+    * each segment by its duration — the standard time-series summary
+    * for irregularly sampled signals (a plain AVG over-counts bursts).
+    *
+    * Determinism: values fix to 4-dp DECIMAL before weighting, so the
+    * value·seconds products and their sums are EXACT under any
+    * partial-aggregation order (the q77 discipline); one double
+    * division per user happens at output. Durations use the repo's
+    * second-truncation convention (q19/q20). The window partitions by
+    * user_id — state bounded per key at any scale — and all-zero-span
+    * users (every event in one second) are excluded rather than
+    * returning an engine-specific 0/0.
+    */
+  def q81Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .withColumn("dur", unix_timestamp(lead(col("ts"), 1).over(w)) -
+        unix_timestamp(col("ts")))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur")).cast(LongType).as("total_s"),
+        sum(col("v") * col("dur")).as("wsum"))
+      .filter(col("total_s") > 0)
+      .select(col("user_id"), col("n_segments"), col("total_s"),
+        round(col("wsum").cast("double") / col("total_s").cast("double"), 6)
+          .as("twap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_twap"           -> q81Twap _,
     "q80_rank_family"    -> q80RankFamily _,
     "q79_entity_resolution" -> q79EntityResolution _,
     "q78_expectations"   -> q78Expectations _,
@@ -1418,6 +1451,21 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q81: the q19 second-truncation epoch convention; DECIMAL-exact
+    // weighted sums, one double division per user
+    "q81_twap" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |d AS (SELECT user_id, v,
+        |    CAST(epoch(date_trunc('second', lead(ts, 1) OVER w)) AS BIGINT)
+        |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS dur
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(dur) AS BIGINT) AS total_s,
+        |  round(CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+        |    AS twap
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY user_id HAVING SUM(dur) > 0""".stripMargin,
     // q80: the same deterministic (price, key) order; percent_rank and
     // cume_dist are integer-rank ratios, identical after round(6)
     "q80_rank_family" ->

@@ -207,6 +207,29 @@ class AnalyticsSpec extends SparkSpec {
       "expected at least one short doc in the synthetic corpus")
   }
 
+  // -- q81 TWAP -----------------------------------------------------------------
+
+  test("q81: time-weighted average matches the hand-computed integral; " +
+      "single-event and zero-span users are excluded") {
+    def ev(id: Long, user: Long, sec: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d"),
+        user, "click", v, "{}")
+    // user 1: v=1 for 10s then v=3 for 30s → (10 + 90) / 40 = 2.5; the
+    // last event's value never enters (no following segment)
+    val rows = Seq(
+      ev(1L, 1L, 0, 1.0), ev(2L, 1L, 10, 3.0), ev(3L, 1L, 40, 99.0),
+      ev(4L, 2L, 5, 7.0), // single event — no segment
+      ev(5L, 3L, 8, 1.0), ev(6L, 3L, 8, 2.0)) // zero span
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Extended.q81Twap(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((2L, 40L, 2.5))))
+  }
+
   // -- t24 tokenizer fertility -------------------------------------------------
 
   test("t24: per-language ratios recompute exactly from the t16 per-doc " +
