@@ -1038,7 +1038,48 @@ object TextAnalysis {
           sum(col("n_bpe")).cast("double"), 6).as("chars_per_token"))
   }
 
+  // -- t25: Zipf rank-frequency slope ----------------------------------------
+
+  /** Top-rank cut for the t25 regression. */
+  val ZipfTopR = 100
+
+  /** t25 — Zipf-law audit: ln(frequency) regressed on ln(rank) over
+    * the top-[[ZipfTopR]] corpus terms. Natural language lands near
+    * slope −1 (Zipf 1949); templated or synthetic corpora flatten or
+    * steepen — a one-row corpus-health signal release pipelines track
+    * next to t1/t2.
+    *
+    * Determinism: ranks and frequencies are exact integers; each ln
+    * rounds to 9 dp and FIXES to DECIMAL before the regression sums,
+    * so the five sums are exact under any aggregation order (the
+    * q77/q81 discipline), and the closed form's divisions run once in
+    * doubles at output. The ranking window sorts ≤ [[ZipfTopR]] rows.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(desc("tf"), col("token"))
+    val xy = Tables.load(s, dir, "documents")
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("token")).limit(ZipfTopR)
+      .withColumn("rk", row_number().over(w))
+      .select(
+        round(log(col("rk").cast("double")), 9).cast("decimal(14,9)")
+          .as("x"),
+        round(log(col("tf").cast("double")), 9).cast("decimal(14,9)")
+          .as("y"))
+    val agg = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    agg.select(col("n"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_zipf" -> zipfSlope _,
     "t24_fertility" -> bpeFertility _,
     "t23_pmi" -> pmiCollocations _,
     "t15_bpe_merges" -> bpeMerges _,
@@ -1214,6 +1255,28 @@ object TextAnalysis {
          |JOIN voc v USING (word)
          |GROUP BY 1""".stripMargin
     },
+    // t25: integer ranks/frequencies, 9-dp-fixed ln terms, exact
+    // DECIMAL sums, the q77 closed form with a shared slope tree
+    "t25_zipf" ->
+      s"""WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+         |      '\\s+')) AS token FROM documents)
+         |  GROUP BY token ORDER BY tf DESC, token LIMIT $ZipfTopR),
+         |rk AS (SELECT tf,
+         |    row_number() OVER (ORDER BY tf DESC, token) AS rk FROM tf),
+         |xy AS (SELECT
+         |    CAST(round(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(14,9)) AS x,
+         |    CAST(round(ln(CAST(tf AS DOUBLE)), 9) AS DECIMAL(14,9)) AS y
+         |  FROM rk),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx FROM xy)
+         |SELECT n,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         |    AS intercept
+         |FROM a""".stripMargin,
     // t24: t16's per-doc chain + a per-doc character count, grouped by
     // language; exact long sums, one rounded division per ratio
     "t24_fertility" -> {
