@@ -780,33 +780,47 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    // Loop checkpoints REBUILD the frame from the checkpointed RDD
+    // (one Row conversion per read of a two-long frame): a LogicalRDD
+    // from `localCheckpoint` CARRIES its origin plan's size estimate,
+    // and in a self-join loop that carried estimate SQUARES every pass
+    // — join stats multiply child sizes — so by ~iteration 20 the
+    // sizeInBytes BigInt has millions of digits and the NEXT
+    // checkpoint's stats visitor spends minutes on one multiplication
+    // (q79's long label chains at sf0.1 hung exactly there; d8's
+    // shallow graphs never ran enough passes to expose it). The
+    // rebuild resets the carried estimate to the leaf default, pinning
+    // the per-pass planning cost constant. `underlying` keeps the
+    // checkpoint handle for block release below.
+    case class Snap(df: DataFrame, underlying: DataFrame)
+    def snap(df: DataFrame): Snap = {
+      val c = df.localCheckpoint(true)
+      Snap(c.sparkSession.createDataFrame(c.rdd, c.schema), c)
+    }
+    var labels = snap(nodes.select(col("id"), col("id").as("lbl")))
+    var prevSum = labelSum(labels.df)
     var converged = prevSum == null // empty edge set
     var iter = 0
     while (!converged && iter < maxIter) {
       // materialized once: both sides of the pointer-jump self-join
       // below read it, so without the checkpoint the contraction
       // join+agg would execute twice per pass
-      val contracted = sym.join(labels, sym("dst") === labels("id"))
+      val contracted = snap(sym.join(labels.df, sym("dst") === col("id"))
         .groupBy(sym("src")).agg(min(col("lbl")).as("lbl"))
-        .select(col("src").as("id"), col("lbl"))
-        .localCheckpoint(true)
-      val next = contracted.as("l")
-        .join(contracted.as("j"), col("l.lbl") === col("j.id"), "left")
+        .select(col("src").as("id"), col("lbl")))
+      val next = snap(contracted.df.as("l")
+        .join(contracted.df.as("j"), col("l.lbl") === col("j.id"), "left")
         .select(col("l.id").as("id"),
-          coalesce(col("j.lbl"), col("l.lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
+          coalesce(col("j.lbl"), col("l.lbl")).as("lbl")))
+      val s = labelSum(next.df)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       // the superseded snapshots are dead the moment `next`
       // materializes; release their blocks NOW instead of at the next
       // full GC — N iterations would otherwise hold N label snapshots
       // (plus e/sym) in block-manager memory, evicting useful cache
-      releaseCheckpoint(contracted)
-      releaseCheckpoint(labels)
+      releaseCheckpoint(contracted.underlying)
+      releaseCheckpoint(labels.underlying)
       labels = next
       iter += 1
     }
@@ -815,7 +829,7 @@ object Dedup {
     // checkpoint alone, so their blocks are safe to free here too
     releaseCheckpoint(e)
     releaseCheckpoint(nodes)
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    labels.df.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** The dedup family's terminal artifact: candidate pairs from ALL
