@@ -1322,7 +1322,33 @@ object Similarity {
     selected.select(col("step"), col("vec_id"), col("qsim"), col("mmr"))
   }
 
+  // -- s18: in-engine ANN recall evaluation ----------------------------------
+
+  /** s18 — recall@3 of the s6 LSH tier against the s1 brute ground
+    * truth, computed INSIDE the engine: per query, the fraction of the
+    * exact top-3 the approximate index returned. This is the
+    * evaluation harness every ANN deployment runs on each index
+    * rebuild — here it is a first-class oracle-gated query (the bench
+    * tracks the same number as a float metric; this pins the exact
+    * per-query hit sets). Both retrievals are themselves oracle-pinned
+    * rankings, so the recall join is plain set arithmetic: one
+    * broadcastable ≤(queries·k)-row left join and a per-query count.
+    */
+  def recallLsh(s: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(s, dir).filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val approx = knnLsh(s, dir)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    truth.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
+      .select(col("q_id"), col("k"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_recall_lsh" -> recallLsh _,
     "s17_mmr" -> mmrDiversify _,
     "s14_hybrid_rrf" -> hybridRrf _,
     "s15_hard_negatives" -> hardNegatives _,
@@ -1345,6 +1371,37 @@ object Similarity {
 
   private val cosSql =
     "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
+
+  /** s6's full oracle statement — the same 64 plane constants as
+    * literals, so signatures are bit-identical and the Hamming rank
+    * (hence the candidate set and final ranking) reproduces exactly.
+    * A val so s18's recall oracle can nest it verbatim.
+    */
+  private lazy val knnLshSql = {
+    val sigSql = sigPlanes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, $sigSql AS sig FROM e),
+       |n AS (SELECT CAST(ceil(0.15 * COUNT(*)) AS BIGINT) AS topc FROM e),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY bit_count(xor(e.sig, q.sig)), e.vec_id) AS hr
+       |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id), n
+       |  WHERE hr <= n.topc)
+       |SELECT q_id, vec_id, sim, rk FROM (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+       |        c.vec_id) AS rk
+       |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
+       |    JOIN b q ON q.vec_id = c.q_id)
+       |WHERE rk <= 3""".stripMargin
+  }
 
   private lazy val knnBruteSql =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -1543,34 +1600,18 @@ object Similarity {
          |SELECT node AS vec_id, min(reach) AS cluster_id,
          |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM r GROUP BY node""".stripMargin,
-    "s6_knn_lsh" -> {
-      // the same 64 plane constants as literals — bit-identical
-      // signatures, so the Hamming rank (and therefore the candidate
-      // set and final ranking) is exactly reproducible cross-engine
-      val sigSql = sigPlanes.zipWithIndex.map { case (p, i) =>
-        val lst = p.mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, v, $sigSql AS sig FROM e),
-         |n AS (SELECT CAST(ceil(0.15 * COUNT(*)) AS BIGINT) AS topc FROM e),
-         |cand AS (SELECT q_id, vec_id FROM (
-         |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY bit_count(xor(e.sig, q.sig)), e.vec_id) AS hr
-         |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id), n
-         |  WHERE hr <= n.topc)
-         |SELECT q_id, vec_id, sim, rk FROM (
-         |  SELECT c.q_id, c.vec_id,
-         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
-         |    ROW_NUMBER() OVER (PARTITION BY c.q_id
-         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
-         |        c.vec_id) AS rk
-         |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
-         |    JOIN b q ON q.vec_id = c.q_id)
-         |WHERE rk <= 3""".stripMargin
-    },
+    "s6_knn_lsh" -> knnLshSql,
+    // s18: the two retrievals nest verbatim as CTEs — the recall join
+    // is plain set arithmetic on top of two already-pinned rankings
+    "s18_recall_lsh" ->
+      s"""WITH brute AS ($knnBruteSql),
+         |lsh AS ($knnLshSql)
+         |SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit,
+         |  round(CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM (SELECT * FROM brute WHERE rk <= 3) b
+         |LEFT JOIN lsh l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+         |GROUP BY b.q_id""".stripMargin,
     "s13_knn_jl" -> {
       // the same JlDims Gaussian projection rows as literals — identical
       // sketches, so the rounded reduced-cosine rank (and therefore
