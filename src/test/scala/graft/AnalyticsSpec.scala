@@ -38,6 +38,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == bruteSkyline(pts))
   }
 
+  test("q74: property — bucketed sweep equals brute dominance on random " +
+      "point sets of every shape (ties, duplicates, collinear runs)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // coarse value grids force heavy ties; sizes span empty → hundreds
+    val ptsGen = for {
+      n <- Gen.choose(0, 250)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(0, 12)
+        y <- Gen.choose(0, 12)
+      } yield (x * 25.0 + 900, y + 1))
+    } yield pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val prop = Prop.forAll(ptsGen) { pts =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_skyp").toString
+      pts.toDF("p_partkey", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+      val got = Extended.q74Skyline(spark, tmp).collect()
+        .map(_.getLong(0)).toSet
+      got == bruteSkyline(pts)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q74: result on the real table is a true antichain that dominates " +
       "every non-member") {
     val all = graft.core.Tables.load(spark, sfDir, "part")
