@@ -44,6 +44,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main bpe count <tableDir> <outDir>     // inline train+apply (t16)
   *   graft.cli.Main spans <tableDir> <outDir> [report|cut]      // span dedup
   *   graft.cli.Main split <tableDir> <outDir>   // leakage-free train/val/test
+  *   graft.cli.Main phash-index <tableDir> <sigTable>   // perceptual sigs, stored
+  *   graft.cli.Main phash-check <sigTable> <batchDir> <outDir> // near-dups vs index
   *   graft.cli.Main apss-index <tableDir> <termTable>   // APSS state, stored
   *   graft.cli.Main apss-join  <termTable> <outDir>     // exact join from index
   *   graft.cli.Main bm25-index <tableDir> <table>    // inverted index, stored
@@ -192,6 +194,15 @@ object Main {
     // per-(doc, term) TF-IDF state bucketed by term hash; `apss-join`
     // replays the exact similarity join from the stored table — no
     // tokenization, df aggregation, or window in the plan
+    // perceptual-hash index lifecycle: `phash-index` decodes and
+    // signs the corpus once (banded layout bucketed by band value);
+    // `phash-check` routes a new batch's bands to the stored buckets
+    case Seq("phash-index", in, table) =>
+      graft.llm.Multimodal.writePhashIndex(spark, in, table)
+    case Seq("phash-check", table, in, out) =>
+      graft.llm.Multimodal.phashPairsFromIndex(spark, table,
+          graft.llm.Multimodal.mediaTable(spark, in))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     case Seq("apss-index", in, table) =>
       graft.llm.Dedup.writeApssIndex(spark, in, table)
     case Seq("apss-join", table, out) =>

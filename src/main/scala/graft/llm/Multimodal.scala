@@ -403,14 +403,19 @@ object Multimodal {
     * keeps true matches — the d5 machinery at the 60-bit width, with
     * the same oversized-bucket star-link guard.
     */
-  def mediaPhashPairsOf(media: Dataset[MediaRow],
-      maxBucket: Int = 1000): DataFrame = {
-    val sh = mediaPhashOf(media)
-    val banded = sh.select(col("media_id"), col("kind"), col("sig"),
+  /** The banded signature layout — one row per (media, band); the
+    * shared shape of the in-query pair join and the persisted index.
+    */
+  private def bandedSigs(sh: DataFrame): DataFrame =
+    sh.select(col("media_id"), col("kind"), col("sig"),
         posexplode(array((0 until PhashBands).map(b =>
           shiftright(col("sig"), b * PhashBandBits)
             .bitwiseAND((1 << PhashBandBits) - 1)): _*)))
       .toDF("media_id", "kind", "sig", "band_idx", "band_val")
+
+  def mediaPhashPairsOf(media: Dataset[MediaRow],
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedSigs(mediaPhashOf(media))
     banded
       .groupBy("kind", "band_idx", "band_val")
       .agg(array_sort(collect_list(struct(col("media_id"), col("sig"))))
@@ -429,6 +434,41 @@ object Multimodal {
 
   def mediaPhashPairs(s: SparkSession, dir: String): DataFrame =
     mediaPhashPairsOf(mediaTable(s, dir))
+
+  /** PERSISTS the perceptual signature index — the banded layout
+    * BUCKETED by band value (the LSH-index posture): signatures are
+    * computed (and images decoded) ONCE per corpus release, and an
+    * incremental batch's banded rows route straight to the matching
+    * buckets, so the per-ingest near-dup check is O(batch) with the
+    * stored corpus never re-decoded, re-hashed, or re-shuffled.
+    */
+  def writePhashIndex(s: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit =
+    graft.ops.Partitioning.writeBucketed(
+      bandedSigs(mediaPhashOf(mediaTable(s, dir))), table, "band_val",
+      buckets)
+
+  /** Perceptual near-dup check of a NEW media batch against the
+    * persisted [[writePhashIndex]] table: pairs (new, stored) within
+    * hamming [[PhashMaxHamming]] of the same kind — band-bucket
+    * candidate routing, exact popcount verify, same completeness
+    * pigeonhole as the batch join.
+    */
+  def phashPairsFromIndex(s: SparkSession, table: String,
+      batch: Dataset[MediaRow]): DataFrame = {
+    val nb = bandedSigs(mediaPhashOf(batch))
+    nb.select(col("kind"), col("band_idx"), col("band_val"),
+        col("media_id").as("id_new"), col("sig").as("sig_new"))
+      .join(s.table(table).select(col("kind"), col("band_idx"),
+          col("band_val"), col("media_id").as("id_old"),
+          col("sig").as("sig_old")),
+        Seq("kind", "band_idx", "band_val"))
+      .filter(col("id_new") =!= col("id_old"))
+      .select(col("kind"), col("id_new"), col("id_old"),
+        bit_count(col("sig_new").bitwiseXOR(col("sig_old"))).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_media_phash" -> mediaPhashPairs _,

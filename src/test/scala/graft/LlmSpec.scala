@@ -1193,4 +1193,41 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.keys.exists(k => Set(1L, 2L, 3L).contains(k._1) ^
       Set(1L, 2L, 3L).contains(k._2)), "cross-kind pair leaked")
   }
+
+  test("m5: persisted phash index — a new batch's check against the stored " +
+      "signatures equals the brute new-vs-stored pair set") {
+    import spark.implicits._
+    val table = "phash_idx_spec"
+    graft.ops.Partitioning.dropManaged(spark, table)
+    Multimodal.writePhashIndex(spark, sfDir, table)
+    // batch: one verbatim copy of a stored doc's payload (same kind →
+    // guaranteed hamming-0 hit), one perturbed copy, one noise row
+    val src = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 1 && col("text").isNotNull)
+      .select("doc_id", "text").head()
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    def row(id: Long, text: String) = {
+      val b = text.getBytes("UTF-8")
+      Multimodal.MediaRow(id, "audio", b, b.length.toLong)
+    }
+    val batch = Seq(
+      row(900001L, srcText),
+      row(900002L, srcText.replaceFirst("\\S+", "zzz")),
+      row(900003L, "totally unrelated noise payload qqq"))
+    val got = Multimodal.phashPairsFromIndex(spark, table, batch.toDS())
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    assert(got.get((900001L, srcId)).contains(0), s"verbatim copy: $got")
+    // brute cross-check from the driver-side signatures
+    val stored = Multimodal.mediaPhashOf(Multimodal.mediaTable(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fresh = Multimodal.mediaPhashOf(batch.toDS())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = (for {
+      (ni, nk, ns) <- fresh; (oi, ok, os) <- stored
+      if nk == ok && ni != oi &&
+        java.lang.Long.bitCount(ns ^ os) <= Multimodal.PhashMaxHamming
+    } yield (ni, oi) -> java.lang.Long.bitCount(ns ^ os)).toMap
+    assert(got == brute)
+  }
 }
