@@ -448,6 +448,16 @@ object Multimodal {
       bandedSigs(mediaPhashOf(mediaTable(s, dir))), table, "band_val",
       buckets)
 
+  /** Appends a new batch's banded signatures into the persisted
+    * [[writePhashIndex]] table (positional bucketed `insertInto` — the
+    * BM25-index append posture): per-ingest cost is one decode + sign
+    * pass over the batch plus the append of its ≤ batch×[[PhashBands]]
+    * band rows into the matching buckets.
+    */
+  def appendToPhashIndex(s: SparkSession, batch: Dataset[MediaRow],
+      table: String): Unit =
+    bandedSigs(mediaPhashOf(batch)).write.mode("append").insertInto(table)
+
   /** Perceptual near-dup check of a NEW media batch against the
     * persisted [[writePhashIndex]] table: pairs (new, stored) within
     * hamming [[PhashMaxHamming]] of the same kind — band-bucket

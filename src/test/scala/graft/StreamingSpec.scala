@@ -635,4 +635,55 @@ class StreamingSpec extends SparkSpec {
     assert(merged.length == distinctBigrams)
     assert(IngestKmv.estimate(spark, s"$base/sk") == distinctBigrams.toDouble)
   }
+
+  test("streaming perceptual ingest: each batch flags against the PRIOR " +
+      "index only, later batches see earlier ones, and the index grows " +
+      "by the batches' band rows") {
+    import graft.llm.Multimodal
+    import graft.llm.Multimodal.MediaRow
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_iph").toString
+    val table = "phash_stream_spec"
+    graft.ops.Partitioning.dropManaged(spark, table)
+    Multimodal.writePhashIndex(spark, sfDir, table)
+    val baseRows = spark.table(table).count()
+    // a stored 'audio'-kind doc to copy verbatim (doc_id % 3 == 1)
+    val src = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 1 && col("text").isNotNull)
+      .select("doc_id", "text").head()
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    def row(id: Long, text: String) = {
+      val b = text.getBytes("UTF-8")
+      MediaRow(id, "audio", b, b.length.toLong)
+    }
+    val novel = "a genuinely novel streaming payload qqx wvz unlike others"
+    val mem = MemoryStream[MediaRow]
+    val q = graft.streaming.IngestPhash.run(mem.toDS(), table,
+      s"$base/flags", s"$base/ck")
+    try {
+      mem.addData(row(910001L, srcText), row(910002L, novel))
+      q.processAllAvailable()
+      // batch 2 duplicates batch 1's novel doc — only visible if the
+      // first batch's signatures actually landed in the index
+      mem.addData(row(910003L, novel))
+      q.processAllAvailable()
+    } finally q.stop()
+    def flags(b: Int) = spark.read.parquet(s"$base/flags/batch_id=$b")
+      .select("id_new", "id_old", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val f0 = flags(0)
+    assert(f0.get((910001L, srcId)).contains(0), s"batch-0 flags: $f0")
+    assert(!f0.keys.exists(k => k._2 >= 910000L),
+      "batch-0 flagged against its own members")
+    val f1 = flags(1)
+    assert(f1.get((910003L, 910002L)).contains(0), s"batch-1 flags: $f1")
+    // 3 media rows ingested → 3 × PhashBands band rows appended
+    // (refresh: the pre-ingest count above cached this session's file
+    // listing for the table; the appends themselves were visible to
+    // the in-stream checks, which read through insertInto's refresh)
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() ==
+      baseRows + 3L * Multimodal.PhashBands)
+  }
 }
