@@ -955,8 +955,8 @@ object Curation {
     "c15_dsir_select" ->
       s"""WITH $dsirWeightsOracle,
          |ranked AS (SELECT doc_id, n_toks, imp,
-         |    SUM(n_toks) OVER (ORDER BY imp DESC, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |    CAST(SUM(n_toks) OVER (ORDER BY imp DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
          |  FROM wts)
          |SELECT doc_id, n_toks, imp, cum_toks FROM ranked
          |WHERE cum_toks <= $DsirBudget""".stripMargin,

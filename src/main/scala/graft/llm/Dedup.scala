@@ -1425,6 +1425,28 @@ object Dedup {
     */
   val ApssSketchCut = 0.70
 
+  /** Sign-LSH banding for d16's candidate stage: [[ApssSignBits]]
+    * Rademacher sign bits per doc (SimHash bits of the TF-IDF unit
+    * vector), split into [[ApssSketchBands]] bands of
+    * [[ApssSketchBandBits]] bits; candidates are pairs sharing any
+    * exact band — the d5 pigeonhole, sized for the cosine regime
+    * instead of hamming≤3. At the 0.85 threshold a pair's per-bit
+    * agreement is q = 1 − θ/π ≈ 0.82 nominal (≈0.81 measured on the
+    * fixture's threshold-hugging pairs), so a 16-band × 7-bit scheme
+    * captures 1 − (1 − q⁷)¹⁶ ≈ 0.98 of borderline pairs (more for
+    * anything cleanly above the threshold), while an unrelated pair
+    * lands in a shared bucket with ≤ 16/128 ≈ 12% probability. At
+    * larger n, grow the band width (bits ∝ log n keeps bucket
+    * occupancy flat) and the band count with it — both are knobs
+    * here, not new code. (14×8 over the same 112 projections measured
+    * recall 0.937 at sf0.001 — correct but needlessly close to the
+    * 0.9 floor; 7-bit bands trade ~2× candidate admission for the
+    * recall margin.)
+    */
+  val ApssSketchBands = 16
+  val ApssSketchBandBits = 7
+  val ApssSignBits = ApssSketchBands * ApssSketchBandBits // 112
+
   /** d16 — APPROXIMATE all-pairs cosine: the at-scale fallback for the
     * regime where d15's exact pruning is structurally weak (a
     * homogeneous corpus whose pairs mostly share indexed terms — the
@@ -1434,21 +1456,19 @@ object Dedup {
     * signed-sum aggregate d4's SimHash uses, kept REAL-valued instead
     * of thresholded to bits — computed scan-side in one groupBy.
     * Sketch inner products are unbiased estimators of the true dot
-    * (E[⟨Ra,Rb⟩] = K·⟨a,b⟩ for ±1 projections), so the pair join runs
-    * over K-dim dense sketches regardless of dictionary size, admits
-    * pairs whose ROUNDED sketch cosine clears [[ApssSketchCut]], and
-    * the d15 verify computes exact cosines on the survivors — every
+    * (E[⟨Ra,Rb⟩] = K·⟨a,b⟩ for ±1 projections). Candidates come from
+    * sign-LSH buckets (see [[ApssSketchBands]]) — one shuffle keyed by
+    * (band, byte), never a pair enumeration — each candidate pair must
+    * then clear the ROUNDED sketch-cosine [[ApssSketchCut]], and the
+    * d15 verify computes exact cosines on the survivors — every
     * REPORTED pair is exact; only recall is probabilistic.
     *
     * Scale shape: the sparse→dense collapse is the point — at a
     * million-term dictionary the posting join shuffles Σ df² rows,
-    * while the sketch join moves K doubles per doc and evaluates one
-    * fused 32-dot per pair; when n itself makes the pair loop too big,
-    * band the sketch SIGNS into LSH buckets exactly as d5 does with
-    * these same bits. Measured at sf0.001: candidates drop to ~1/4 of
-    * the pair space at recall 0.994 (the spec's floor is 0.9).
-    * Deterministic end to end (hash-derived signs, rounded cut), so
-    * the oracle replays the full chain.
+    * while the sketch stage moves O(bands) small rows per doc and
+    * evaluates one fused 32-dot per bucket-cohabiting pair. Both the
+    * sign bits and the cut are hash-derived and rounded, so the whole
+    * chain is deterministic and the oracle replays it exactly.
     *
     * Bench framing: on the TEST corpus d16 is slower than d15 —
     * expected, because the 31-term dictionary puts d15 in its dense
@@ -1470,29 +1490,67 @@ object Dedup {
   /** The d16 sketch-admitted candidate pairs over an [[apssState]]
     * frame — exposed so the spec can measure the pruning ratio
     * alongside the recall floor.
+    *
+    * The [[ApssSignBits]] sign projections reuse the sketch's own 32
+    * dims (bit j of `th`, j < 32) and extend with bits 32..55 of `th`
+    * plus bits 0..55 of `th2 = hash60(string(th))` — a second
+    * independent md5 family, replayable in DuckDB from the same
+    * decimal rendering. Every sum is one scan-side partial aggregate;
+    * pair generation is d5's bucket expansion (groupBy band →
+    * collect_list → in-bucket anchored pairs), so NO self-join and no
+    * pair enumeration exists anywhere in the plan. Buckets here are
+    * not capped: an oversized bucket is a cluster of near-identical
+    * docs whose pairs are true output, and dropping them (d5's
+    * star-link guard) would silently cost recall the floor spec pins.
     */
   private[graft] def apssSketchCandidates(state: DataFrame): DataFrame = {
-    val sums = (0 until ApssSketchDims).map(j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, col("u"))
-        .otherwise(-col("u"))).as(s"r$j"))
-    // one row per doc (K doubles) — checkpoint so the probe and the
-    // broadcast side don't each replay the sketch aggregation and the
-    // whole upstream tokenize/tf/df pipeline (the uncut plan ran that
-    // subtree four times)
-    val rv = state.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val signed = state
+      .select(col("doc_id"), col("th"), col("u"))
+      .withColumn("th2",
+        graft.llm.TextAnalysis.hash60(col("th").cast("string")))
+    def signSum(src: Column, j: Int, name: String) =
+      sum(when(shiftright(src, j).bitwiseAND(1) === 1, col("u"))
+        .otherwise(-col("u"))).as(name)
+    val rvSums = (0 until ApssSketchDims).map(j => signSum(col("th"), j, s"r$j"))
+    val xSums = (ApssSketchDims until 56).map(j => signSum(col("th"), j, s"x$j"))
+    val ySums = (0 until 56).map(j => signSum(col("th2"), j, s"y$j"))
+    val allSums = rvSums ++ xSums ++ ySums
+    // fixed projection order: r0..r31, x32..x55, y0..y55 (the oracle
+    // concatenates its lists the same way)
+    val bitSrc: Seq[Column] =
+      (0 until ApssSketchDims).map(j => col(s"r$j")) ++
+        (ApssSketchDims until 56).map(j => col(s"x$j")) ++
+        (0 until 56).map(j => col(s"y$j"))
+    val bandKeys = (0 until ApssSketchBands).map { b =>
+      (0 until ApssSketchBandBits).map(i =>
+        when(bitSrc(b * ApssSketchBandBits + i) > 0,
+          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    }
+    // one row per doc (K doubles + band keys) — checkpoint so the
+    // band explosion doesn't replay the tokenize/tf/df pipeline
+    val rv = signed.groupBy("doc_id").agg(allSums.head, allSums.tail: _*)
       .select(col("doc_id"),
-        array((0 until ApssSketchDims).map(j => col(s"r$j")): _*).as("rv"))
+        array((0 until ApssSketchDims).map(j => col(s"r$j")): _*).as("rv"),
+        array(bandKeys: _*).as("bks"))
       .withColumn("rn",
         sqrt(graft.functions.VectorFunctions.vecDot(col("rv"), col("rv"))))
       .localCheckpoint(true)
     val shDot = graft.functions.VectorFunctions.vecDot(col("rva"), col("rvb"))
-    val cores = state.sparkSession.sparkContext.defaultParallelism
-    rv.select(col("doc_id").as("da"), col("rv").as("rva"), col("rn").as("rna"))
-      .repartition(cores)
-      .join(broadcast(rv.select(col("doc_id").as("db"), col("rv").as("rvb"),
-        col("rn").as("rnb"))), col("da") < col("db"))
+    rv.select(col("doc_id"), col("rv"), col("rn"), posexplode(col("bks")))
+      .toDF("doc_id", "rv", "rn", "band_idx", "band_key")
+      .groupBy("band_idx", "band_key")
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("rv"), col("rn")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col.doc_id").as("da"), col("col.rv").as("rva"),
+        col("col.rn").as("rna"),
+        explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("o"))
+      .select(col("da"), col("o.doc_id").as("db"), col("rva"), col("rna"),
+        col("o.rv").as("rvb"), col("o.rn").as("rnb"))
       .filter(round(shDot / (col("rna") * col("rnb")), 6) >= ApssSketchCut)
       .select("da", "db")
+      .distinct()
   }
 
   private[graft] def apssApproxOf(docs: DataFrame): DataFrame = {
@@ -1667,14 +1725,24 @@ object Dedup {
          |JOIN nrm q ON q.doc_id = db
          |WHERE round(dp / (p.nm * q.nm), 6) >= $ApssThreshold""".stripMargin,
     // d16: the full sketch chain replayed — signed-sum sketches from
-    // the same md5-60 bits, the ROUNDED sketch-cosine cut, exact
-    // verify on survivors (the s13 tie-stability discipline: both
-    // engines compare the 6-dp-rounded estimate to the cut, so the
-    // candidate set reproduces exactly)
+    // the same md5-60 bits, the sign-LSH bands (14×8 over the 112
+    // projections, th bits 0..55 then th2 bits 0..55), the ROUNDED
+    // sketch-cosine cut, exact verify on survivors (the s13
+    // tie-stability discipline: both engines compare the 6-dp-rounded
+    // estimate to the cut, so the candidate set reproduces exactly)
     "d16_apss_sketch" -> {
       val rvList = (0 until ApssSketchDims).map(j =>
         s"SUM(u * CASE WHEN (th >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)")
         .mkString("[", ",\n    ", "]")
+      val xbList = (ApssSketchDims until 56).map(j =>
+        s"SUM(u * CASE WHEN (th >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)")
+        .mkString("[", ",\n    ", "]")
+      val ybList = (0 until 56).map(j =>
+        s"SUM(u * CASE WHEN (th2 >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)")
+        .mkString("[", ",\n    ", "]")
+      val bandKeyExpr = (0 until ApssSketchBandBits).map(i =>
+        s"bits[$ApssSketchBandBits * g.b + ${i + 1}] * ${1L << i}")
+        .mkString(" + ")
       s"""WITH docs AS (SELECT doc_id,
          |    string_split_regex(lower(trim(text)), '\\s+') AS t
          |  FROM documents),
@@ -1691,13 +1759,28 @@ object Dedup {
          |  FROM tf t JOIN dfq k USING (th) CROSS JOIN n),
          |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM wts
          |  GROUP BY 1),
-         |uw AS (SELECT w.doc_id, w.th, w.w, w.w / r.nm AS u
+         |uw AS (SELECT w.doc_id, w.th,
+         |    CAST(('0x' || substr(md5(CAST(w.th AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS th2,
+         |    w.w, w.w / r.nm AS u
          |  FROM wts w JOIN nrm r USING (doc_id)),
-         |rv AS (SELECT doc_id, $rvList AS rv FROM uw GROUP BY doc_id),
-         |rb AS (SELECT doc_id, rv, sqrt(list_dot_product(rv, rv)) AS rn
+         |rv AS (SELECT doc_id, $rvList AS rv,
+         |    $xbList AS xb,
+         |    $ybList AS yb
+         |  FROM uw GROUP BY doc_id),
+         |rb AS (SELECT doc_id, rv, sqrt(list_dot_product(rv, rv)) AS rn,
+         |    list_transform(rv || xb || yb,
+         |      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END) AS bits
          |  FROM rv),
-         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
-         |  FROM rb a JOIN rb b ON a.doc_id < b.doc_id
+         |bnd AS (SELECT doc_id, rv, rn, g.b AS band_idx,
+         |    $bandKeyExpr AS band_key
+         |  FROM rb CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${ApssSketchBands - 1})) AS b)
+         |    AS g),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bnd a JOIN bnd b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
          |  WHERE round(list_dot_product(a.rv, b.rv) / (a.rn * b.rn), 6)
          |    >= $ApssSketchCut),
          |dots AS (SELECT c.da, c.db, SUM(x.w * y.w) AS dp

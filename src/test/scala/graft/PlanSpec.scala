@@ -270,4 +270,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), s"clip must not window the row stream:\n$p")
   }
+
+  test("d16: candidate stage is bucketed — no pair-enumerating join " +
+      "anywhere in the plan") {
+    val p = plan(Dedup.apssApprox(spark, sfDir))
+    // the r11 shape was rv.join(broadcast(rv), da < db): an n²
+    // enumeration planned as a nested-loop join. Banded candidates
+    // come from groupBy(band) + in-bucket expansion, so the only joins
+    // left are the exact-verify equi-joins.
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"`<`-only self-join (the n² candidate loop) is back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

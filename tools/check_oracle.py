@@ -17,6 +17,29 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# Type-lint pre-pass (VERDICT r11 #1): DESCRIBE binds each oracle without
+# executing it; a HUGEINT result column is the exact signature that made
+# t15 (r10) and c15 (r11) red — pandas materializes HUGEINT as float64
+# while Spark emits int64, so the driver hash sees 10.0 vs 10.
+lint_fail = []
+for name, q in sorted(oracle.items()):
+    try:
+        d = con.execute(f"DESCRIBE {q}").df()
+    except Exception as e:
+        lint_fail.append(f"{name}: DESCRIBE error: {str(e)[:120]}")
+        continue
+    for _, r in d.iterrows():
+        if "HUGEINT" in r["column_type"]:
+            lint_fail.append(
+                f"{name}.{r['column_name']}: {r['column_type']} — wrap in "
+                "CAST(... AS BIGINT)")
+if lint_fail:
+    print("TYPELINT failures:")
+    for f in lint_fail:
+        print(f"  {f}")
+    sys.exit(1)
+print(f"TYPELINT: {len(oracle)} oracles clean (no HUGEINT result columns)")
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -45,7 +68,15 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         g.columns = [c.lower() for c in g.columns]
         w.columns = [c.lower() for c in w.columns]
         ok = True
-        if list(g.columns) != list(w.columns):
+        # driver's hash is dtype-sensitive (10 vs 10.0 differ) — reproduce
+        # that locally instead of letting check_dtype=False mask it
+        dtype_clash = [
+            c for c in g.columns if c in w.columns
+            and pd.api.types.is_integer_dtype(g[c].dtype)
+            and pd.api.types.is_float_dtype(w[c].dtype)]
+        if dtype_clash:
+            ok, status = False, f"DTYPE spark int vs oracle float: {dtype_clash}"
+        elif list(g.columns) != list(w.columns):
             ok, status = False, f"SCHEMA got={list(g.columns)} want={list(w.columns)}"
         elif len(g) != len(w):
             ok, status = False, f"ROWS got={len(g)} want={len(w)}"
