@@ -165,8 +165,22 @@ object Bench {
     // matches the quiet-box baseline, and records the achieved ratio so
     // a still-dirty number remains self-identifying.
     val CleanThreshold = 1.3
-    val flagged = results.keySet.toSeq.sorted
-      .filter(n => sentinels.get(n).exists(_ > CleanThreshold))
+    // The CC/curation-heavy family never settles in-JVM: its iterative
+    // cache-and-release loops age the block manager enough that the
+    // in-JVM "clean" re-measure has produced numbers ABOVE the raw
+    // in-suite ones (r11: d14 clean 7.75 s vs raw 4.55 s). These names
+    // skip the in-JVM tier and go straight to the fresh-JVM child —
+    // the reference environment the flagging threshold is defined
+    // against — so their round-over-round numbers are comparable by
+    // construction.
+    val heavyFamily = Set("c8_curate_full", "d8_dedup_clusters",
+      "d9_dedup_apply", "d14_split_leakfree", "q79_entity_resolution")
+    val heavySelected =
+      if (args.nonEmpty) Seq.empty // filtered child: measure in place
+      else results.keySet.intersect(heavyFamily).toSeq.sorted
+    val flagged = (results.keySet.toSeq.sorted
+      .filter(n => sentinels.get(n).exists(_ > CleanThreshold)))
+      .filterNot(heavySelected.contains)
     val cleanSentinels = scala.collection.mutable.Map[String, Double]()
     val resultsClean: Map[String, Double] = flagged.map { name =>
       val fn = selected(name)
@@ -208,7 +222,9 @@ object Bench {
     // these numbers are comparable to any other round's by
     // construction. Skipped when this process is itself a filtered
     // child (args nonEmpty — no recursion).
-    val stillDirty = flagged.filter(n => cleanSentinels(n) > CleanThreshold)
+    val stillDirty =
+      (flagged.filter(n => cleanSentinels(n) > CleanThreshold) ++
+        heavySelected).distinct.sorted
     val resultsFresh: Map[String, Double] =
       if (stillDirty.isEmpty || args.nonEmpty) Map.empty
       else try {
@@ -225,6 +241,13 @@ object Bench {
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        // the child is JIT-cold: with one run per query its number is
+        // dominated by codegen/JIT compilation, not the plan. Three
+        // runs put the cold first run above the median, so the
+        // recorded value is a warm-JVM median — comparable to in-suite
+        // numbers.
+        pb.environment().put("SPARK_GRAFT_BENCH_RUNS",
+          math.max(runs, 3).toString)
         pb.redirectErrorStream(false)
         val proc = pb.start()
         val outReader = new java.io.BufferedReader(
@@ -381,8 +404,10 @@ object Bench {
       (resultsClean ++ resultsFresh).map { case (k, v) => k -> f3(v) },
       quote = false)
     val cleanMethodJson = jmap(
-      flagged.map(n => n ->
-        (if (resultsFresh.contains(n)) "fresh-jvm" else "in-jvm")).toMap,
+      (flagged ++ heavySelected).map(n => n ->
+        (if (resultsFresh.contains(n)) "fresh-jvm"
+        else if (heavySelected.contains(n)) "fresh-jvm-failed"
+        else "in-jvm")).toMap,
       quote = true)
     val cleanSentinelJson = jmap(
       cleanSentinels.toMap.map { case (k, v) => k -> v.toString },

@@ -721,13 +721,28 @@ object Dedup {
     * star edges keep an oversized bucket connected, and the component
     * min is exactly the doc a union-find would elect.
     *
-    * Algorithm: iterative min-label propagation with pointer jumping.
-    * Each pass runs (a) one equi-join of the edge list on current
-    * labels + a min-aggregate (every node takes the min label over its
-    * closed neighborhood), then (b) one self-equi-join `lbl := lbl(lbl)`
-    * (pointer jump) that halves label-chain depth — so convergence is
-    * O(log diameter) passes, and the candidate graph's diameter is
-    * small by construction (star-linked buckets are depth-1 trees).
+    * Two tiers, cut over on the measured canonical edge count (the
+    * first snapshot's aggregate — no extra job):
+    *  - [[CcDriverMaxEdges]] or fewer edges: ONE collect + a
+    *    path-compressed min-rooted union-find on the driver. The
+    *    candidate graph is near-dup pairs, orders of magnitude
+    *    smaller than the corpus, and the label table it yields is
+    *    broadcast-sized by the same argument — this is the
+    *    broadcast-join tradeoff applied to graph contraction.
+    *  - larger graphs: alternating large-star/small-star (Kiveris,
+    *    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    *    Components in MapReduce and Beyond", SoCC 2014). Each round
+    *    restructures the EDGE SET — large-star rewires every node's
+    *    larger neighbors to its neighborhood minimum, small-star the
+    *    smaller ones — so shortcut edges accumulate in the graph
+    *    itself and the component minimum spreads multiplicatively:
+    *    O(log² n) rounds guaranteed, 2–6 observed. (The previous
+    *    min-label propagation with pointer jumping compressed only
+    *    the LABEL forest: on graphs whose local minima form long
+    *    chains — sequential entity-name ladders — the min still
+    *    crawled one region per pass, O(diameter) edge joins, and hit
+    *    the iteration cap unconverged at sf0.1; the 300-node-path and
+    *    tier-equality fixtures pin the fix.)
     *
     * Scale shape: the vertex set is only docs that appear in some
     * candidate pair — orders of magnitude smaller than the corpus —
@@ -756,80 +771,167 @@ object Dedup {
   private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     checkpointRdd(df).foreach(_.unpersist(false))
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Edge-count cutover between the driver union-find and the
+    * distributed large-star/small-star loop: 2²¹ canonical edges is
+    * ~32 MB of longs on the driver — the same order as a broadcast
+    * join's build side, and the label table it produces broadcasts
+    * back for the same reason. Candidate-pair graphs are orders of
+    * magnitude smaller than the corpus (near-dup fraction × bucket
+    * co-occurrence), so even multi-TB corpora usually land under it;
+    * the distributed loop is the correctness backstop, not a rarity
+    * apology — specs pin both paths label-identical.
+    */
+  val CcDriverMaxEdges: Long = 1L << 21
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      driverMaxEdges: Long = CcDriverMaxEdges): DataFrame = {
+    val ccT0 = System.nanoTime()
     // materialize the upstream edge pipeline ONCE: both derivations
-    // below (node list, symmetric closure) would otherwise recompute
+    // below (node list, canonical edge set) would otherwise recompute
     // the full candidate-generation lineage — for the dedup graph
     // that's two complete LSH passes over the corpus
     val e = edges.toDF("src", "dst").localCheckpoint(true)
-    // checkpoint the node list too: it re-enters the union below with
-    // fresh attribute ids, keeping every union child's output disjoint
-    // (same-attribute unions trip Catalyst's constraint rewriting)
+    // checkpoint the node list too: it survives to the final labeling
+    // join, and re-derives with fresh attribute ids (same-attribute
+    // unions trip Catalyst's constraint rewriting)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    // symmetric closure + one self-loop per node: the per-pass min over
-    // neighbor labels then covers the CLOSED neighborhood (self
-    // included) with a single join + aggregate, no label-frame union.
-    // No distinct: min-aggregation is insensitive to duplicate edges,
-    // and deduplicating would cost a full shuffle of the edge set.
-    val sym = e.select(col("src").as("src"), col("dst").as("dst"))
-      .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    // Loop checkpoints REBUILD the frame from the checkpointed RDD
-    // (one Row conversion per read of a two-long frame): a LogicalRDD
-    // from `localCheckpoint` CARRIES its origin plan's size estimate,
-    // and in a self-join loop that carried estimate SQUARES every pass
-    // — join stats multiply child sizes — so by ~iteration 20 the
-    // sizeInBytes BigInt has millions of digits and the NEXT
-    // checkpoint's stats visitor spends minutes on one multiplication
-    // (q79's long label chains at sf0.1 hung exactly there; d8's
-    // shallow graphs never ran enough passes to expose it). The
-    // rebuild resets the carried estimate to the leaf default, pinning
-    // the per-pass planning cost constant. `underlying` keeps the
-    // checkpoint handle for block release below.
-    case class Snap(df: DataFrame, underlying: DataFrame)
+    // Loop snapshots REBUILD the frame from the materialized RDD (one
+    // Row conversion per read of a two-long frame): a LogicalRDD
+    // otherwise CARRIES its origin plan's size estimate, and in a
+    // self-referential loop that carried estimate SQUARES every round
+    // — join stats multiply child sizes — so by ~round 20 the
+    // sizeInBytes BigInt has millions of digits and the NEXT round's
+    // stats visitor spends minutes on one multiplication. The rebuild
+    // resets the carried estimate to the leaf default, pinning the
+    // per-round planning cost constant. ONE job per snapshot:
+    // persist-then-aggregate materializes the edge frame into cache
+    // AND computes the convergence triple in the same action; unlike
+    // a checkpoint the lineage survives, so an evicted block is
+    // recomputable.
+    case class Snap(df: DataFrame, underlying: DataFrame, n: Long,
+        hiSum: java.math.BigDecimal, loSum: java.math.BigDecimal)
     def snap(df: DataFrame): Snap = {
-      val c = df.localCheckpoint(true)
-      Snap(c.sparkSession.createDataFrame(c.rdd, c.schema), c)
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = c.agg(count(lit(1)),
+        sum(col("hi").cast("decimal(38,0)")),
+        sum(col("lo").cast("decimal(38,0)"))).head()
+      Snap(c.sparkSession.createDataFrame(c.rdd, c.schema), c,
+        r.getLong(0), r.getDecimal(1), r.getDecimal(2))
     }
-    var labels = snap(nodes.select(col("id"), col("id").as("lbl")))
-    var prevSum = labelSum(labels.df)
-    var converged = prevSum == null // empty edge set
+    def release(s: Snap): Unit = s.underlying.unpersist(false)
+    var E = snap(e.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct())
+    // DRIVER TIER: a candidate graph whose canonical edge set fits the
+    // broadcast-scale budget resolves in one collect + union-find —
+    // microseconds of CPU against seconds of per-round scheduling for
+    // the distributed loop below. Path-compressed, min-rooted: the
+    // exact labels large-star/small-star converges to.
+    if (E.n > 0 && E.n <= driverMaxEdges) {
+      val spark = e.sparkSession
+      val pairs = E.df.select(col("hi"), col("lo")).collect()
+      val parent = new java.util.HashMap[Long, Long](pairs.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
+        r
+      }
+      pairs.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      // label every node from the UNFILTERED node list: a node whose
+      // only edges were self-loops has no canonical pair but still
+      // labels itself
+      val ids = nodes.collect().map(_.getLong(0))
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.length)
+      ids.foreach(id => out += ((id, find(id))))
+      releaseCheckpoint(e)
+      releaseCheckpoint(nodes)
+      release(E)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] tier=driver edges=${E.n} " +
+          s"sec=${(System.nanoTime() - ccT0) / 1e9}")
+      import spark.implicits._
+      return out.toSeq.toDF("doc_id", "cluster_id")
+    }
+    var converged = E.n == 0L
+    val ccT1 = System.nanoTime()
     var iter = 0
     while (!converged && iter < maxIter) {
-      // materialized once: both sides of the pointer-jump self-join
-      // below read it, so without the checkpoint the contraction
-      // join+agg would execute twice per pass
-      val contracted = snap(sym.join(labels.df, sym("dst") === col("id"))
-        .groupBy(sym("src")).agg(min(col("lbl")).as("lbl"))
-        .select(col("src").as("id"), col("lbl")))
-      val next = snap(contracted.df.as("l")
-        .join(contracted.df.as("j"), col("l.lbl") === col("j.id"), "left")
-        .select(col("l.id").as("id"),
-          coalesce(col("j.lbl"), col("l.lbl")).as("lbl")))
-      val s = labelSum(next.df)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      // the superseded snapshots are dead the moment `next`
-      // materializes; release their blocks NOW instead of at the next
-      // full GC — N iterations would otherwise hold N label snapshots
-      // (plus e/sym) in block-manager memory, evicting useful cache
-      releaseCheckpoint(contracted.underlying)
-      releaseCheckpoint(labels.underlying)
-      labels = next
+      // LARGE-STAR: every node connects its strictly-larger neighbors
+      // to the minimum of its closed neighborhood. The symmetric edge
+      // list is two in-memory projections of the cached round frame,
+      // so the whole round plans as ONE job: no intermediate
+      // materialization, no per-stage distinct (min-aggregation is
+      // duplicate-insensitive; only the round output dedupes). New
+      // edges (v, m) with v > u ≥ m are canonical by construction.
+      val sym = E.df.select(col("hi").as("u"), col("lo").as("v"))
+        .union(E.df.select(col("lo").as("u"), col("hi").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+      // SMALL-STAR: every node connects its smaller neighbors AND
+      // itself to the minimum of those — edges are already directed
+      // large→small (hi, lo), so the neighborhood is one groupBy(hi).
+      val ssMin = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = snap(ls.join(ssMin, "hi")
+        .select(explode(array(
+          struct(col("hi").as("a"), col("m").as("b")),
+          struct(col("lo").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("hi"), col("p.b").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct())
+      // fixpoint = the round returned the input edge set. The cheap
+      // (count, Σhi, Σlo) triple screens; only a triple match pays the
+      // exact one-sided except (count-equal + empty difference ⇒ set
+      // equality for distinct sets).
+      converged = ss.n == E.n &&
+        ss.hiSum.compareTo(E.hiSum) == 0 &&
+        ss.loSum.compareTo(E.loSum) == 0 &&
+        ss.df.except(E.df).isEmpty
+      // the superseded round is dead once `ss` materializes; release
+      // its blocks NOW instead of at the next full GC — N rounds would
+      // otherwise hold N edge snapshots in block-manager memory
+      release(E)
+      E = ss
       iter += 1
     }
-    sym.unpersist()
-    // e/nodes only feed the loop; the result plan reads the final label
-    // checkpoint alone, so their blocks are safe to free here too
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] tier=dist rounds=$iter edges=${E.n} " +
+        s"edgeGenSec=${(ccT1 - ccT0) / 1e9} " +
+        s"roundsSec=${(System.nanoTime() - ccT1) / 1e9}")
+    // terminal state: per component, a star centered at the minimum id
+    // — every non-center node has exactly the edge (node, center). The
+    // groupBy(min) is belt-and-braces for a maxIter cutoff; centers
+    // label themselves via the left-join fallback. MATERIALIZED once:
+    // callers re-read the cluster table from several downstream plan
+    // sites, and without this the labeling join would re-execute per
+    // action.
+    val labels = nodes
+      .join(E.df.groupBy(col("hi").as("id")).agg(min(col("lo")).as("lbl")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    val out = labels.sparkSession.createDataFrame(labels.rdd, labels.schema)
+    // everything the loop touched is dead now that the label table is
+    // cached: the raw-edge/node checkpoints and the final round frame
     releaseCheckpoint(e)
     releaseCheckpoint(nodes)
-    labels.df.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    release(E)
+    out
   }
 
   /** The dedup family's terminal artifact: candidate pairs from ALL

@@ -505,6 +505,40 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).collect().isEmpty)
   }
 
+  test("connected components: a 300-node path converges under the " +
+      "iteration cap on the DISTRIBUTED tier (star rounds must compound)") {
+    import spark.implicits._
+    // worst case for one-hop propagation: one long path. Forced onto
+    // the distributed tier (driverMaxEdges = 0) so large-star/
+    // small-star itself is what converges — if the edge restructuring
+    // regresses to min-crawling, this trips the 25-round cap and
+    // labels come back wrong.
+    val edges = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 300 && got.values.forall(_ == 1L),
+      s"path labels wrong: ${got.toSeq.sortBy(_._1).filter(_._2 != 1L).take(5)}")
+  }
+
+  test("connected components: driver union-find and distributed " +
+      "star rounds label identically") {
+    import spark.implicits._
+    // a mixed fixture: chains, a triangle, star buckets, duplicate and
+    // self edges — seeded random unions so the check isn't shape-lucky
+    val rnd = new scala.util.Random(12L)
+    val edges = ((1L to 200L).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      (200L until 230L).map(i => (i, i + 1)) ++
+      Seq((300L, 300L))).toDF("doc_a", "doc_b")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = asMap(Dedup.connectedComponents(edges))
+    val dist = asMap(Dedup.connectedComponents(edges, driverMaxEdges = 0L))
+    assert(driver == dist,
+      s"tier disagreement: ${(driver.toSet -- dist.toSet).take(5)} vs " +
+        s"${(dist.toSet -- driver.toSet).take(5)}")
+  }
+
   test("char-gram shingles are character-based on multi-byte text (d7 oracle parity)") {
     import spark.implicits._
     // the d7 oracle counts CHARACTERS (DuckDB length/substr); a
@@ -942,9 +976,9 @@ class LlmSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val labels = Dedup.connectedComponents(edges)
     assert(labels.count() == 6)
-    // every per-pass label snapshot, the edge/node checkpoints, and the
-    // symmetric-closure persist must be gone; only the final label
-    // checkpoint (which the returned plan reads) may remain cached
+    // every per-round edge snapshot, the raw-edge/node checkpoints and
+    // the final round frame must be gone; only the materialized label
+    // table (which the returned plan reads) may remain cached
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.size <= 1, s"lingering cached RDDs: $after")
   }
