@@ -463,16 +463,36 @@ object Multimodal {
     * hamming [[PhashMaxHamming]] of the same kind — band-bucket
     * candidate routing, exact popcount verify, same completeness
     * pigeonhole as the batch join.
+    *
+    * Skew posture mirrors [[mediaPhashPairsOf]]'s star-link guard: a
+    * HOT band value in the stored index (near-constant image regions
+    * hash whole corpora into one band bucket) would otherwise fan each
+    * batch row out by the full bucket size. Buckets above `maxBucket`
+    * match only their MIN stored id — the cluster anchor the
+    * downstream CC/representative election presumes — so the join's
+    * per-row fanout is bounded while hot-cluster membership is still
+    * reported. Bucket sizes come from the index rows the probe reads
+    * anyway (the batch's collected band keys prune the scan first —
+    * an ingest batch is small by contract, so the isin list is
+    * pruning metadata, not data).
     */
   def phashPairsFromIndex(s: SparkSession, table: String,
-      batch: Dataset[MediaRow]): DataFrame = {
-    val nb = bandedSigs(mediaPhashOf(batch))
+      batch: Dataset[MediaRow], maxBucket: Int = 1000): DataFrame = {
+    val nb = bandedSigs(mediaPhashOf(batch)).localCheckpoint(true)
+    val probeVals = nb.select("band_val").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = s.table(table)
+      .filter(col("band_val").isin(probeVals: _*))
+      .select(col("kind"), col("band_idx"), col("band_val"),
+        col("media_id").as("id_old"), col("sig").as("sig_old"))
+      .localCheckpoint(true)
+    val bsz = idx.groupBy("kind", "band_idx", "band_val")
+      .agg(count(lit(1)).as("bn"), min(col("id_old")).as("anchor"))
     nb.select(col("kind"), col("band_idx"), col("band_val"),
         col("media_id").as("id_new"), col("sig").as("sig_new"))
-      .join(s.table(table).select(col("kind"), col("band_idx"),
-          col("band_val"), col("media_id").as("id_old"),
-          col("sig").as("sig_old")),
-        Seq("kind", "band_idx", "band_val"))
+      .join(idx, Seq("kind", "band_idx", "band_val"))
+      .join(broadcast(bsz), Seq("kind", "band_idx", "band_val"))
+      .filter(col("bn") <= maxBucket || col("id_old") === col("anchor"))
       .filter(col("id_new") =!= col("id_old"))
       .select(col("kind"), col("id_new"), col("id_old"),
         bit_count(col("sig_new").bitwiseXOR(col("sig_old"))).as("hamming"))

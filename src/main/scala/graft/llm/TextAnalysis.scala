@@ -983,7 +983,11 @@ object TextAnalysis {
     * change in ranking.
     */
   def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    // null text contributes size(t) = -1 under legacy sizeOfNull and
+    // would skew the corpus total n against the oracle's NULL-skipping
+    // SUM — filter like every other documents scan
     val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(split(lower(trim(col("text"))), "\\s+").as("t"))
     val uni = docs.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))

@@ -212,7 +212,7 @@ object Extended {
     val hours = ev.agg(min("hour_epoch").as("lo"), max("hour_epoch").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
         .as("hour_epoch"))
-    hours.crossJoin(ev.select("event_type").distinct())
+    hours.crossJoin(broadcast(ev.select("event_type").distinct()))
       .join(agg, Seq("hour_epoch", "event_type"), "left")
       .select(col("hour_epoch"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"))

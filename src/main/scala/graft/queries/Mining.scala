@@ -46,10 +46,16 @@ object Mining {
     * float boundary ever decides membership.
     */
   def q70AssocRules(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the distinct over lineitem otherwise executes
+    // four times (item supports + both pair-join sides + order count)
     val baskets = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
       .distinct()
-    val nOrders = baskets.select("oid").distinct().count()
+      .localCheckpoint(true)
+    // the order count stays IN the plan as a broadcast 1-row aggregate
+    // (the q75/t23 pattern) instead of a driver action + literal
+    val nOrders = baskets.agg(
+      countDistinct(col("oid")).cast(LongType).as("n_orders"))
     val itemSupp = baskets.groupBy("item").agg(count(lit(1)).as("s_item"))
     val pairs = baskets.as("x")
       .join(baskets.as("y"), col("x.oid") === col("y.oid")
@@ -65,10 +71,11 @@ object Mining {
         .withColumnRenamed("s_item", "s_ante"), "ante")
       .join(itemSupp.withColumnRenamed("item", "cons")
         .withColumnRenamed("s_item", "s_cons"), "cons")
+      .crossJoin(broadcast(nOrders))
       .select(
         col("ante"), col("cons"), col("s_ab").cast(LongType).as("supp"),
         round(col("s_ab").cast("double") / col("s_ante"), 6).as("conf"),
-        round((col("s_ab").cast("double") * nOrders) /
+        round((col("s_ab").cast("double") * col("n_orders")) /
           (col("s_ante").cast("double") * col("s_cons")), 6).as("lift"))
   }
 
