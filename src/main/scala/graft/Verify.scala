@@ -44,6 +44,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only queries carry no SQL oracle by declared design — their
+    // statistical envelopes (binomial bounds, sketch error bounds,
+    // recall/metric floors) are computed HERE so the correctness
+    // artifact records a machine-checkable verdict for every query,
+    // not an `err: no_oracle` blank (VERDICT r11 #5)
+    val envRows = graft.tools.Envelopes.check(spark, sfDir)
+      .filter { case (name, _, _) => name.matches(pattern) }
+    envRows.foreach { case (name, ok, detail) =>
+      println(s"[envelope] $name pass=$ok $detail")
+    }
+    val envJson = envRows.map { case (name, ok, detail) =>
+      s"${q(name)}: {${q("envelope_pass")}: $ok, ${q("detail")}: ${q(detail)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/envelope.json"), envJson)
     spark.stop()
   }
 }

@@ -15,6 +15,18 @@ class QueriesSmokeSpec extends SparkSpec {
       "s4_knn_ivf_kmeans", "c12_quality_model")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    // ...and every declared rows-only query has an ENVELOPE check, so
+    // the correctness artifact carries a verdict for all of them
+    val enveloped = graft.tools.Envelopes
+      .check(spark, sfDir).map(_._1).toSet
+    assert(rowsOnly == enveloped,
+      s"rows-only/envelope drift: ${rowsOnly.diff(enveloped)} / ${enveloped.diff(rowsOnly)}")
+  }
+
+  test("every envelope verdict passes at sf0.001") {
+    graft.tools.Envelopes.check(spark, sfDir).foreach {
+      case (name, ok, detail) => assert(ok, s"$name: $detail")
+    }
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
