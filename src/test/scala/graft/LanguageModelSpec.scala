@@ -249,6 +249,50 @@ class LanguageModelSpec extends SparkSpec {
       assert(math.abs(sparse(k) - c) < 1.01e-6, s"pair $k: $c vs ${sparse(k)}") }
   }
 
+  test("d16 beats d15 in its declared regime: huge flat-weight " +
+      "dictionary, weak Bayardo pruning — measured wall-time, equal " +
+      "output") {
+    import spark.implicits._
+    // 600 docs × 120 tokens drawn uniformly from a 2 000-term vocab:
+    // per-term df ≈ 36, idf (and so unit weights) nearly flat, so the
+    // Bayardo prefix keeps most of every doc and the posting join
+    // degenerates toward Σ df² pair-term rows. Five planted near-dup
+    // pairs give a non-empty output to compare. This is the corner the
+    // d16 Scaladoc claims; the measurement below replaces the
+    // argument-by-comment (VERDICT r11 #6).
+    val rnd = new scala.util.Random(16L)
+    val docs: Seq[(Long, Seq[String])] = (0 until 600).map { i =>
+      val toks =
+        if (i >= 590) Seq.tabulate(120)(k => s"w${(i - 590) / 2}_$k")
+        else Seq.fill(120)(s"w${rnd.nextInt(2000)}")
+      i.toLong -> toks
+    }
+    val df = docs.toDF("doc_id", "t").localCheckpoint(true)
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def timed(f: => Map[(Long, Long), Double]): (Double, Map[(Long, Long), Double]) = {
+      // best of 2: the first run carries codegen/JIT noise either way
+      val r1t0 = System.nanoTime(); val r1 = f
+      val dt1 = (System.nanoTime() - r1t0) / 1e9
+      val r2t0 = System.nanoTime(); val r2 = f
+      val dt2 = (System.nanoTime() - r2t0) / 1e9
+      assert(r1 == r2)
+      (math.min(dt1, dt2), r1)
+    }
+    val (tSparse, exact) = timed(asMap(graft.llm.Dedup.apssSparseOf(df)))
+    val (tSketch, approx) = timed(asMap(graft.llm.Dedup.apssApproxOf(df)))
+    assert(exact.keySet.size >= 5, "planted near-dup pairs missing")
+    // equal output: the sketch run must find every exact pair here
+    // (the planted pairs are near-identical, far above the threshold)
+    assert(approx == exact,
+      s"output differs: ${(exact.keySet -- approx.keySet).take(3)} / " +
+        s"${(approx.keySet -- exact.keySet).take(3)}")
+    info(f"d15-sparse $tSparse%.2f s vs d16-sketch $tSketch%.2f s " +
+      f"on 600 docs × 2 000-term flat vocab")
+    assert(tSketch < tSparse,
+      f"d16 ($tSketch%.2f s) did not beat d15 ($tSparse%.2f s) in its own regime")
+  }
+
   test("d16: sketch-prefiltered APSS — measured recall above the 0.9 " +
       "floor, candidate space genuinely shrunk, every reported pair " +
       "exact") {
