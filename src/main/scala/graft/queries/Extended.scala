@@ -1360,6 +1360,72 @@ object Extended {
       last(col("o_orderkey")).over(full).as("last_key"))
   }
 
+  /** q82 — q80's rank family WITHOUT a corpus-sized window partition:
+    * the two-pass percentile-cut pattern (q44's discipline applied to
+    * ranking). Pass 1 range-buckets each status's price domain into
+    * [[RankBuckets]] bins and counts per bin — a [[RankBuckets]]-row
+    * table per status whose running sum gives every bin's global rank
+    * offset (broadcast). Pass 2 ranks LOCALLY inside each
+    * (status, bin) window — state bounded by the bin's rows, ~n/B per
+    * partition instead of n — and adds the offset. Because the order
+    * key (price, orderkey) is unique, every q80 column is derivable:
+    * rank = dense_rank = offset + local row_number, percent_rank and
+    * cume_dist are exact integer-ratio forms, ntile(4) is closed-form
+    * in (rank, n), and the first/last keys are per-status min/max
+    * aggregates. The oracle is q80's SQL verbatim — the twin must
+    * reproduce the window semantics bit-for-bit; LanguageModelSpec's
+    * sibling in AnalyticsSpec additionally pins q82 ≡ q80 row-for-row.
+    * At 100 TB, B scales with cluster parallelism; bin skew follows
+    * the price histogram and AQE splits hot bins.
+    */
+  val RankBuckets = 64
+
+  def q82RankTwoPass(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val bounds = o.groupBy("o_orderstatus").agg(
+      min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"),
+      count(lit(1)).as("n"),
+      min(struct(col("o_totalprice"), col("o_orderkey")))
+        .getField("o_orderkey").as("first_key"),
+      max(struct(col("o_totalprice"), col("o_orderkey")))
+        .getField("o_orderkey").as("last_key"))
+    val binned = o.join(broadcast(bounds), "o_orderstatus")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(RankBuckets - 1L),
+            floor((col("o_totalprice") - col("lo")) /
+              ((col("hi") - col("lo")) / RankBuckets)))))
+    val offs = binned.groupBy("o_orderstatus", "bin")
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off",
+        sum(col("bc")).over(Window.partitionBy("o_orderstatus")
+          .orderBy("bin")) - col("bc"))
+      .select(col("o_orderstatus"), col("bin"), col("off"))
+    val wLocal = Window.partitionBy("o_orderstatus", "bin")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val rk = col("off") + row_number().over(wLocal)
+    // Spark's ntile(4): the first n%4 tiles carry floor(n/4)+1 rows
+    val base = (col("n") / 4).cast(LongType)
+    val rem = col("n") % 4
+    val boundary = rem * (base + 1)
+    // integer tile arithmetic via floor: Spark's `/` on longs is a
+    // double divide, exact here (counts ≪ 2^52)
+    val nt = when(rk <= boundary, floor((rk - 1) / (base + 1)) + 1)
+      .otherwise(rem + floor((rk - boundary - 1) / greatest(base, lit(1L))) + 1)
+    binned.join(broadcast(offs), Seq("o_orderstatus", "bin"))
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rk.cast(LongType).as("rk"),
+        rk.cast(LongType).as("drk"),
+        round((rk - 1).cast("double") /
+          greatest(col("n") - 1, lit(1L)), 6).as("prk"),
+        round(rk.cast("double") / col("n"), 6).as("cd"),
+        nt.cast(LongType).as("nt"),
+        col("first_key"), col("last_key"))
+  }
+
   /** q81 — time-weighted average value per user (TWAP): each event's
     * value holds until the user's next event, and the average weighs
     * each segment by its duration — the standard time-series summary
@@ -1393,6 +1459,7 @@ object Extended {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_rank_twopass"   -> q82RankTwoPass _,
     "q81_twap"           -> q81Twap _,
     "q80_rank_family"    -> q80RankFamily _,
     "q79_entity_resolution" -> q79EntityResolution _,
@@ -1466,6 +1533,23 @@ object Extended {
         |    AS twap
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY user_id HAVING SUM(dur) > 0""".stripMargin,
+    // q82: the two-pass twin must reproduce q80's window semantics
+    // bit-for-bit, so its oracle IS q80's SQL
+    "q82_rank_twopass" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS nt,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  last_value(o_orderkey) OVER wf AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     // q80: the same deterministic (price, key) order; percent_rank and
     // cume_dist are integer-rank ratios, identical after round(6)
     "q80_rank_family" ->

@@ -365,4 +365,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("xx", "yy"))._2 > got(("aa", "bb"))._2)
     assert(!got.contains(("zz", "ww")))
   }
+
+  test("q82 two-pass rank twin reproduces q80's window family " +
+      "row-for-row, with no corpus-sized window partition") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.toSeq.toList).toSet
+    assert(rows("q82_rank_twopass") == rows("q80_rank_family"))
+    // the scale claim: every Window in q82's plan partitions by
+    // (status, bin) or runs over the B-row offsets table — the plan
+    // must never window-partition by o_orderstatus alone
+    val p = graft.queries.Extended.q82RankTwoPass(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windowSpecs = p.linesIterator
+      .filter(l => l.contains("Window") && l.contains("partition"))
+      .toSeq
+    assert(windowSpecs.forall(l =>
+      l.contains("bin") || !l.contains("o_totalprice")),
+      s"corpus-sized window partition leaked back:\n${windowSpecs.mkString("\n")}")
+  }
 }
