@@ -197,6 +197,17 @@ object Main {
     // perceptual-hash index lifecycle: `phash-index` decodes and
     // signs the corpus once (banded layout bucketed by band value);
     // `phash-check` routes a new batch's bands to the stored buckets
+    // uniform index lifecycle over the graft.index registry: every
+    // persisted index/model family builds and appends through one
+    // surface (the family-specific commands below remain as typed
+    // probes and back-compat spellings)
+    case Seq("index", "list") =>
+      println(graft.index.Indexes.describe())
+    case Seq("index", "build", family, in, dest) =>
+      graft.index.Indexes.build(spark, family, in, dest)
+    case Seq("index", "append", family, in, dest) =>
+      graft.index.Indexes.append(spark, family, read(spark, in), dest)
+
     case Seq("phash-index", in, table) =>
       graft.llm.Multimodal.writePhashIndex(spark, in, table)
     case Seq("phash-check", table, in, out) =>
