@@ -1513,19 +1513,20 @@ object Dedup {
     apssVerify(state, apssCandidates(state))
   }
 
-  // -- d16: sketch-prefiltered approximate APSS ----------------------------
-  /** Rademacher sketch width for d16 (signs are bits 0..31 of the
-    * term's md5-60 key — no stored projection at all).
+  // -- d16: signature-prefiltered approximate APSS --------------------------
+  /** Sign-hamming admission cut over all [[ApssSignBits]] projections:
+    * a pair with true cosine c disagrees per bit with probability
+    * θ/π = acos(c)/π, so at the 0.85 threshold the expected hamming is
+    * 112 × 0.177 ≈ 19.8 with σ ≈ 4.0 — 28 is the +2σ bound, admitting
+    * a threshold pair with ~98% probability while a c = 0.6 pair
+    * (E[h] ≈ 32.7) passes only ~13% of the time. 112 one-bit
+    * estimators beat the old 32-real-dim dot on BOTH axes (tighter
+    * admission variance AND a pure bit-ops candidate stage — two
+    * XOR+popcounts per pair, no sketch-table joins); LanguageModelSpec
+    * measures the realized recall against the exact join and pins a
+    * 0.9 floor.
     */
-  val ApssSketchDims = 32
-
-  /** Sketch-cosine admission cut: [[ApssThreshold]] minus ~1.6 sketch
-    * standard errors (sd ≈ sqrt((1−c²)/K) ≈ 0.09 at c = 0.85,
-    * K = 32), so a true qualifying pair is admitted with ~95%
-    * probability per pair; LanguageModelSpec measures the realized
-    * recall against the exact join and pins a 0.9 floor.
-    */
-  val ApssSketchCut = 0.70
+  val ApssSketchMaxHamming = 28
 
   /** Sign-LSH banding for d16's candidate stage: [[ApssSignBits]]
     * Rademacher sign bits per doc (SimHash bits of the TF-IDF unit
@@ -1553,32 +1554,32 @@ object Dedup {
     * regime where d15's exact pruning is structurally weak (a
     * homogeneous corpus whose pairs mostly share indexed terms — the
     * sparse plan's candidate join then degenerates toward all pairs).
-    * Each doc's TF-IDF unit vector projects to a [[ApssSketchDims]]-dim
-    * Rademacher sketch — rv[j] = Σ_t u_t·sign(bit j of th), the
-    * signed-sum aggregate d4's SimHash uses, kept REAL-valued instead
-    * of thresholded to bits — computed scan-side in one groupBy.
-    * Sketch inner products are unbiased estimators of the true dot
-    * (E[⟨Ra,Rb⟩] = K·⟨a,b⟩ for ±1 projections). Candidates come from
-    * sign-LSH buckets (see [[ApssSketchBands]]) — one shuffle keyed by
-    * (band, byte), never a pair enumeration — each candidate pair must
-    * then clear the ROUNDED sketch-cosine [[ApssSketchCut]], and the
-    * d15 verify computes exact cosines on the survivors — every
-    * REPORTED pair is exact; only recall is probabilistic.
+    * Each doc's TF-IDF unit vector reduces to [[ApssSignBits]]
+    * Rademacher SIGN BITS (SimHash bits: sign of Σ_t u_t·s_j(t), the
+    * signed-sum aggregate d4 uses) computed scan-side in one groupBy
+    * and packed into two longs. Candidates come from sign-LSH buckets
+    * over those bits (see [[ApssSketchBands]]) — one shuffle keyed by
+    * (band, byte), never a pair enumeration — each candidate pair
+    * must clear the hamming cut [[ApssSketchMaxHamming]] (two
+    * XOR+popcounts), and the exact verify computes true cosines on
+    * the survivors (dense K-dot when the dictionary is bounded, d15's
+    * posting join otherwise) — every REPORTED pair is exact; only
+    * recall is probabilistic.
     *
-    * Scale shape: the sparse→dense collapse is the point — at a
+    * Scale shape: the sparse→bits collapse is the point — at a
     * million-term dictionary the posting join shuffles Σ df² rows,
-    * while the sketch stage moves O(bands) small rows per doc and
-    * evaluates one fused 32-dot per bucket-cohabiting pair. Both the
-    * sign bits and the cut are hash-derived and rounded, so the whole
-    * chain is deterministic and the oracle replays it exactly.
+    * while the signature stage moves 3 longs per doc per band and
+    * admits pairs with two popcounts. Signs are hash-derived and
+    * every comparison integer or rounded, so the whole chain is
+    * deterministic and the oracle replays it exactly.
     *
-    * Bench framing: on the TEST corpus d16 is slower than d15 —
+    * Bench framing: on the TEST corpus d16 remains slower than d15 —
     * expected, because the 31-term dictionary puts d15 in its dense
-    * regime, where exact pairs cost one 31-dot each and the sketch
-    * saves nothing while its verify stage pays posting joins. d16's
-    * regime is the opposite corner (huge dictionary + weak Bayardo
-    * pruning), which the test corpus cannot exhibit; the bench row
-    * prices the sketch machinery itself, not its winning case.
+    * regime where exact pairs cost one 31-dot each, while the corpus'
+    * cosine-homogeneity (≥ 1/5 of ALL pairs clear the admission
+    * envelope) forces d16 to verify millions of candidates. d16's
+    * winning regime (huge dictionary + weak Bayardo pruning) is
+    * pinned by measurement in LanguageModelSpec.
     */
   def apssApprox(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashFunctions.register(s)
@@ -1589,23 +1590,16 @@ object Dedup {
     apssApproxOf(docs)
   }
 
-  /** The d16 sketch-admitted candidate pairs over an [[apssState]]
-    * frame — exposed so the spec can measure the pruning ratio
-    * alongside the recall floor.
-    *
-    * The [[ApssSignBits]] sign projections reuse the sketch's own 32
-    * dims (bit j of `th`, j < 32) and extend with bits 32..55 of `th`
-    * plus bits 0..55 of `th2 = hash60(string(th))` — a second
-    * independent md5 family, replayable in DuckDB from the same
-    * decimal rendering. Every sum is one scan-side partial aggregate;
-    * pair generation is d5's bucket expansion (groupBy band →
-    * collect_list → in-bucket anchored pairs), so NO self-join and no
-    * pair enumeration exists anywhere in the plan. Buckets here are
-    * not capped: an oversized bucket is a cluster of near-identical
-    * docs whose pairs are true output, and dropping them (d5's
-    * star-link guard) would silently cost recall the floor spec pins.
+  /** The per-doc signature frame: (doc_id, plo, phi) — the
+    * [[ApssSignBits]] Rademacher sign bits of the TF-IDF unit vector,
+    * PACKED 56-per-long (bits 0..55 in `plo`, 56..111 in `phi`; bit j
+    * is the sign of Σ_t u_t·s_j(t)). Projections come from bits 0..55
+    * of the term's md5-60 key `th` plus bits 0..55 of a second family
+    * `th2 = hash60(string(th))` — replayable in DuckDB from the same
+    * decimal rendering. Three longs per doc is the WHOLE index: bands,
+    * dedup, and the hamming cut below are all bit arithmetic on it.
     */
-  private[graft] def apssSketchCandidates(state: DataFrame): DataFrame = {
+  private[graft] def apssSketchVectors(state: DataFrame): DataFrame = {
     val signed = state
       .select(col("doc_id"), col("th"), col("u"))
       .withColumn("th2",
@@ -1613,53 +1607,118 @@ object Dedup {
     def signSum(src: Column, j: Int, name: String) =
       sum(when(shiftright(src, j).bitwiseAND(1) === 1, col("u"))
         .otherwise(-col("u"))).as(name)
-    val rvSums = (0 until ApssSketchDims).map(j => signSum(col("th"), j, s"r$j"))
-    val xSums = (ApssSketchDims until 56).map(j => signSum(col("th"), j, s"x$j"))
-    val ySums = (0 until 56).map(j => signSum(col("th2"), j, s"y$j"))
-    val allSums = rvSums ++ xSums ++ ySums
-    // fixed projection order: r0..r31, x32..x55, y0..y55 (the oracle
-    // concatenates its lists the same way)
-    val bitSrc: Seq[Column] =
-      (0 until ApssSketchDims).map(j => col(s"r$j")) ++
-        (ApssSketchDims until 56).map(j => col(s"x$j")) ++
-        (0 until 56).map(j => col(s"y$j"))
-    val bandKeys = (0 until ApssSketchBands).map { b =>
-      (0 until ApssSketchBandBits).map(i =>
-        when(bitSrc(b * ApssSketchBandBits + i) > 0,
-          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    }
-    // one row per doc (K doubles + band keys) — checkpoint so the
-    // band explosion doesn't replay the tokenize/tf/df pipeline
-    val rv = signed.groupBy("doc_id").agg(allSums.head, allSums.tail: _*)
-      .select(col("doc_id"),
-        array((0 until ApssSketchDims).map(j => col(s"r$j")): _*).as("rv"),
-        array(bandKeys: _*).as("bks"))
-      .withColumn("rn",
-        sqrt(graft.functions.VectorFunctions.vecDot(col("rv"), col("rv"))))
+    val allSums = (0 until 56).map(j => signSum(col("th"), j, s"s$j")) ++
+      (0 until 56).map(j => signSum(col("th2"), j, s"s${j + 56}"))
+    def packed(lo: Int): Column = (lo until lo + 56).map(j =>
+      when(col(s"s$j") > 0, lit(1L << (j - lo))).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    signed.groupBy("doc_id").agg(allSums.head, allSums.tail: _*)
+      .select(col("doc_id"), packed(0).as("plo"), packed(56).as("phi"))
       .localCheckpoint(true)
-    val shDot = graft.functions.VectorFunctions.vecDot(col("rva"), col("rvb"))
-    rv.select(col("doc_id"), col("rv"), col("rn"), posexplode(col("bks")))
-      .toDF("doc_id", "rv", "rn", "band_idx", "band_key")
+  }
+
+  /** Candidate pairs from the sign-LSH buckets: the SET is exactly
+    * "pairs sharing ≥ 1 of the [[ApssSketchBands]] 7-bit bands, with
+    * sign-hamming ≤ [[ApssSketchMaxHamming]]" — the oracle's DISTINCT
+    * band self-join replays it verbatim. Emission discipline, sized
+    * for a cosine-homogeneous corpus whose in-bucket pair space runs
+    * to 10⁷ rows per 5 000 docs:
+    *  - bucket rows carry 3 longs per doc (id + packed signature);
+    *  - a pair sharing several bands is emitted ONCE, from the FIRST
+    *    band whose 7-bit XOR slice is zero (LSH dedup-at-source — no
+    *    distinct shuffle anywhere);
+    *  - the admission cut is two XOR+popcounts per pair, fused into
+    *    the same codegen stage — no joins, no arrays;
+    *  - anchors respread before the explosion so AQE's coalesce of
+    *    the byte-tiny bucket exchange can't serialize the pair loop.
+    */
+  private[graft] def apssSketchCandidates(state: DataFrame): DataFrame = {
+    val sv = apssSketchVectors(state)
+    def bandKey(src: Column, b: Int): Column =
+      shiftright(src, 7 * b).bitwiseAND(127)
+    val bandKeys = (0 until 8).map(b => bandKey(col("plo"), b)) ++
+      (0 until 8).map(b => bandKey(col("phi"), b))
+    val banded = sv
+      .select(col("doc_id"), col("plo"), col("phi"),
+        posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "plo", "phi", "band_idx", "band_key")
+    val xl = col("ploa").bitwiseXOR(col("plob"))
+    val xh = col("phia").bitwiseXOR(col("phib"))
+    val firstShared = (0 until ApssSketchBands).foldRight(lit(-1)) {
+      case (b, rest) =>
+        val slice =
+          if (b < 8) shiftright(xl, 7 * b).bitwiseAND(127)
+          else shiftright(xh, 7 * (b - 8)).bitwiseAND(127)
+        when(slice === 0, lit(b)).otherwise(rest)
+    }
+    banded
       .groupBy("band_idx", "band_key")
       .agg(array_sort(collect_list(
-        struct(col("doc_id"), col("rv"), col("rn")))).as("ds"))
+        struct(col("doc_id"), col("plo"), col("phi")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(col("ds"), posexplode(col("ds")))
-      .select(col("col.doc_id").as("da"), col("col.rv").as("rva"),
-        col("col.rn").as("rna"),
+      // respread the BUCKET rows (one array each — megabytes), not the
+      // exploded anchors (which would re-ship every bucket array once
+      // per member): an explicit-count repartition that AQE's
+      // small-shuffle coalesce leaves alone, so the 10⁷-pair explosion
+      // below runs wide
+      .repartition(state.sparkSession.sparkContext.defaultParallelism)
+      .select(col("band_idx"), col("ds"), posexplode(col("ds")))
+      .select(col("band_idx"), col("col.doc_id").as("da"),
+        col("col.plo").as("ploa"), col("col.phi").as("phia"),
         explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("o"))
-      .select(col("da"), col("o.doc_id").as("db"), col("rva"), col("rna"),
-        col("o.rv").as("rvb"), col("o.rn").as("rnb"))
-      .filter(round(shDot / (col("rna") * col("rnb")), 6) >= ApssSketchCut)
+      .select(col("band_idx"), col("da"), col("ploa"), col("phia"),
+        col("o.doc_id").as("db"), col("o.plo").as("plob"),
+        col("o.phi").as("phib"))
+      .filter(firstShared === col("band_idx") &&
+        (bit_count(xl) + bit_count(xh)) <= ApssSketchMaxHamming)
       .select("da", "db")
-      .distinct()
+  }
+
+  /** Per-pair exact verify through DENSE unit vectors — the d15 dense
+    * regime's representation applied to a candidate list instead of
+    * the full pair loop: one fused [[graft.functions.VectorFunctions
+    * .vecDot]] per pair against two broadcast vector tables, no
+    * posting join. Correct (and fast) only when the dictionary is
+    * bounded; the caller dispatches on the same
+    * [[ApssDenseVocabMax]] probe d15 uses. Rounding parity with the
+    * oracle's SUM(wa·wb) is the d15-dense precedent: unit weights and
+    * the 6-dp round make the comparison tie-stable.
+    */
+  private def apssVerifyDense(state: DataFrame, vocab: Int,
+      cand: DataFrame): DataFrame = {
+    val ranked = state.groupBy("th").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(Window.orderBy("th")) - 1)
+    val vecs = state
+      .join(broadcast(ranked.select(col("th"), col("rk"))), "th")
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("rk"), col("u"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(vocab - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
+    val dot = graft.functions.VectorFunctions.vecDot(col("va"), col("vb"))
+    cand
+      .join(broadcast(vecs.select(col("doc_id").as("da"), col("v").as("va"))),
+        "da")
+      .join(broadcast(vecs.select(col("doc_id").as("db"), col("v").as("vb"))),
+        "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(dot, 6).as("cos_sim"))
+      .filter(col("cos_sim") >= ApssThreshold)
   }
 
   private[graft] def apssApproxOf(docs: DataFrame): DataFrame = {
     // the state feeds the sketch aggregation AND both verify sides —
     // materialize it once ((doc, term) fixed-width rows)
     val state = apssState(docs).localCheckpoint(true)
-    apssVerify(state, apssSketchCandidates(state))
+    val cand = apssSketchCandidates(state)
+    // same regime probe as d15: a bounded dictionary admits the dense
+    // verify (one K-dot per candidate, no posting join) — on a
+    // cosine-homogeneous corpus the admitted set runs to ~n²/5 pairs
+    // and the posting-join verify was half of d16's wall time
+    val vocab = state.agg(countDistinct(col("th"))).head().getLong(0)
+    if (vocab <= ApssDenseVocabMax) apssVerifyDense(state, vocab.toInt, cand)
+    else apssVerify(state, cand)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1826,21 +1885,18 @@ object Dedup {
          |JOIN nrm p ON p.doc_id = da
          |JOIN nrm q ON q.doc_id = db
          |WHERE round(dp / (p.nm * q.nm), 6) >= $ApssThreshold""".stripMargin,
-    // d16: the full sketch chain replayed — signed-sum sketches from
-    // the same md5-60 bits, the sign-LSH bands (14×8 over the 112
-    // projections, th bits 0..55 then th2 bits 0..55), the ROUNDED
-    // sketch-cosine cut, exact verify on survivors (the s13
-    // tie-stability discipline: both engines compare the 6-dp-rounded
-    // estimate to the cut, so the candidate set reproduces exactly)
+    // d16: the full signature chain replayed — signed-sum sign bits
+    // from the same md5-60 families (th bits 0..55 then th2 bits
+    // 0..55, the Spark packing order), the 16×7 sign-LSH bands, the
+    // hamming admission cut, exact verify on survivors. Sign ties are
+    // impossible in practice (a weighted sum landing on exactly 0.0
+    // bit-identically in both engines), and every later comparison is
+    // integer or 6-dp-rounded, so the candidate set reproduces exactly
     "d16_apss_sketch" -> {
-      val rvList = (0 until ApssSketchDims).map(j =>
-        s"SUM(u * CASE WHEN (th >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)")
-        .mkString("[", ",\n    ", "]")
-      val xbList = (ApssSketchDims until 56).map(j =>
-        s"SUM(u * CASE WHEN (th >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)")
-        .mkString("[", ",\n    ", "]")
-      val ybList = (0 until 56).map(j =>
-        s"SUM(u * CASE WHEN (th2 >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)")
+      val sgList = ((0 until 56).map(j =>
+        s"SUM(u * CASE WHEN (th >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)") ++
+        (0 until 56).map(j =>
+          s"SUM(u * CASE WHEN (th2 >> $j) & 1 = 1 THEN 1.0 ELSE -1.0 END)"))
         .mkString("[", ",\n    ", "]")
       val bandKeyExpr = (0 until ApssSketchBandBits).map(i =>
         s"bits[$ApssSketchBandBits * g.b + ${i + 1}] * ${1L << i}")
@@ -1866,15 +1922,11 @@ object Dedup {
          |      AS BIGINT) AS th2,
          |    w.w, w.w / r.nm AS u
          |  FROM wts w JOIN nrm r USING (doc_id)),
-         |rv AS (SELECT doc_id, $rvList AS rv,
-         |    $xbList AS xb,
-         |    $ybList AS yb
-         |  FROM uw GROUP BY doc_id),
-         |rb AS (SELECT doc_id, rv, sqrt(list_dot_product(rv, rv)) AS rn,
-         |    list_transform(rv || xb || yb,
+         |sg AS (SELECT doc_id, $sgList AS sums FROM uw GROUP BY doc_id),
+         |rb AS (SELECT doc_id, list_transform(sums,
          |      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END) AS bits
-         |  FROM rv),
-         |bnd AS (SELECT doc_id, rv, rn, g.b AS band_idx,
+         |  FROM sg),
+         |bnd AS (SELECT doc_id, bits, g.b AS band_idx,
          |    $bandKeyExpr AS band_key
          |  FROM rb CROSS JOIN
          |    (SELECT unnest(generate_series(0, ${ApssSketchBands - 1})) AS b)
@@ -1883,8 +1935,9 @@ object Dedup {
          |  FROM bnd a JOIN bnd b
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id
-         |  WHERE round(list_dot_product(a.rv, b.rv) / (a.rn * b.rn), 6)
-         |    >= $ApssSketchCut),
+         |  WHERE len(list_filter(range($ApssSignBits),
+         |      i -> a.bits[i + 1] <> b.bits[i + 1]))
+         |    <= $ApssSketchMaxHamming),
          |dots AS (SELECT c.da, c.db, SUM(x.w * y.w) AS dp
          |  FROM cand c
          |  JOIN wts x ON x.doc_id = c.da

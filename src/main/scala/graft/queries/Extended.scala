@@ -762,7 +762,12 @@ object Extended {
     * wedge-close core of q63, factored out so specs can drive it with
     * arbitrary graphs against a brute-force oracle.
     */
-  def trianglesOf(edges: DataFrame): DataFrame = {
+  def trianglesOf(edgesIn: DataFrame): DataFrame = {
+    // materialized ONCE: the edge pipeline (for q63 a lineitem
+    // self-join + support aggregate) is read by the degree table, the
+    // orientation join, and the final wedge-close verify — without
+    // this it executes four times
+    val edges = edgesIn.localCheckpoint(true)
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -816,16 +821,35 @@ object Extended {
     * converged round is a join against an unchanged node list.
     */
   def kcoreOf(edges: DataFrame, k: Int, iters: Int): DataFrame = {
-    var e = edges.localCheckpoint()
-    for (_ <- 1 to iters) {
+    // persist-then-count materializes each round's edge frame AND
+    // measures it in ONE job (the CC snap pattern); the rebuilt
+    // LogicalRDD resets carried stats so per-round planning stays flat
+    def snap(df: DataFrame): (DataFrame, DataFrame, Long) = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = c.count()
+      (c.sparkSession.createDataFrame(c.rdd, c.schema), c, n)
+    }
+    var (e, eu, prev) = snap(edges)
+    var round = 0
+    var converged = prev == 0
+    while (round < iters && !converged) {
       val good = e.select(col("u").as("n"))
         .union(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("n")
-      e = e.join(good.withColumnRenamed("n", "u"), "u")
+      val (e2, eu2, n) = snap(e
+        .join(good.withColumnRenamed("n", "u"), "u")
         .join(good.withColumnRenamed("n", "v"), "v")
-        .select("u", "v")
-        .localCheckpoint()
+        .select("u", "v"))
+      eu.unpersist(false)
+      e = e2; eu = eu2
+      // the peel only ever REMOVES edges, so an unchanged count IS an
+      // unchanged edge set: the remaining fixed rounds are identity
+      // and skipping them returns exactly what the oracle's full
+      // replay computes
+      converged = n == prev
+      prev = n
+      round += 1
     }
     e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))

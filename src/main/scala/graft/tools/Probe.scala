@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry: run one registered query N times against a
+  * testdata dir, print count + wall time per run. Usage:
+  *   tools/run_class.sh graft.tools.Probe <sfDir> <queryName> [runs]
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, name) = (args(0), args(1))
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // internal probe targets beyond the public query map
+    def state(s: SparkSession, d: String) = {
+      graft.functions.HashFunctions.register(s)
+      graft.functions.VectorFunctions.register(s)
+      graft.llm.Dedup.apssState(graft.core.Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.trim(
+                org.apache.spark.sql.functions.col("text"))), "\\s+").as("t")))
+    }
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "d16_state" -> (state _),
+      "d16_candidates" -> ((s, d) =>
+        graft.llm.Dedup.apssSketchCandidates(state(s, d))),
+      "d16_raw" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val rv = graft.llm.Dedup.apssSketchVectors(state(s, d))
+        rv.select(col("doc_id"), posexplode(col("bks")))
+          .toDF("doc_id", "band_idx", "band_key")
+          .groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("m"))
+          .agg(sum(col("m") * (col("m") - 1) / 2).as("raw_pairs"),
+            max(col("m")).as("max_bucket"))
+      }),
+      "d16_groups" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val g = graft.llm.Dedup.apssSketchVectors(state(s, d))
+          .groupBy("bks").agg(count(lit(1)).as("m"))
+        g.groupBy("m").agg(count(lit(1)).as("n_groups"),
+          (count(lit(1)) * col("m") * (col("m") - 1) / 2).as("intra_pairs"))
+          .orderBy(desc("m"))
+      }))
+    val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      println(f"[probe] $name run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (n <= 20) df.show(20, false)
+    }
+    spark.stop()
+  }
+}
