@@ -815,7 +815,63 @@ object Curation {
       .select("doc_id", "n_toks", "imp", "cum_toks")
   }
 
+  /** Budget fraction for c16: the waterline is computed against
+    * 60% of the corpus's token mass, so the cut engages (caps the
+    * large sources) at every SF without a hand-tuned absolute number.
+    */
+  val WaterfillFrac = 0.6
+
+  /** c16 — token-budget WATERFILL across sources: the balanced-mixture
+    * allocator (maximize the minimum source share subject to
+    * availability and a global budget B = [[WaterfillFrac]]·Σv). The
+    * classic closed form: sort sources by volume ascending; at each
+    * rank i the candidate waterline is the budget left after fully
+    * taking all smaller sources, split evenly over the rest,
+    * lvl_i = (B − cum_{i−1}) / (n − i + 1); the true waterline L is
+    * the candidate at the FIRST rank whose own volume reaches it —
+    * which is also max(lvl_i | lvl_i ≤ v_i), since candidates are
+    * non-increasing past that rank (each later source removes more
+    * than the running average). Sources below L are taken whole;
+    * the rest cap at L, so allocations sum to B exactly. Σv ≤ B has
+    * no candidate rank and every source allocates fully.
+    *
+    * Where c3's power-law weights RESHAPE a mixture and c7/c15 select
+    * documents, this sets the per-source token CAPS a balanced
+    * multi-source release samples under — the knob mixture papers
+    * (Pile-style) tune first. Scale shape: one token-count aggregate
+    * (map-side combine) down to |sources| rows; the ranking window
+    * runs on that bounded table (sources are an enumerable dimension
+    * — thousands at most — never corpus-sized), and the waterline is
+    * a broadcast 1-row aggregate. 4-dp rounding at output keeps the
+    * divisions engine-portable.
+    */
+  def mixWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast(LongType)
+          .as("tk"))
+      .groupBy("source").agg(sum(col("tk")).as("v"))
+    val w = Window.orderBy(col("v"), col("source"))
+    val ranked = v
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("v")).over(w))
+      .crossJoin(broadcast(v.agg(
+        (sum(col("v")) * WaterfillFrac).as("b"),
+        count(lit(1)).as("n"))))
+      .withColumn("lvl",
+        (col("b") - (col("cum") - col("v"))) / (col("n") - col("i") + 1))
+    val line = ranked
+      .agg(max(when(col("lvl") <= col("v"), col("lvl"))).as("line"))
+    ranked.crossJoin(broadcast(line))
+      .select(col("source"), col("v").as("tokens_available"),
+        round(least(col("v").cast("double"),
+          coalesce(col("line"), col("v").cast("double"))), 4)
+          .as("tokens_allocated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_mix_waterfill" -> mixWaterfill _,
     "c14_dsir_weights" -> dsirWeights _,
     "c15_dsir_select" -> dsirSelect _,
     "c12_quality_model" -> qualityClassifierScores _,
@@ -949,6 +1005,28 @@ object Curation {
        |  FROM tk JOIN lrt USING (b) GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "c16_mix_waterfill" ->
+      s"""WITH v AS (SELECT source,
+         |    CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+         |      AS BIGINT) AS v
+         |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT SUM(v) * $WaterfillFrac AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |ranked AS (SELECT source, v,
+         |    ROW_NUMBER() OVER (ORDER BY v, source) AS i,
+         |    CAST(SUM(v) OVER (ORDER BY v, source
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM v),
+         |lv AS (SELECT r.source, r.v,
+         |    (tot.b - (r.cum - r.v)) / (tot.n - r.i + 1) AS lvl
+         |  FROM ranked r CROSS JOIN tot),
+         |line AS (SELECT MAX(CASE WHEN lvl <= v THEN lvl END) AS line
+         |  FROM lv)
+         |SELECT source, v AS tokens_available,
+         |  round(least(CAST(v AS DOUBLE),
+         |    COALESCE(line.line, CAST(v AS DOUBLE))), 4)
+         |    AS tokens_allocated
+         |FROM lv CROSS JOIN line""".stripMargin,
     "c14_dsir_weights" ->
       s"""WITH $dsirWeightsOracle
          |SELECT doc_id, n_toks, imp FROM wts""".stripMargin,

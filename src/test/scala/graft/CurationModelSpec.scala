@@ -127,4 +127,46 @@ class CurationModelSpec extends SparkSpec {
     val got = Curation.dsirScoreFromModel(spark, dir, novel).collect()
     assert(got.length == 1 && got(0).getLong(1) == 3L && !got(0).isNullAt(2))
   }
+
+  test("c16 waterfill: allocations exhaust the budget, respect " +
+      "availability, and equalize capped sources") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.llm.Curation.mixWaterfill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val totalV = rows.map(_._2).sum.toDouble
+    val b = totalV * graft.llm.Curation.WaterfillFrac
+    // never allocate more than available
+    rows.foreach { case (s, v, a) => assert(a <= v + 1e-6, s"$s: $a > $v") }
+    // the budget binds here (frac < 1), so allocations sum to B
+    assert(math.abs(rows.map(_._3).sum - b) < 1e-3,
+      s"allocated ${rows.map(_._3).sum} vs budget $b")
+    // capped sources (a < v) all sit at one waterline
+    val capped = rows.filter { case (_, v, a) => a < v - 1e-6 }.map(_._3)
+    assert(capped.nonEmpty, "budget never engaged — fixture drifted")
+    assert(capped.max - capped.min < 1e-6,
+      s"capped sources not equalized: ${capped.min} vs ${capped.max}")
+    // uncapped sources are exactly the ones below the waterline
+    val line = capped.min
+    rows.foreach { case (s, v, a) =>
+      if (v < line) assert(a == v.toDouble, s"$s under line but cut")
+    }
+  }
+
+  test("c16 waterfill: hand-computed fixture, including the no-cut case") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wf").toString
+    // volumes 2, 4, 10 tokens; B = 0.6·16 = 9.6
+    // ranks: lvl1 = 9.6/3 = 3.2 > 2 (take all); lvl2 = 7.6/2 = 3.8 ≤ 4
+    // → waterline 3.8: a = (2, 3.8, 3.8)
+    Seq(
+      (1L, "a b", "s1"), (2L, "a b c d", "s2"),
+      (3L, "a b c d e f g h i j", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.llm.Curation.mixWaterfill(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("s1" -> ((2L, 2.0)), "s2" -> ((4L, 3.8)),
+      "s3" -> ((10L, 3.8))), got.toString)
+  }
 }
