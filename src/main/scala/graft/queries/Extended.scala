@@ -746,13 +746,18 @@ object Extended {
     * order. Shared by q63 and q66.
     */
   private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    // distinct (order, part) FIRST: within-order repeats would
+    // otherwise multiply through the self-join (dup × dup pair rows),
+    // and deduping up front turns the two-shuffle countDistinct into a
+    // plain count — support is "distinct orders co-purchasing (u, v)"
+    // by construction
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
     li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"),
-        col("a.l_orderkey").as("ok"))
-      .groupBy("u", "v").agg(countDistinct(col("ok")).as("sup"))
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
       .select("u", "v")
   }
@@ -830,6 +835,40 @@ object Extended {
       (c.sparkSession.createDataFrame(c.rdd, c.schema), c, n)
     }
     var (e, eu, prev) = snap(edges)
+    // DRIVER TIER (the CC precedent): a peel graph under the
+    // broadcast-scale budget pays more in per-round job scheduling
+    // than in arithmetic — run the SAME synchronous rounds locally.
+    // The result is identical: each round drops edges with an
+    // endpoint of degree < k, bounded by `iters`, early exit at the
+    // fixpoint (the peel only removes, so an unchanged count is an
+    // unchanged set).
+    if (prev > 0 && prev <= graft.llm.Dedup.CcDriverMaxEdges) {
+      val spark = e.sparkSession
+      var cur = e.select("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      eu.unpersist(false)
+      var round = 0
+      var done = cur.isEmpty
+      while (round < iters && !done) {
+        val deg = new java.util.HashMap[Long, Long]()
+        cur.foreach { case (u, v) =>
+          deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+        }
+        val next = cur.filter { case (u, v) =>
+          deg.get(u) >= k && deg.get(v) >= k }
+        done = next.length == cur.length
+        cur = next
+        round += 1
+      }
+      val deg = new java.util.HashMap[Long, Long]()
+      cur.foreach { case (u, v) =>
+        deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+      }
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      return deg.asScala.toSeq.map { case (n, d) => (n, d) }
+        .toDF("n", "deg")
+    }
     var round = 0
     var converged = prev == 0
     while (round < iters && !converged) {
@@ -843,6 +882,8 @@ object Extended {
         .select("u", "v"))
       eu.unpersist(false)
       e = e2; eu = eu2
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[kcore] round=${round + 1} edges=$n")
       // the peel only ever REMOVES edges, so an unchanged count IS an
       // unchanged edge set: the remaining fixed rounds are identity
       // and skipping them returns exactly what the oracle's full
