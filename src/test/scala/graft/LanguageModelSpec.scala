@@ -253,18 +253,20 @@ class LanguageModelSpec extends SparkSpec {
       "dictionary, weak Bayardo pruning — measured wall-time, equal " +
       "output") {
     import spark.implicits._
-    // 600 docs × 120 tokens drawn uniformly from a 2 000-term vocab:
-    // per-term df ≈ 36, idf (and so unit weights) nearly flat, so the
+    // 800 docs × 150 tokens drawn uniformly from a 2 500-term vocab:
+    // per-term df ≈ 48, idf (and so unit weights) nearly flat, so the
     // Bayardo prefix keeps most of every doc and the posting join
-    // degenerates toward Σ df² pair-term rows. Five planted near-dup
-    // pairs give a non-empty output to compare. This is the corner the
-    // d16 Scaladoc claims; the measurement below replaces the
+    // degenerates toward Σ df² ≈ 5.8M pair-term rows — while d16's
+    // cost (per-doc signatures + banded bit-op candidates) grows
+    // linearly in corpus size. Five planted near-dup pairs give a
+    // non-empty output to compare. This is the corner the d16
+    // Scaladoc claims; the measurement below replaces the
     // argument-by-comment (VERDICT r11 #6).
     val rnd = new scala.util.Random(16L)
-    val docs: Seq[(Long, Seq[String])] = (0 until 600).map { i =>
+    val docs: Seq[(Long, Seq[String])] = (0 until 800).map { i =>
       val toks =
-        if (i >= 590) Seq.tabulate(120)(k => s"w${(i - 590) / 2}_$k")
-        else Seq.fill(120)(s"w${rnd.nextInt(2000)}")
+        if (i >= 790) Seq.tabulate(150)(k => s"w${(i - 790) / 2}_$k")
+        else Seq.fill(150)(s"w${rnd.nextInt(2500)}")
       i.toLong -> toks
     }
     val df = docs.toDF("doc_id", "t").localCheckpoint(true)
@@ -288,7 +290,7 @@ class LanguageModelSpec extends SparkSpec {
       s"output differs: ${(exact.keySet -- approx.keySet).take(3)} / " +
         s"${(approx.keySet -- exact.keySet).take(3)}")
     info(f"d15-sparse $tSparse%.2f s vs d16-sketch $tSketch%.2f s " +
-      f"on 600 docs × 2 000-term flat vocab")
+      f"on 800 docs × 2 500-term flat vocab")
     assert(tSketch < tSparse,
       f"d16 ($tSketch%.2f s) did not beat d15 ($tSparse%.2f s) in its own regime")
   }
