@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries` aggregates every implemented operator family's query
   * inventory; `oracleSql` carries the DuckDB-equivalent SQL for each
   * (omitted for RNG-dependent / non-SQL-expressible ops, which get a
-  * rows-only check).
+  * rows-only check PLUS a statistical envelope verdict emitted by
+  * [[Verify]] into `envelope.json` — see [[graft.tools.Envelopes]]).
   */
 object SparkEntry {
 

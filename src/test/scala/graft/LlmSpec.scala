@@ -520,6 +520,20 @@ class LlmSpec extends SparkSpec {
       s"path labels wrong: ${got.toSeq.sortBy(_._1).filter(_._2 != 1L).take(5)}")
   }
 
+  test("connected components: both tiers agree on the REAL dedup " +
+      "candidate graph (production edge shape, not a synthetic one)") {
+    val edges = Dedup.dedupEdgesOf(
+      graft.core.Tables.load(spark, sfDir, "documents"))
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = asMap(Dedup.connectedComponents(edges))
+    val dist = asMap(Dedup.connectedComponents(edges, driverMaxEdges = 0L))
+    assert(driver.nonEmpty && driver == dist,
+      s"tier disagreement on the d8 graph: " +
+        s"${(driver.toSet -- dist.toSet).take(5)} / " +
+        s"${(dist.toSet -- driver.toSet).take(5)}")
+  }
+
   test("connected components: driver union-find and distributed " +
       "star rounds label identically") {
     import spark.implicits._
