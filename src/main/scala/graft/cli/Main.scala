@@ -219,6 +219,9 @@ object Main {
     case Seq("apss-join", table, out) =>
       graft.llm.Dedup.apssFromIndex(spark, table)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    case Seq("apss-sketch-join", table, out) =>
+      graft.llm.Dedup.apssApproxFromIndex(spark, table)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     // BM25 inverted-index lifecycle: `bm25-index` materializes the
     // full postings (bucketed by term), doc lengths, and corpus stats
     // once; `bm25-search` scores a query from the stored tables with

@@ -1513,6 +1513,22 @@ object Dedup {
     apssVerify(state, apssCandidates(state))
   }
 
+  /** d16's approximate join replayed from the SAME persisted APSS
+    * state table — the index stores exactly the (doc, term, u, w, nm)
+    * rows both the signature aggregation and the verify consume, so
+    * the approximate tier needs no index of its own (CLI
+    * `apss-sketch-join`). Spec-pinned ≡ the inline d16.
+    */
+  def apssApproxFromIndex(s: SparkSession, table: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    graft.functions.VectorFunctions.register(s)
+    val state = s.table(table).localCheckpoint(true)
+    val cand = apssSketchCandidates(state)
+    val vocab = state.agg(countDistinct(col("th"))).head().getLong(0)
+    if (vocab <= ApssDenseVocabMax) apssVerifyDense(state, vocab.toInt, cand)
+    else apssVerify(state, cand)
+  }
+
   // -- d16: signature-prefiltered approximate APSS --------------------------
   /** Sign-hamming admission cut over all [[ApssSignBits]] projections:
     * a pair with true cosine c disagrees per bit with probability

@@ -344,6 +344,12 @@ class LanguageModelSpec extends SparkSpec {
       s"indexed APSS plan recomputes the prefix window:\n$plan")
     assert(!plan.contains("explode"),
       s"indexed APSS plan re-tokenizes:\n$plan")
+    // the APPROXIMATE tier runs from the same stored state — no
+    // second index, same pairs as the inline d16
+    val approxIdx = asMap(graft.llm.Dedup.apssApproxFromIndex(spark, table))
+    val approxInline = asMap(graft.llm.Dedup.apssApproxOf(docsDf))
+    assert(approxIdx == approxInline,
+      s"indexed d16 diverged: ${(approxIdx.keySet -- approxInline.keySet).take(3)}")
   }
 
   test("q65 core: q-gram prefix blocking loses no pair — equals brute " +
