@@ -84,6 +84,92 @@ object Similarity {
         col("rk").cast(LongType).as("rk"))
   }
 
+  // -- s19/s20: metadata-FILTERED search -----------------------------------
+  /** s19 — filtered exact kNN: each query's neighbors are restricted
+    * to the query's OWN label before ranking — the vector-DB
+    * "filtered search" contract (k results INSIDE the predicate, not
+    * the post-filtered remnant of an unfiltered top-k, which starves
+    * selective predicates). Brute tier: the ground truth s20's
+    * pre-filtering discipline is measured against.
+    */
+  def knnFiltered(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
+  /** Per-query candidate budget for the FILTERED tier: the rerank
+    * fraction applies to the average label stream (n / |labels|), not
+    * the corpus — a corpus-sized budget would keep every label-mate
+    * and silently degenerate to exact search. Driver scalar for the
+    * same reason as [[rerankBudget]] (heap k is a plan constant).
+    */
+  private def filteredBudget(e: DataFrame, topK: Int): Int = {
+    val r = e.agg(count(lit(1)).cast("double"),
+      countDistinct(col("label")).cast("double")).head()
+    // floor at 4k: label streams are small, and a near-k budget gives
+    // the heap no room to recover signature-rank errors (measured
+    // recall 0.52 at ~2.7k vs 0.65 at 4k on the isotropic fixture)
+    math.max(4 * topK,
+      math.ceil(RerankFraction * r.getDouble(0) / r.getDouble(1)).toInt)
+  }
+
+  /** s20 — filtered ANN, PRE-FILTER discipline: the label predicate
+    * applies to the signature stream BEFORE the Hamming-rank heap, so
+    * every query fills its candidate budget inside its own label
+    * (post-filtering an unfiltered top-C is the classic filtered-ANN
+    * recall hole: a selective label's true neighbors never reach the
+    * rerank). Same two-stage shape as s6 — Hamming rank on the
+    * 64-bit signatures, exact cosine rerank — fully deterministic
+    * (literal hyperplanes, integer Hamming, 6-dp rounds), so the
+    * oracle replays the whole chain.
+    *
+    * Scale shape: stage 1 streams (corpus × queries-sharing-label)
+    * signature rows through a bounded heap — at index scale the same
+    * discipline is label-partitioned signature buckets, and the
+    * persisted-LSH layout already partitions by bucket id, so a label
+    * partition column composes for free.
+    */
+  def knnFilteredLsh(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val e = emb(s, dir).withColumn("sig", lshSig(col("v")))
+    val topC = filteredBudget(e, topK)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("sig").as("q_sig"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.select(col("vec_id"), col("label"), col("sig"))
+      .join(broadcast(q.select(col("q_id"), col("q_label"), col("q_sig"))),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        (-bit_count(col("sig").bitwiseXOR(col("q_sig"))).cast("double"))
+          .as("nh"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("nh"), col("vec_id"), lit(topC)).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("vec_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
   // -- s9: brute-force top-k via the bounded-heap aggregate ---------------
   /** Same exact top-5 as [[knnBrute]], computed with the `topk_by`
     * bounded-heap aggregate instead of a row_number window. Spark
@@ -1354,6 +1440,9 @@ object Similarity {
     "s15_hard_negatives" -> hardNegatives _,
     "s16_semdedup" -> semDedup _,
     "s1_knn_brute" -> knnBrute _,
+    "s19_knn_filtered" -> ((s: SparkSession, dir: String) => knnFiltered(s, dir)),
+    "s20_knn_filtered_lsh" ->
+      ((s: SparkSession, dir: String) => knnFilteredLsh(s, dir)),
     "s9_knn_topk"  -> knnBruteTopK _,
     "s8_embed_clusters" -> embedClusters _,
     "s7_knn_int8" -> ((s: SparkSession, dir: String) => knnIvfInt8(s, dir)),
@@ -1601,6 +1690,49 @@ object Similarity {
          |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM r GROUP BY node""".stripMargin,
     "s6_knn_lsh" -> knnLshSql,
+    // s19: the brute SQL restricted to the query's label pre-ranking
+    "s19_knn_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+         |        e.vec_id) AS rk
+         |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
+         |    AND e.label = q.label)
+         |WHERE rk <= 5""".stripMargin,
+    // s20: s6's signature chain with the label predicate BEFORE the
+    // Hamming rank and the budget scaled to the average label stream
+    "s20_knn_filtered_lsh" -> {
+      val sigSql = sigPlanes.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, label, v, $sigSql AS sig FROM e),
+         |n AS (SELECT GREATEST(CAST(12 AS BIGINT),
+         |    CAST(ceil($RerankFraction * COUNT(*) /
+         |      COUNT(DISTINCT label)) AS BIGINT)) AS topc FROM e),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(e.sig, q.sig)), e.vec_id) AS hr
+         |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
+         |    AND e.label = q.label), n
+         |  WHERE hr <= n.topc)
+         |SELECT q_id, vec_id, sim, rk FROM (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+         |        c.vec_id) AS rk
+         |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
+         |    JOIN b q ON q.vec_id = c.q_id)
+         |WHERE rk <= 3""".stripMargin
+    },
     // s18: the two retrievals nest verbatim as CTEs — the recall join
     // is plain set arithmetic on top of two already-pinned rankings
     "s18_recall_lsh" ->

@@ -1278,4 +1278,41 @@ class LlmSpec extends SparkSpec {
     } yield (ni, oi) -> java.lang.Long.bitCount(ns ^ os)).toMap
     assert(got == brute)
   }
+
+  test("s19/s20 filtered search: every neighbor inside the predicate, " +
+      "pre-filter recall floor, and the post-filter starvation it avoids") {
+    import graft.llm.Similarity
+    val labels = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val exact = rows(Similarity.knnFiltered(spark, sfDir))
+    val approx = rows(Similarity.knnFilteredLsh(spark, sfDir))
+    assert(exact.nonEmpty && approx.nonEmpty)
+    // the filtered-search contract: results never leave the predicate
+    (exact ++ approx).foreach { case (q, n, _) =>
+      assert(labels(n) == labels(q), s"query $q got out-of-label $n")
+    }
+    // every query with >= 3 label-mates gets a FULL top-3 from s20 —
+    // the property post-filtering an unfiltered top-k cannot give
+    val mates = labels.groupBy(_._2).view.mapValues(_.size).toMap
+    val perQ = approx.groupBy(_._1).view.mapValues(_.size).toMap
+    labels.filter(_._1 < 20).foreach { case (q, l) =>
+      if (mates(l) - 1 >= 3)
+        assert(perQ.getOrElse(q, 0) == 3, s"query $q: ${perQ.get(q)} of 3")
+    }
+    // post-filtering s6's unfiltered top-3 by label, by contrast,
+    // starves most queries (label share ~1/10 of any top list)
+    val post = rows(Similarity.knnLsh(spark, sfDir))
+      .filter { case (q, n, _) => labels(n) == labels(q) }
+    assert(post.size < approx.size / 2,
+      s"post-filter kept ${post.size} vs pre-filter ${approx.size} — " +
+        "fixture no longer demonstrates the starvation")
+    // MEASURED recall of the budgeted pre-filter tier vs filtered brute
+    val truth = exact.filter(_._3 <= 3).map(t => (t._1, t._2)).toSet
+    val got = approx.map(t => (t._1, t._2)).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    info(f"s20 filtered recall@3 = $recall%.3f over ${truth.size} truths")
+    assert(recall >= 0.5, s"filtered ANN recall $recall below floor")
+  }
 }
