@@ -40,7 +40,13 @@ object Indexes {
       (s, in, t) => graft.llm.Dedup.writeFpIndex(s, in, t)),
     IndexFamily("shingle", "bucketed-table",
       "MinHash shingle sets, bucketed by doc_id",
-      (s, in, t) => graft.llm.Dedup.writeShingleIndex(s, in, t)),
+      (s, in, t) => graft.llm.Dedup.writeShingleIndex(s, in, t),
+      Some((s, b, t) => graft.llm.Dedup.appendToShingleIndex(s, b, t))),
+    IndexFamily("band", "bucketed-table",
+      "MinHash LSH bands (near-dup candidate probe side), bucketed " +
+        "by band_key",
+      (s, in, t) => graft.llm.Dedup.writeBandIndex(s, in, t),
+      Some((s, b, t) => graft.llm.Dedup.appendToBandIndex(s, b, t))),
     IndexFamily("cluster", "bucketed-table",
       "near-dup cluster resolution (d8), bucketed by doc_id",
       (s, in, t) => graft.llm.Dedup.writeClusterIndex(s, in, t)),

@@ -870,7 +870,65 @@ object Curation {
           .as("tokens_allocated"))
   }
 
+  /** c17 bucket ladder: powers of two, 16 … 2048 tokens. A fixed
+    * enumerable ladder (not `2^ceil(log2 n)`) for two reasons: it is
+    * what trainers actually configure (a handful of compiled batch
+    * shapes), and the CASE chain is exact integer arithmetic in every
+    * engine — `pow/log2` round-trips can mis-bucket exact powers of
+    * two under IEEE doubles. Docs longer than the top edge land in the
+    * top bucket (the truncation bucket: real pipelines truncate to the
+    * max context, they don't skip).
+    */
+  val LengthBuckets: Seq[Long] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** Docs per training batch for the c17 batch count. */
+  val BatchDocs = 32L
+
+  /** c17 — length-bucketed batching stats: every doc is padded to its
+    * bucket edge and batched [[BatchDocs]] at a time within the
+    * bucket; per bucket we report doc/token volume, the realized max
+    * length, the batch count, and the padding fraction
+    * `1 − Σtoks / (n·edge)` the trainer will pay.
+    *
+    * Deliberately NOT a per-bucket `row_number` batching plan: a
+    * window partitioned by bucket funnels each bucket (there are only
+    * ~8) through one task — the classic low-cardinality-window skew.
+    * Padding to the bucket EDGE makes batch composition irrelevant to
+    * the padding bill (every batch in a bucket pads to the same edge),
+    * so the whole query collapses to one map-side-combinable
+    * aggregate: a scan that never shuffles text, an exchange of ~8
+    * rows. That is the production shape — data-parallel workers pack
+    * their own batches; only the ladder is global. Per-batch-max
+    * padding (pad to the longest doc in the batch) would need the
+    * global order and buys back at most the intra-bucket gap, bounded
+    * by the ladder ratio (≤ 50% of the edge, ~19% expected under a
+    * uniform within-bucket length mix).
+    */
+  def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(size(graft.llm.TextAnalysis.tokens(col("text")))
+        .cast(LongType).as("n_toks"))
+    val bucket = LengthBuckets.init.foldRight(lit(LengthBuckets.last): Column) {
+      (edge, rest) => when(col("n_toks") <= edge, lit(edge)).otherwise(rest)
+    }
+    docs.select(bucket.as("bucket"), col("n_toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        max(col("n_toks")).as("max_toks"))
+      .withColumn("n_batches",
+        ceil(col("n_docs").cast("double") / BatchDocs).cast(LongType))
+      .withColumn("pad_frac",
+        round(lit(1.0) - col("sum_toks").cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"), 4))
+      .select("bucket", "n_docs", "sum_toks", "max_toks", "n_batches",
+        "pad_frac")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_length_buckets" -> lengthBuckets _,
     "c16_mix_waterfill" -> mixWaterfill _,
     "c14_dsir_weights" -> dsirWeights _,
     "c15_dsir_select" -> dsirSelect _,
@@ -1005,6 +1063,21 @@ object Curation {
        |  FROM tk JOIN lrt USING (b) GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "c17_length_buckets" -> {
+      val cases = LengthBuckets.init
+        .map(e => s"WHEN n_toks <= $e THEN $e").mkString(" ")
+      s"""WITH tk AS (SELECT CAST(len(string_split_regex(trim(text), '\\s+'))
+         |    AS BIGINT) AS n_toks FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT n_toks, CAST(CASE $cases
+         |    ELSE ${LengthBuckets.last} END AS BIGINT) AS bucket FROM tk)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+         |  CAST(CEIL(COUNT(*) / $BatchDocs.0) AS BIGINT) AS n_batches,
+         |  round(1.0 - SUM(n_toks) / (COUNT(*) * 1.0 * bucket), 4)
+         |    AS pad_frac
+         |FROM b GROUP BY bucket""".stripMargin
+    },
     "c16_mix_waterfill" ->
       s"""WITH v AS (SELECT source,
          |    CAST(SUM(len(string_split_regex(trim(text), '\\s+')))

@@ -271,13 +271,59 @@ object Dedup {
     * corpus build; see [[jaccardVerifyIndexed]] for the read side.
     */
   def writeShingleIndex(s: SparkSession, dir: String, table: String,
-      buckets: Int = 8): Unit = {
-    graft.functions.HashFunctions.register(s)
-    val hset = shingleSets(s, dir).select(col("doc_id"),
+      buckets: Int = 8): Unit =
+    graft.ops.Partitioning.writeBucketed(
+      hsetsOf(Tables.load(s, dir, "documents")), table, "doc_id", buckets)
+
+  /** Per-doc sorted distinct 60-bit shingle hashes — the
+    * [[writeShingleIndex]] row shape (doc_id, hset), factored out so
+    * the streaming near-dup gate computes its batch side through the
+    * exact code path the persisted index was built with.
+    */
+  def hsetsOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    shingleSetsOf(docs).select(col("doc_id"),
       array_sort(array_distinct(
         transform(col("shingles"), sh => hash60(sh) % M))).as("hset"))
-    graft.ops.Partitioning.writeBucketed(hset, table, "doc_id", buckets)
   }
+
+  /** Incremental twin of [[writeShingleIndex]]: a batch's hash sets
+    * append into the bucketed layout via `insertInto` (which routes
+    * rows through the table's existing bucket spec) — O(batch) work,
+    * no index rebuild. At-least-once posture: replayed appends leave
+    * duplicate (doc_id, hset) rows, harmless to the verify join's
+    * semantics and reclaimed by a periodic distinct-rewrite, exactly
+    * like [[IngestDedup.compactIndex]]'s contract.
+    */
+  def appendToShingleIndex(s: SparkSession, batch: DataFrame,
+      table: String): Unit =
+    hsetsOf(batch).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(table)
+
+  /** Persists the d2 LSH BAND table — (band_idx, band_key, doc_id)
+    * bucketed by band_key — the probe side of near-dup candidate
+    * generation: an incoming batch's bands equi-join this layout in
+    * place (bucket-pruned, no corpus re-shingling), exactly how d2
+    * buckets candidates in the batch pipeline. Together with the
+    * shingle index (the verify side) this is the full persisted state
+    * of the standard MinHash near-dedup, so a streaming gate
+    * ([[graft.streaming.IngestNearDup]]) runs candidate → verify →
+    * admit at O(batch) cost per trigger.
+    */
+  def writeBandIndex(s: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit =
+    graft.ops.Partitioning.writeBucketed(
+      bandsFrom(signaturesFrom(shingleSets(s, dir))),
+      table, "band_key", buckets)
+
+  /** O(batch) append into [[writeBandIndex]]'s layout (same
+    * at-least-once / compaction contract as [[appendToShingleIndex]]).
+    */
+  def appendToBandIndex(s: SparkSession, batch: DataFrame,
+      table: String): Unit =
+    bandsFrom(signaturesFrom(shingleSetsOf(batch)))
+      .select("doc_id", "band_idx", "band_key")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(table)
 
   /** The full d3 pipeline (LSH candidates + exact Jaccard verify) run
     * ENTIRELY from the [[writeShingleIndex]] artifact — the text is

@@ -1433,7 +1433,38 @@ object Similarity {
         round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
   }
 
+  // -- s21: embedding drift monitor ----------------------------------------
+  /** s21 — per-dimension drift between two corpus epochs (vec_id
+    * parity stands in for the batch boundary a production monitor
+    * compares: yesterday's embedding run vs today's). For every
+    * dimension: the two epoch means and their absolute shift — the
+    * signal that catches a swapped encoder checkpoint, a
+    * normalization change, or upstream feature rot BEFORE an ANN
+    * index is rebuilt over mixed-provenance vectors. The q39 PSI
+    * monitor covers scalar columns; this is its vector-column twin.
+    *
+    * Scale shape: `posexplode` widens n rows to n·64, but the rows
+    * are (epoch, dim, double) — ~20 bytes, no text, no vectors — and
+    * the aggregate is map-side combinable down to 64 rows per
+    * partition before the single exchange; the conditional-mean pivot
+    * avoids a self-join on epoch. Shift is computed from the
+    * 6-dp-rounded means so the comparison is engine-portable (the
+    * unrounded doubles differ in summation order across
+    * partitionings).
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings")
+      .select((col("vec_id") % 2).as("epoch"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+      .groupBy((col("pos") + 1).cast(LongType).as("dim"))
+      .agg(round(avg(when(col("epoch") === 0, col("v"))), 6).as("mean_a"),
+        round(avg(when(col("epoch") === 1, col("v"))), 6).as("mean_b"))
+      .withColumn("shift", round(abs(col("mean_a") - col("mean_b")), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_embedding_drift" -> embeddingDrift _,
     "s18_recall_lsh" -> recallLsh _,
     "s17_mmr" -> mmrDiversify _,
     "s14_hybrid_rrf" -> hybridRrf _,
@@ -1505,6 +1536,16 @@ object Similarity {
        |WHERE rk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "s21_embedding_drift" ->
+      """WITH x AS (SELECT vec_id % 2 AS epoch,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |    round(AVG(v) FILTER (epoch = 0), 6) AS mean_a,
+        |    round(AVG(v) FILTER (epoch = 1), 6) AS mean_b
+        |  FROM x GROUP BY 1)
+        |SELECT dim, mean_a, mean_b,
+        |  round(abs(mean_a - mean_b), 6) AS shift FROM m""".stripMargin,
     // s14: the t11 BM25 chain (verbatim arithmetic) and the s1 cosine
     // chain, each ranked to depth 50, fused with the identical
     // two-term reciprocal sum

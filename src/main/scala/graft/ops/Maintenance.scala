@@ -327,7 +327,82 @@ object Maintenance {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Bits per dimension in the [[zValue]] interleave. 16 bits × 2
+    * dims = a 32-bit z-value — enough resolution that file-level
+    * min/max zones stay rectangles far below any realistic file
+    * count; widening to 21×3 (63 bits) is the same construction.
+    */
+  val ZBits = 16
+
+  /** Morton/Z-order value: interleave the low [[ZBits]] bits of `x`
+    * (even positions) and `y` (odd). Pure Column arithmetic — 32
+    * shift/mask terms the optimizer constant-folds into one codegen
+    * expression; no UDF. Inputs must already be masked to [[ZBits]]
+    * bits (callers mod/scale first).
+    */
+  def zValue(x: org.apache.spark.sql.Column,
+             y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order layout: range-partition on the z-value and sort within
+    * partitions, so every output file's (min, max) footer zone is a
+    * small rectangle in BOTH dimensions — the multi-column
+    * data-skipping layout (Delta OPTIMIZE ZORDER's contract). A
+    * linear sort prunes only its leading column; at 100 TB the
+    * difference is reading 1/√files vs ALL files for a predicate on
+    * the second column. `repartitionByRange` samples the z
+    * distribution, so skewed key regions still yield balanced files.
+    */
+  def zorderBy(df: DataFrame, x: String, y: String, nFiles: Int): DataFrame = {
+    val z = zValue(col(x).bitwiseAND(lit((1L << ZBits) - 1)),
+      col(y).bitwiseAND(lit((1L << ZBits) - 1)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** q83 — z-value zone map over lineitem (part, supplier): each key
+    * is min/max-scaled into the [[ZBits]]-bit domain (what production
+    * z-order does with per-column range ids — raw values would leave
+    * high bits constant and collapse every row into one zone; a hash
+    * would fill the bits but destroy the locality the curve exists to
+    * preserve), the scaled pair is Morton-interleaved, and rows are
+    * summarized into 64 zones (the top 6 z bits — stand-ins for file
+    * footers). Each zone's min/max in BOTH (scaled) dimensions is what
+    * a scan planner prunes against; the [[zorderBy]] physical twin is
+    * spec-pinned (per-file extents tight in both dims vs a
+    * single-column sort). The extent row is a broadcast 1-row
+    * aggregate; the zone aggregate is map-side combinable; nothing
+    * but (x, y, z) longs ever shuffles. Scaling uses
+    * `floor(double)` — exact while (range · 2¹⁶) < 2⁵³, i.e. key
+    * ranges to ~10¹¹, far past any TPC-H SF.
+    */
+  def q83Zorder(s: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << ZBits) - 1
+    val li = t(s, dir, "lineitem").select(col("l_partkey").as("p"),
+      col("l_suppkey").as("sk"))
+    val ext = li.agg(min("p").as("mnp"), max("p").as("mxp"),
+      min("sk").as("mns"), max("sk").as("mxs"))
+    def scaled(c: org.apache.spark.sql.Column, mn: String, mx: String) =
+      floor((c - col(mn)) * mask / greatest(col(mx) - col(mn), lit(1L)))
+        .cast("long")
+    li.crossJoin(broadcast(ext))
+      .select(scaled(col("p"), "mnp", "mxp").as("x"),
+        scaled(col("sk"), "mns", "mxs").as("y"))
+      .select(col("x"), col("y"),
+        shiftright(zValue(col("x"), col("y")), 2 * ZBits - 6).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_zorder" -> q83Zorder _,
     "q62_incr_join" -> q62IncrJoinView _,
     "q50_upsert" -> q50Upsert _,
     "q51_snapshot_diff" -> q51SnapshotDiff _,
@@ -352,6 +427,26 @@ object Maintenance {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q83_zorder" -> {
+      val mask = (1L << ZBits) - 1
+      val terms = (0 until ZBits).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH ext AS (SELECT MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+         |    MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs FROM lineitem),
+         |b AS (SELECT
+         |    CAST(FLOOR((l_partkey - mnp) * $mask
+         |      / GREATEST(mxp - mnp, 1)) AS BIGINT) AS x,
+         |    CAST(FLOOR((l_suppkey - mns) * $mask
+         |      / GREATEST(mxs - mns, 1)) AS BIGINT) AS y
+         |  FROM lineitem CROSS JOIN ext),
+         |z AS (SELECT x, y, ($terms) >> ${2 * ZBits - 6} AS bin FROM b)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+         |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+         |FROM z GROUP BY bin""".stripMargin
+    },
     "q50_upsert" ->
       """SELECT doc_id, source, n_chars + 1000 AS n_chars,
         |  CAST(2 AS INTEGER) AS version
