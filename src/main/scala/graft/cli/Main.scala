@@ -29,6 +29,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest init-dedup <corpus> <indexTable>     // fp-index bootstrap
   *   graft.cli.Main ingest dedup <watchDir> <indexTable> <acceptedDir> <ckDir>
   *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
+  *   graft.cli.Main ingest init-neardup <corpusDir> <bandTable> <hsetTable> // d2/d3 state bootstrap
+  *   graft.cli.Main ingest neardup <watchDir> <bandTable> <hsetTable> <acceptedDir> <ckDir>
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
   *   graft.cli.Main ingest cms   <watchDir> <sketchDir> <ckDir>  // live CMS
   *   graft.cli.Main ingest kmv   <watchDir> <sketchDir> <ckDir>  // live KMV
@@ -304,6 +306,18 @@ object Main {
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), table, accepted, ck,
         gate = graft.streaming.IngestDedup.qualityGate)
+      try q.processAllAvailable() finally q.stop()
+    // `init-neardup` bootstraps BOTH persisted sides of the near-dup
+    // gate (band probe + shingle verify); `neardup` then drains the
+    // watch dir through IngestNearDup — the streaming d2/d3 pipeline
+    case Seq("ingest", "init-neardup", in, bands, hsets) =>
+      val corpus = read(spark, in)
+      graft.llm.Dedup.writeBandIndexOf(corpus, bands)
+      graft.llm.Dedup.writeShingleIndexOf(corpus, hsets)
+    case Seq("ingest", "neardup", watch, bands, hsets, accepted, ck) =>
+      val q = graft.streaming.IngestNearDup.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), bands, hsets, accepted, ck)
       try q.processAllAvailable() finally q.stop()
     case Seq("ingest", "ann", watch, idx, ck) =>
       val q = graft.streaming.IngestAnn.run(

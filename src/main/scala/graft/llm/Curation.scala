@@ -927,7 +927,45 @@ object Curation {
         "pad_frac")
   }
 
+  /** Shard count for the c18 training shuffle. At 100 TB this is the
+    * knob that bounds per-task state: shards are sized so one shard ≈
+    * one output file (1–4 GB), which keeps the per-shard ordering
+    * window's state at shard size BY CONSTRUCTION — the shard count
+    * grows with the corpus, the per-task work doesn't.
+    */
+  val ShuffleShards = 16L
+
+  /** Seed tag baked into the c18 hash — new seed, new epoch order. */
+  val ShuffleSeed = "shuf1"
+
+  /** c18 — reproducible global training shuffle into shards: every doc
+    * gets a decorrelated 60-bit key md5(seed:doc_id); the key's
+    * residue picks the shard and the key orders docs WITHIN the shard.
+    * Trainers need exactly this: each shard an unbiased sample of the
+    * full mix (so any prefix of training sees the full distribution),
+    * the order reproducible across engines, runs, and partitionings
+    * (a new seed string re-shuffles for the next epoch), and no
+    * operation whose cost grows past the shard size. A global
+    * `orderBy(rand())` gives none of that: it plans a total sort, is
+    * irreproducible, and ties the range exchange to the corpus size.
+    * Scale shape: one hash exchange keyed by shard; the per-shard
+    * row_number is the write-side file order. Same deterministic-hash
+    * philosophy as c7's weighted sample and q48/q49.
+    */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val key = graft.llm.TextAnalysis.hash60(
+      concat(lit(ShuffleSeed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard", col("key") % ShuffleShards)
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast(LongType).as("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_shuffle_shards" -> shuffleShards _,
     "c17_length_buckets" -> lengthBuckets _,
     "c16_mix_waterfill" -> mixWaterfill _,
     "c14_dsir_weights" -> dsirWeights _,
@@ -1063,6 +1101,15 @@ object Curation {
        |  FROM tk JOIN lrt USING (b) GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "c18_shuffle_shards" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('$ShuffleSeed:' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+         |  FROM documents)
+         |SELECT doc_id, key % $ShuffleShards AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY key % $ShuffleShards
+         |    ORDER BY key, doc_id) AS BIGINT) AS pos
+         |FROM k""".stripMargin,
     "c17_length_buckets" -> {
       val cases = LengthBuckets.init
         .map(e => s"WHEN n_toks <= $e THEN $e").mkString(" ")

@@ -272,8 +272,12 @@ object Dedup {
     */
   def writeShingleIndex(s: SparkSession, dir: String, table: String,
       buckets: Int = 8): Unit =
-    graft.ops.Partitioning.writeBucketed(
-      hsetsOf(Tables.load(s, dir, "documents")), table, "doc_id", buckets)
+    writeShingleIndexOf(Tables.load(s, dir, "documents"), table, buckets)
+
+  def writeShingleIndexOf(docs: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    graft.ops.Partitioning.writeBucketed(hsetsOf(docs), table, "doc_id",
+      buckets)
 
   /** Per-doc sorted distinct 60-bit shingle hashes — the
     * [[writeShingleIndex]] row shape (doc_id, hset), factored out so
@@ -312,8 +316,12 @@ object Dedup {
     */
   def writeBandIndex(s: SparkSession, dir: String, table: String,
       buckets: Int = 8): Unit =
+    writeBandIndexOf(Tables.load(s, dir, "documents"), table, buckets)
+
+  def writeBandIndexOf(docs: DataFrame, table: String,
+      buckets: Int = 8): Unit =
     graft.ops.Partitioning.writeBucketed(
-      bandsFrom(signaturesFrom(shingleSets(s, dir))),
+      bandsFrom(signaturesFrom(shingleSetsOf(docs))),
       table, "band_key", buckets)
 
   /** O(batch) append into [[writeBandIndex]]'s layout (same

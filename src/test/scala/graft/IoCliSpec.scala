@@ -351,6 +351,45 @@ class IoCliSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("cli ingest neardup: edited re-uploads drop across drain runs; " +
+      "novel docs land exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ingnd").toString
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull &&
+        size(split(trim(col("text")), "\\s+")) >= 60)
+      .select("doc_id", "text").orderBy("doc_id").limit(20)
+    corpus.write.parquet(s"$dir/corpus")
+    graft.cli.Main.run(spark, Seq("ingest", "init-neardup",
+      s"$dir/corpus", "nd_cli_bands", "nd_cli_hsets"))
+    def edit(text: String): String = {
+      val w = text.trim.split("\\s+")
+      (w.take(10) ++ Array("CLIEDIT") ++ w.drop(11)).mkString(" ")
+    }
+    val corpusText = corpus.select(trim(col("text"))).head.getString(0)
+    def novel(tag: String): String =
+      (0 until 60).map(i => s"ndcli_${tag}_w$i").mkString(" ")
+    new java.io.File(s"$dir/watch").mkdirs()
+    // feed 1: an edited corpus re-upload (drop) + a novel doc (land)
+    Seq((9101L, edit(corpusText)), (9102L, novel("a")))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark, Seq("ingest", "neardup", s"$dir/watch",
+      "nd_cli_bands", "nd_cli_hsets", s"$dir/acc", s"$dir/ck"))
+    def accepted() = spark.read.parquet(s"$dir/acc")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(accepted() == Seq(9102L), s"run 1: ${accepted()}")
+    // feed 2 (same checkpoint): an edited re-upload of run 1's novel
+    // doc — the state grew, so it drops — plus one more novel
+    Seq((9103L, edit(novel("a"))), (9104L, novel("b")))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark, Seq("ingest", "neardup", s"$dir/watch",
+      "nd_cli_bands", "nd_cli_hsets", s"$dir/acc", s"$dir/ck"))
+    assert(accepted() == Seq(9102L, 9104L), s"run 2: ${accepted()}")
+    spark.sql("DROP TABLE nd_cli_bands")
+    spark.sql("DROP TABLE nd_cli_hsets")
+  }
+
   test("cli ingest ann: drained batches are searchable; equals one-shot build") {
     val dir = Files.createTempDirectory("graft_ingestann").toString
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -44,6 +44,38 @@ class LayoutOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == docs.length, "every doc bucketed")
   }
 
+  // ---- c18 training shuffle -----------------------------------------------
+
+  test("c18: shards cover every doc exactly once with contiguous " +
+      "positions, the order is reproducible, and each shard is an " +
+      "unbiased sample of the source mix") {
+    val run1 = Curation.shuffleShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val run2 = Curation.shuffleShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(run1.sorted.toSeq == run2.sorted.toSeq, "shuffle not reproducible")
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run1.map(_._1).sorted.toSeq == docs.keys.toSeq.sorted,
+      "shards must partition the corpus")
+    run1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // unbiasedness: every shard's majority-source share within a loose
+    // binomial envelope of the global share (±4σ at the shard size)
+    val global = docs.values.groupBy(identity).view.mapValues(_.size).toMap
+    val top = global.maxBy(_._2)._1
+    val p = global(top).toDouble / docs.size
+    run1.groupBy(_._2).foreach { case (shard, rows) =>
+      val q = rows.count(r => docs(r._1) == top).toDouble / rows.length
+      val sigma = math.sqrt(p * (1 - p) / rows.length)
+      assert(math.abs(q - p) <= 4 * sigma + 1e-9,
+        s"shard $shard source share $q vs global $p (σ=$sigma)")
+    }
+  }
+
   // ---- s21 embedding drift ------------------------------------------------
 
   test("s21: per-dim epoch means recompute from the raw vectors; " +

@@ -282,4 +282,35 @@ class PlanSpec extends SparkSpec {
       s"`<`-only self-join (the n² candidate loop) is back:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("c17 length buckets: one scan, no window, no join — a single " +
+      "two-phase aggregate keyed by the ~8-row bucket ladder") {
+    val p = plan(graft.llm.Curation.lengthBuckets(spark, sfDir))
+    assert(p.split("Scan parquet").length == 2, "documents scanned once")
+    assert(!p.contains("Window"),
+      s"c17 must not plan the low-cardinality bucket window:\n$p")
+    assert(!p.contains("Join"), "c17 must not plan a join")
+    assert(p.split("HashAggregate").length >= 3, "no two-phase aggregate")
+  }
+
+  test("s21 drift: partial aggregation collapses the posexplode before " +
+      "the single 64-row exchange; no self-join on epoch") {
+    val p = plan(Similarity.embeddingDrift(spark, sfDir))
+    assert(!p.contains("Join"), s"epoch pivot must not plan a join:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one hash exchange:\n$p")
+    assert(p.split("HashAggregate").length >= 3, "no two-phase aggregate")
+  }
+
+  test("q83 zorder: extent row broadcasts; the 32-term Morton interleave " +
+      "stays inside codegen; one exchange for the zone aggregate") {
+    val p = plan(graft.ops.Maintenance.q83Zorder(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"min/max extents must broadcast onto the row stream:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one hash exchange (the zone agg):\n$p")
+    // the interleave is pure Column arithmetic — no UDF anywhere
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("udf"), p)
+  }
 }
