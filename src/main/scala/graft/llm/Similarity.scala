@@ -1433,6 +1433,28 @@ object Similarity {
         round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
   }
 
+  // -- s22: filtered-ANN recall evaluation -----------------------------------
+  /** s22 — recall@3 of the s20 filtered-ANN tier against the s19
+    * filtered-brute ground truth: s18's evaluation harness applied to
+    * the FILTERED search contract, where recall regressions hide —
+    * pre- vs post-filter discipline changes don't move unfiltered
+    * recall (s18) at all, so a deployment tracking only s18 ships
+    * them blind. Same shape as s18: two already-pinned rankings, one
+    * broadcastable ≤(queries·k)-row left join, a per-query count.
+    */
+  def recallFiltered(s: SparkSession, dir: String): DataFrame = {
+    val truth = knnFiltered(s, dir).filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val approx = knnFilteredLsh(s, dir)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    truth.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
+      .select(col("q_id"), col("k"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+  }
+
   // -- s21: embedding drift monitor ----------------------------------------
   /** s21 — per-dimension drift between two corpus epochs (vec_id
     * parity stands in for the batch boundary a production monitor
@@ -1464,6 +1486,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_recall_filtered" -> recallFiltered _,
     "s21_embedding_drift" -> embeddingDrift _,
     "s18_recall_lsh" -> recallLsh _,
     "s17_mmr" -> mmrDiversify _,
@@ -1534,6 +1557,48 @@ object Similarity {
        |        e.vec_id) AS rk
        |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id)
        |WHERE rk <= 5""".stripMargin
+
+  private lazy val knnFilteredSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings)
+       |SELECT q_id, vec_id, sim, rk FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+       |        e.vec_id) AS rk
+       |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
+       |    AND e.label = q.label)
+       |WHERE rk <= 5""".stripMargin
+
+  private lazy val knnFilteredLshSql = {
+    val sigSql = sigPlanes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, label, v, $sigSql AS sig FROM e),
+       |n AS (SELECT GREATEST(CAST(12 AS BIGINT),
+       |    CAST(ceil($RerankFraction * COUNT(*) /
+       |      COUNT(DISTINCT label)) AS BIGINT)) AS topc FROM e),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY bit_count(xor(e.sig, q.sig)), e.vec_id) AS hr
+       |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
+       |    AND e.label = q.label), n
+       |  WHERE hr <= n.topc)
+       |SELECT q_id, vec_id, sim, rk FROM (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
+       |        c.vec_id) AS rk
+       |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
+       |    JOIN b q ON q.vec_id = c.q_id)
+       |WHERE rk <= 3""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s21_embedding_drift" ->
@@ -1732,48 +1797,21 @@ object Similarity {
          |FROM r GROUP BY node""".stripMargin,
     "s6_knn_lsh" -> knnLshSql,
     // s19: the brute SQL restricted to the query's label pre-ranking
-    "s19_knn_filtered" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings)
-         |SELECT q_id, vec_id, sim, rk FROM (
-         |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
-         |        e.vec_id) AS rk
-         |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
-         |    AND e.label = q.label)
-         |WHERE rk <= 5""".stripMargin,
+    "s19_knn_filtered" -> knnFilteredSql,
     // s20: s6's signature chain with the label predicate BEFORE the
     // Hamming rank and the budget scaled to the average label stream
-    "s20_knn_filtered_lsh" -> {
-      val sigSql = sigPlanes.zipWithIndex.map { case (p, i) =>
-        val lst = p.mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(v, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, label, v, $sigSql AS sig FROM e),
-         |n AS (SELECT GREATEST(CAST(12 AS BIGINT),
-         |    CAST(ceil($RerankFraction * COUNT(*) /
-         |      COUNT(DISTINCT label)) AS BIGINT)) AS topc FROM e),
-         |cand AS (SELECT q_id, vec_id FROM (
-         |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY bit_count(xor(e.sig, q.sig)), e.vec_id) AS hr
-         |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id
-         |    AND e.label = q.label), n
-         |  WHERE hr <= n.topc)
-         |SELECT q_id, vec_id, sim, rk FROM (
-         |  SELECT c.q_id, c.vec_id,
-         |    round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) AS sim,
-         |    ROW_NUMBER() OVER (PARTITION BY c.q_id
-         |      ORDER BY round(${cosSql.replace("av", "q.v").replace("bv", "e.v")}, 6) DESC,
-         |        c.vec_id) AS rk
-         |  FROM cand c JOIN b e ON e.vec_id = c.vec_id
-         |    JOIN b q ON q.vec_id = c.q_id)
-         |WHERE rk <= 3""".stripMargin
-    },
+    "s20_knn_filtered_lsh" -> knnFilteredLshSql,
+    // s22: the filtered twin of s18 — both filtered retrievals nest
+    // verbatim, the recall join is set arithmetic on pinned rankings
+    "s22_recall_filtered" ->
+      s"""WITH fb AS ($knnFilteredSql),
+         |fl AS ($knnFilteredLshSql)
+         |SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit,
+         |  round(CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM (SELECT * FROM fb WHERE rk <= 3) b
+         |LEFT JOIN fl l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+         |GROUP BY b.q_id""".stripMargin,
     // s18: the two retrievals nest verbatim as CTEs — the recall join
     // is plain set arithmetic on top of two already-pinned rankings
     "s18_recall_lsh" ->

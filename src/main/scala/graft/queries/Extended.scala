@@ -1297,6 +1297,51 @@ object Extended {
         round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  /** q84 — Welch's two-sample t-test per order priority: does the
+    * open-order (status O) mean price differ from the filled-order
+    * (status F) mean within each priority class? Reports the t
+    * statistic and the Welch–Satterthwaite degrees of freedom — the
+    * unequal-variance test a pipeline A/B check actually needs (q75's
+    * KS answers "same distribution?", this answers "same mean?", q77
+    * fits the trend). Five classical sums per (group, side), all
+    * accumulated in DECIMAL so partial-aggregation order can't perturb
+    * them (q77's posture); every downstream double expression is
+    * written identically in the oracle, so the IEEE op sequence — and
+    * therefore the 6-dp round — agrees exactly. One scan, one
+    * bounded-key aggregate; the conditional sums pivot the two sides
+    * without a self-join.
+    */
+  def q84WelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderpriority").as("g"),
+        (col("o_orderstatus") === "O").as("isa"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val d = (c: Column) => c.cast("double")
+    val agg = o.groupBy("g").agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("isa"), col("v"))).as("dsa"),
+      sum(when(!col("isa"), col("v"))).as("dsb"),
+      sum(when(col("isa"), col("v") * col("v"))).as("dsaa"),
+      sum(when(!col("isa"), col("v") * col("v"))).as("dsbb"))
+      .select(col("g"), col("na"), col("nb"),
+        d(col("dsa")).as("sa"), d(col("dsb")).as("sb"),
+        d(col("dsaa")).as("saa"), d(col("dsbb")).as("sbb"))
+      .filter(col("na") >= 2 && col("nb") >= 2)
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val ea = (col("saa") - col("sa") * col("sa") / col("na")) /
+      (col("na") - 1) / col("na")
+    val eb = (col("sbb") - col("sb") * col("sb") / col("nb")) /
+      (col("nb") - 1) / col("nb")
+    agg.select(col("g"), col("na"), col("nb"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round((ma - mb) / sqrt(ea + eb), 6).as("t_stat"),
+      round((ea + eb) * (ea + eb) /
+        (ea * ea / (col("na") - 1) + eb * eb / (col("nb") - 1)), 4).as("df"))
+  }
+
   /** q78 — declarative data-quality expectations (the dbt-test /
     * Deequ posture): a fixed rule set audited in ONE scan per table,
     * one output row per rule with (rows checked, violations). Row
@@ -1524,6 +1569,7 @@ object Extended {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_welch_ttest"    -> q84WelchTtest _,
     "q82_rank_twopass"   -> q82RankTwoPass _,
     "q81_twap"           -> q81Twap _,
     "q80_rank_family"    -> q80RankFamily _,
@@ -1583,6 +1629,30 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q84: the five DECIMAL sums replay exactly; all double expressions
+    // mirror the engine's op order term for term
+    "q84_welch_ttest" ->
+      """WITH s AS (SELECT o_orderpriority AS g, o_orderstatus = 'O' AS isa,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |a AS (SELECT g,
+        |    CAST(COUNT(*) FILTER (isa) AS BIGINT) AS na,
+        |    CAST(COUNT(*) FILTER (NOT isa) AS BIGINT) AS nb,
+        |    CAST(SUM(v) FILTER (isa) AS DOUBLE) AS sa,
+        |    CAST(SUM(v) FILTER (NOT isa) AS DOUBLE) AS sb,
+        |    CAST(SUM(v * v) FILTER (isa) AS DOUBLE) AS saa,
+        |    CAST(SUM(v * v) FILTER (NOT isa) AS DOUBLE) AS sbb
+        |  FROM s GROUP BY g),
+        |e AS (SELECT g, na, nb, sa / na AS ma, sb / nb AS mb,
+        |    (saa - sa * sa / na) / (na - 1) / na AS ea,
+        |    (sbb - sb * sb / nb) / (nb - 1) / nb AS eb
+        |  FROM a WHERE na >= 2 AND nb >= 2)
+        |SELECT g, na, nb,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(ea + eb), 6) AS t_stat,
+        |  round((ea + eb) * (ea + eb) /
+        |    (ea * ea / (na - 1) + eb * eb / (nb - 1)), 4) AS df
+        |FROM e""".stripMargin,
     // q81: the q19 second-truncation epoch convention; DECIMAL-exact
     // weighted sums, one double division per user
     "q81_twap" ->

@@ -101,6 +101,57 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- s22 filtered-ANN recall eval ----------------------------------------
+
+  test("s22: every query reports k=3 with recall = n_hit/k in [0,1]; " +
+      "the filtered tier clears the 0.5 floor on average") {
+    val rows = Similarity.recallFiltered(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L, s"q ${r.getLong(0)} truth size")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 3.0) < 1e-4)
+    }
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.5, s"filtered-tier mean recall $mean below the floor")
+  }
+
+  // ---- q84 Welch t-test ------------------------------------------------------
+
+  test("q84: t statistic and Welch df recompute from the raw samples") {
+    val rows = graft.queries.Extended.q84WelchTtest(spark, sfDir).collect()
+    val raw = graft.core.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val a = raw.filter(x => x._1 == g && x._2 == "O").map(_._3)
+      val b = raw.filter(x => x._1 == g && x._2 == "F").map(_._3)
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
+      def stats(v: Array[Double]) = {
+        val m = v.sum / v.length
+        (m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+      }
+      val ((ma, va), (mb, vb)) = (stats(a), stats(b))
+      val (ea, eb) = (va / a.length, vb / b.length)
+      val tW = (ma - mb) / math.sqrt(ea + eb)
+      val dfW = (ea + eb) * (ea + eb) /
+        (ea * ea / (a.length - 1) + eb * eb / (b.length - 1))
+      assert(math.abs(r.getDouble(3) - ma) < 1e-4, s"$g mean_a")
+      assert(math.abs(r.getDouble(4) - mb) < 1e-4, s"$g mean_b")
+      assert(math.abs(r.getDouble(5) - tW) < 1e-3, s"$g t")
+      assert(math.abs(r.getDouble(6) - dfW) < math.abs(dfW) * 1e-3, s"$g df")
+      // Welch df is bracketed by min-sample df and pooled df
+      assert(r.getDouble(6) >= math.min(a.length, b.length) - 1 - 1e-6)
+      assert(r.getDouble(6) <= a.length + b.length - 2 + 1e-6)
+    }
+  }
+
   // ---- q83 z-order ---------------------------------------------------------
 
   private def zRef(x: Long, y: Long): Long =
