@@ -347,39 +347,31 @@ object Maintenance {
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
-  /** Z-order layout: range-partition on the z-value and sort within
-    * partitions, so every output file's (min, max) footer zone is a
-    * small rectangle in BOTH dimensions — the multi-column
-    * data-skipping layout (Delta OPTIMIZE ZORDER's contract). A
-    * linear sort prunes only its leading column; at 100 TB the
-    * difference is reading 1/√files vs ALL files for a predicate on
-    * the second column. `repartitionByRange` samples the z
-    * distribution, so skewed key regions still yield balanced files.
-    */
-  def zorderBy(df: DataFrame, x: String, y: String, nFiles: Int): DataFrame = {
-    val z = zValue(col(x).bitwiseAND(lit((1L << ZBits) - 1)),
-      col(y).bitwiseAND(lit((1L << ZBits) - 1)))
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-  }
-
-  /** q83 — z-value zone map over lineitem (part, supplier): each key
-    * is min/max-scaled into the [[ZBits]]-bit domain (what production
-    * z-order does with per-column range ids — raw values would leave
-    * high bits constant and collapse every row into one zone; a hash
-    * would fill the bits but destroy the locality the curve exists to
-    * preserve), the scaled pair is Morton-interleaved, and rows are
-    * summarized into 64 zones (the top 6 z bits — stand-ins for file
-    * footers). Each zone's min/max in BOTH (scaled) dimensions is what
-    * a scan planner prunes against; the [[zorderBy]] physical twin is
-    * spec-pinned (per-file extents tight in both dims vs a
-    * single-column sort). The extent row is a broadcast 1-row
-    * aggregate; the zone aggregate is map-side combinable; nothing
-    * but (x, y, z) longs ever shuffles. Scaling uses
-    * `floor(double)` — exact while (range · 2¹⁶) < 2⁵³, i.e. key
-    * ranges to ~10¹¹, far past any TPC-H SF.
+  /** q83 — z-value zone map over lineitem (part, supplier): the
+    * oracle-gated face of the Z-order layout family. The PHYSICAL
+    * layout (write side, N columns, measured row-group pruning and
+    * file-manifest pruning) is [[graft.ops.Partitioning.writeZOrdered]]
+    * / [[graft.ops.Partitioning.zOrderKey]] — a parquet layout isn't
+    * SQL-visible, so that face is gated by PartitioningSpec's
+    * scanned-rows measurements instead of the DuckDB hash. This query
+    * pins the interleave ARITHMETIC cross-engine: each key is
+    * min/max-scaled into the [[ZBits]]-bit domain (range ids — raw
+    * values would leave high bits constant and collapse every zone;
+    * a hash would fill the bits but destroy the locality the curve
+    * exists to preserve), the scaled pair is Morton-interleaved, and
+    * rows are summarized into 64 zones (the top 6 z bits — stand-ins
+    * for file footers), each reporting its min/max rectangle in BOTH
+    * dimensions — exactly what a scan planner prunes against.
+    *
+    * Two deliberate differences from `zOrderKey`, both because this
+    * face must replay value-for-value in SQL: the min/max extents stay
+    * IN-PLAN (a broadcast 1-row aggregate, where zOrderKey bakes a
+    * driver-collected row into literals — fine for a write job, but a
+    * collect the oracle can't see), and the coding is exact integer
+    * floor-scaling rather than `width_bucket`. The zone aggregate is
+    * map-side combinable; nothing but (x, y, z) longs ever shuffles.
+    * Scaling uses `floor(double)` — exact while (range · 2¹⁶) < 2⁵³,
+    * i.e. key ranges to ~10¹¹, far past any TPC-H SF.
     */
   def q83Zorder(s: SparkSession, dir: String): DataFrame = {
     val mask = (1L << ZBits) - 1
