@@ -31,6 +31,8 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest curate <watchDir> <indexTable> <acceptedDir> <ckDir> // + quality gate
   *   graft.cli.Main ingest init-neardup <corpusDir> <bandTable> <hsetTable> // d2/d3 state bootstrap
   *   graft.cli.Main ingest neardup <watchDir> <bandTable> <hsetTable> <acceptedDir> <ckDir>
+  *   graft.cli.Main ingest init-drift <corpusDir> <baselineDir>   // per-dim mean table
+  *   graft.cli.Main ingest drift <watchDir> <baselineDir> <outDir> <ckDir>
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
   *   graft.cli.Main ingest cms   <watchDir> <sketchDir> <ckDir>  // live CMS
   *   graft.cli.Main ingest kmv   <watchDir> <sketchDir> <ckDir>  // live KMV
@@ -318,6 +320,15 @@ object Main {
       val q = graft.streaming.IngestNearDup.run(
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), bands, hsets, accepted, ck)
+      try q.processAllAvailable() finally q.stop()
+    // drift: continuous embedding-drift monitoring vs a release
+    // baseline (init writes the per-dim mean table from a corpus dir)
+    case Seq("ingest", "init-drift", in, baseline) =>
+      graft.streaming.IngestDrift.writeBaseline(spark, in, baseline)
+    case Seq("ingest", "drift", watch, baseline, out, ck) =>
+      val q = graft.streaming.IngestDrift.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), baseline, out, ck)
       try q.processAllAvailable() finally q.stop()
     case Seq("ingest", "ann", watch, idx, ck) =>
       val q = graft.streaming.IngestAnn.run(

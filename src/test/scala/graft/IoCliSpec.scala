@@ -390,6 +390,25 @@ class IoCliSpec extends SparkSpec {
     spark.sql("DROP TABLE nd_cli_hsets")
   }
 
+  test("cli ingest drift: drained batches emit per-dim shift rows vs the " +
+      "init-drift baseline") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ingdrift").toString
+    graft.cli.Main.run(spark, Seq("ingest", "init-drift", sfDir, s"$dir/bl"))
+    val dim = spark.read.parquet(s"$dir/bl").count()
+    new java.io.File(s"$dir/watch").mkdirs()
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").limit(10)
+      .write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark, Seq("ingest", "drift", s"$dir/watch",
+      s"$dir/bl", s"$dir/out", s"$dir/ck"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == dim, "one shift row per dimension")
+    assert(out.columns.toSet ==
+      Set("dim", "n_b", "mean_b", "mean_base", "shift", "batch_id"))
+    assert(out.agg(max(abs(col("shift")))).head.getDouble(0) < 1.0)
+  }
+
   test("cli ingest ann: drained batches are searchable; equals one-shot build") {
     val dir = Files.createTempDirectory("graft_ingestann").toString
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -687,6 +687,48 @@ class StreamingSpec extends SparkSpec {
       baseRows + 3L * Multimodal.PhashBands)
   }
 
+  test("streaming drift monitor: per-batch per-dim shifts vs the persisted " +
+      "baseline; a shifted batch flags exactly its shifted dimension; " +
+      "replay is a byte-identical overwrite") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    graft.streaming.IngestDrift.writeBaseline(spark, sfDir, s"$base/bl")
+    val dim = spark.read.parquet(s"$base/bl").count().toInt
+    val baseline = spark.read.parquet(s"$base/bl")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch 1: vectors AT the baseline means (shift ≈ 0 everywhere);
+    // batch 2: dim 1 displaced by +0.5 (an encoder-swap signature)
+    val at = (1 to dim).map(d => baseline(d.toLong).toFloat).toArray
+    val off = at.clone(); off(0) = off(0) + 0.5f
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.IngestDrift.run(
+      mem.toDF().select(
+        org.apache.spark.sql.functions.typedLit(at).as("embedding")),
+      s"$base/bl", s"$base/out", s"$base/ck")
+    try { mem.addData(1L, 2L); q.processAllAvailable() } finally q.stop()
+    val b1 = spark.read.parquet(s"$base/out/batch_id=0")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(b1.size == dim)
+    assert(b1.values.forall(_ <= 1e-5), s"at-baseline batch drifted: " +
+      s"${b1.toSeq.sortBy(-_._2).take(3)}")
+    // the shifted batch through the SAME processBatch entry
+    import spark.implicits._
+    val shifted = Seq(1L, 2L, 3L).toDF("i")
+      .select(org.apache.spark.sql.functions.typedLit(off).as("embedding"))
+    graft.streaming.IngestDrift.processBatch(shifted, 1L, s"$base/bl",
+      s"$base/out")
+    def b2() = spark.read.parquet(s"$base/out/batch_id=1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val first = b2()
+    assert(math.abs(first(1L) - 0.5) < 1e-3, s"dim 1 shift ${first(1L)}")
+    assert(first.filter(_._1 != 1L).values.forall(_ <= 1e-5),
+      "un-shifted dims flagged")
+    // crash-replay: identical recompute, identical directory
+    graft.streaming.IngestDrift.processBatch(shifted, 1L, s"$base/bl",
+      s"$base/out")
+    assert(b2() == first, "replay diverged")
+  }
+
   test("streaming NEAR-dup ingest: band probe + Jaccard verify drop " +
       "edited re-uploads cross-batch and within-batch; replay converges") {
     implicit val sc = spark.sqlContext
