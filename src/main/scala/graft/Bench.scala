@@ -133,14 +133,27 @@ object Bench {
       .sortBy { case (name, _) => (familyRank(name), name) }
       .map { case (name, fn) =>
       releaseState()
-      val times = (1 to runs).map { _ =>
+      val timesRaw = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         releaseState() // blocks this run left behind never bill the next
         dt
-      }.sorted
+      }
+      // At the default 3 runs (warm suite JVM) all runs are
+      // steady-state and the median of all 3 is the estimator. A
+      // fresh-JVM child asks for >= 5 runs BECAUSE its first runs are
+      // JIT/codegen-cold — for the composed-pipeline queries even the
+      // 5-run whole-sample median still lands on a half-compiled run
+      // (r12: c8's fresh-child median read 11.0 s vs 5.9 s in-suite,
+      // all of it C2 compilation of ~10 staged plans, none of it plan
+      // cost). The quantity the clean tier exists to compare
+      // round-over-round is STEADY-STATE plan cost, so with >= 5 runs
+      // the recorded value is the median of the last 3 chronological
+      // runs — the standard warm-measurement window; the cold runs are
+      // the warmup, not the sample.
+      val times = (if (runs >= 5) timesRaw.takeRight(3) else timesRaw).sorted
       try {
         val qe = fn(spark, sfDir).queryExecution
         fpsV1(name) = md5_12(normalizeV1(qe.executedPlan.toString))

@@ -964,7 +964,115 @@ object Curation {
         row_number().over(w).cast(LongType).as("pos"))
   }
 
+  // -- c19: pipeline attrition report ----------------------------------------
+
+  /** c19 — per-stage attrition funnel of the composed c8 pipeline:
+    * one row per stage (raw → rules → decontaminated → deduped →
+    * sampled) with the surviving doc count, the share of the raw
+    * corpus still alive, and the per-step retention. This is the
+    * observability face of c8 — the first artifact anyone asks for
+    * from a curation run ("where did my tokens go?"), and the number
+    * that catches a mis-tuned filter before a training job does.
+    *
+    * Runs the identical [[curateFullStaged]] flow (so the counts are
+    * BY CONSTRUCTION those of c8's artifacts — in a production run
+    * this report falls out of the stage tables for free; standalone,
+    * each stage materializes once via localCheckpoint and every count
+    * reads the checkpoint, never re-executing lineage). The report
+    * itself is five 1-row aggregates unioned + one broadcast of the
+    * raw count + a 5-row window — driver-free and fixed-width
+    * regardless of corpus size.
+    */
+  def attritionReport(s: SparkSession, dir: String): DataFrame = {
+    val stages = scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+    curateFullStaged(s, dir, 2000L, (name, df) => {
+      val cp = df.localCheckpoint(true)
+      stages += name -> cp
+      cp
+    })
+    val raw = Tables.load(s, dir, "documents")
+    val all = ("raw", raw) +: stages.toSeq
+    val counts = all.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(lit(i).as("stage_idx"), lit(name).as("stage"),
+        count(lit(1)).cast(LongType).as("kept"))
+    }.reduce(_.unionByName(_))
+    val rawN = counts.filter(col("stage_idx") === 0)
+      .select(col("kept").as("raw_n"))
+    val w = Window.orderBy("stage_idx")
+    val out = counts.crossJoin(broadcast(rawN))
+      .select(col("stage_idx"), col("stage"), col("kept"),
+        round(col("kept").cast("double") / col("raw_n").cast("double"), 6)
+          .as("kept_frac"),
+        col("raw_n"))
+      .withColumn("step_frac",
+        round(col("kept").cast("double") /
+          lag(col("kept"), 1).over(w).cast("double"), 6))
+      .drop("raw_n")
+    // materialize the 5-row report BEFORE releasing the stage
+    // checkpoints it reads; the caller holds only the tiny result
+    val materialized = out.localCheckpoint(true)
+    stages.foreach { case (_, cp) => Dedup.releaseCheckpoint(cp) }
+    materialized
+  }
+
+  // -- c20: curriculum staging by quality quantile ----------------------------
+
+  /** Stage count for the c20 curriculum cut. */
+  val CurriculumStages = 4
+  /** Pass-1 histogram resolution for the c20 two-pass rank. */
+  val CurriculumBins = 64
+
+  /** c20 — curriculum staging: every document is ranked by the t2
+    * quality score and cut into [[CurriculumStages]] equal-count
+    * stages (lowest quality = stage 1 … highest = stage 4), with a
+    * deterministic in-stage position — the ordered feed for
+    * curriculum-style training schedules (feed stage 4 first, or
+    * anneal from clean to noisy; Bengio et al. 2009). The global rank
+    * never plans a global sort: it is q82's two-pass percentile-cut
+    * machinery on the score axis — pass 1 bins the score domain into
+    * [[CurriculumBins]] buckets and broadcasts the running bin
+    * offsets, pass 2 ranks locally inside each bin (state ~n/B rows),
+    * and the stage + position fall out of the rank in closed form
+    * (Spark's ntile convention: the first n mod S stages carry one
+    * extra row). The ordering key (score, doc_id) is total, so every
+    * output column is engine-portable.
+    */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val sc = TextAnalysis.qualityScore(s, dir)
+      .filter(col("quality").isNotNull)
+      .select(col("doc_id"), col("quality").as("score"))
+    val bounds = sc.agg(min(col("score")).as("lo"),
+      max(col("score")).as("hi"), count(lit(1)).as("n"))
+    val binned = sc.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(CurriculumBins - 1L),
+            floor((col("score") - col("lo")) /
+              ((col("hi") - col("lo")) / CurriculumBins)))))
+    val offs = binned.groupBy("bin").agg(count(lit(1)).as("bc"))
+      .withColumn("off",
+        sum(col("bc")).over(Window.orderBy("bin")) - col("bc"))
+      .select(col("bin"), col("off"))
+    val wLocal = Window.partitionBy("bin")
+      .orderBy(col("score"), col("doc_id"))
+    val rk = col("off") + row_number().over(wLocal)
+    val base = (col("n") / CurriculumStages).cast(LongType)
+    val rem = col("n") % CurriculumStages
+    val boundary = rem * (base + 1L)
+    val stage = when(rk <= boundary, floor((rk - 1) / (base + 1L)) + 1L)
+      .otherwise(rem +
+        floor((rk - boundary - 1) / greatest(base, lit(1L))) + 1L)
+    val stageStart = when(stage <= rem, (stage - 1L) * (base + 1L))
+      .otherwise(boundary + (stage - rem - 1L) * base)
+    binned.join(broadcast(offs), Seq("bin"))
+      .select(col("doc_id"), col("score"),
+        stage.cast(LongType).as("stage"),
+        (rk - stageStart).cast(LongType).as("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_attrition" -> attritionReport _,
+    "c20_curriculum" -> curriculum _,
     "c18_shuffle_shards" -> shuffleShards _,
     "c17_length_buckets" -> lengthBuckets _,
     "c16_mix_waterfill" -> mixWaterfill _,
@@ -986,6 +1094,51 @@ object Curation {
     "c7_weighted_sample" ->
       ((s: SparkSession, dir: String) => weightedSample(s, dir)),
     "c4_pack" -> ((s: SparkSession, dir: String) => packShards(s, dir)))
+
+  /** The full c8 stage chain as oracle CTEs (rules ∩ curate −
+    * repetition → decontaminate → dedup closure → weighted sample),
+    * ending at `ddocs` — shared verbatim by the c8 and c19 oracles so
+    * the attrition report's counts are BY CONSTRUCTION counts of c8's
+    * artifacts. Callers must open with `WITH RECURSIVE` (the dedup
+    * closure's `r` is recursive).
+    */
+  private def c8ChainCtes: String =
+    s"""r9 AS (${TextAnalysis.rulesOracle()}),
+       |cur AS (${curateOracle()}),
+       |rep AS (${TextAnalysis.repetitionOracle()}),
+       |repviol AS (SELECT DISTINCT doc_id FROM rep
+       |  WHERE (n = 2 AND top_share > $MaxTopShare2)
+       |     OR (n = 3 AND top_share > $MaxTopShare3)),
+       |adocs AS (SELECT d.* FROM documents d
+       |  JOIN (SELECT doc_id FROM r9 WHERE pass = 1) rp USING (doc_id)
+       |  JOIN (SELECT doc_id FROM cur) cp USING (doc_id)
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM repviol)),
+       |${decontCteFor("adocs", "dc")},
+       |bdocs AS (SELECT * FROM adocs
+       |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dchits)),
+       |${Dedup.sigCteFrom(Dedup.shingleCteFrom("bdocs", "w"), 1, "w")},
+       |${Dedup.simCandCteFrom("bdocs")},
+       |${Dedup.sigCteFrom(
+          Dedup.charShingleCte("cg", "bdocs"), Dedup.CharSampleMod, "cg")},
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM wcand
+       |  UNION SELECT doc_b, doc_a FROM wcand
+       |  UNION SELECT doc_a, doc_b FROM simcand
+       |  UNION SELECT doc_b, doc_a FROM simcand
+       |  UNION SELECT doc_a, doc_b FROM cgcand
+       |  UNION SELECT doc_b, doc_a FROM cgcand),
+       |cnodes AS (SELECT DISTINCT a AS id FROM e),
+       |r AS (SELECT id AS node, id AS reach FROM cnodes
+       |  UNION
+       |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+       |drops AS (SELECT node FROM r GROUP BY node HAVING node <> min(reach)),
+       |cdocs AS (SELECT * FROM bdocs
+       |  WHERE doc_id NOT IN (SELECT node FROM drops)),
+       |wmix AS (SELECT source, round(w_raw / sum(w_raw) OVER (), 6) AS weight
+       |  FROM (SELECT source, power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
+       |        FROM cdocs GROUP BY source)),
+       |ddocs AS (SELECT c.* FROM cdocs c JOIN wmix USING (source)
+       |  WHERE CAST(('0x' || substr(md5('sample:' || c.doc_id), 1, 15)) AS BIGINT)
+       |    % 10000 < weight * 10000)""".stripMargin
 
   /** Shared c2/c6 oracle chain: gram explode → 60-bit hash → bench
     * slice join → `hits` (doc_id, bench_id, n_shared).
@@ -1179,44 +1332,54 @@ object Curation {
     // full corpus), three-detector dedup closure, weighted sample from
     // surviving volume, BPE-token pack. The stage artifacts are plain
     // CTEs (adocs/bdocs/cdocs/ddocs) mirroring the Spark checkpoints.
+    // c19: the SAME stage chain as c8 (shared CTE text), reduced to
+    // one count per stage; the ratios replay the engine's expression
+    "c19_attrition" ->
+      s"""WITH RECURSIVE
+         |$c8ChainCtes,
+         |counts AS (
+         |  SELECT 0 AS stage_idx, 'raw' AS stage,
+         |    CAST(COUNT(*) AS BIGINT) AS kept FROM documents
+         |  UNION ALL SELECT 1, 'a_rules', CAST(COUNT(*) AS BIGINT) FROM adocs
+         |  UNION ALL SELECT 2, 'b_decontaminated', CAST(COUNT(*) AS BIGINT)
+         |    FROM bdocs
+         |  UNION ALL SELECT 3, 'c_deduped', CAST(COUNT(*) AS BIGINT) FROM cdocs
+         |  UNION ALL SELECT 4, 'd_sampled', CAST(COUNT(*) AS BIGINT) FROM ddocs)
+         |SELECT stage_idx, stage, kept,
+         |  round(CAST(kept AS DOUBLE) /
+         |    CAST((SELECT kept FROM counts WHERE stage_idx = 0) AS DOUBLE), 6)
+         |    AS kept_frac,
+         |  round(CAST(kept AS DOUBLE) /
+         |    CAST(lag(kept) OVER (ORDER BY stage_idx) AS DOUBLE), 6)
+         |    AS step_frac
+         |FROM counts""".stripMargin,
+    // c20: the q82 two-pass rank machinery is semantics-equivalent to
+    // the window form, so the oracle ranks with native window ntile /
+    // row_number over the identical total order (score, doc_id)
+    "c20_curriculum" -> {
+      val swList =
+        TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH sc AS (SELECT doc_id,
+         |    round(0.6 * diversity + 0.4 * (1.0 - abs(stop_ratio - 0.4)), 4)
+         |      AS score
+         |  FROM (SELECT doc_id,
+         |      round(len(list_filter(t, x -> list_contains($swList, x)))
+         |        * 1.0 / len(t), 4) AS stop_ratio,
+         |      round(len(list_distinct(t)) * 1.0 / len(t), 4) AS diversity
+         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |          FROM documents WHERE text IS NOT NULL))),
+         |r AS (SELECT doc_id, score,
+         |    CAST(ntile($CurriculumStages) OVER w AS BIGINT) AS stage,
+         |    row_number() OVER w AS rk
+         |  FROM sc WINDOW w AS (ORDER BY score, doc_id))
+         |SELECT doc_id, score, stage,
+         |  CAST(row_number() OVER (PARTITION BY stage ORDER BY rk) AS BIGINT)
+         |    AS pos
+         |FROM r""".stripMargin
+    },
     "c8_curate_full" ->
       s"""WITH RECURSIVE
-         |r9 AS (${TextAnalysis.rulesOracle()}),
-         |cur AS (${curateOracle()}),
-         |rep AS (${TextAnalysis.repetitionOracle()}),
-         |repviol AS (SELECT DISTINCT doc_id FROM rep
-         |  WHERE (n = 2 AND top_share > $MaxTopShare2)
-         |     OR (n = 3 AND top_share > $MaxTopShare3)),
-         |adocs AS (SELECT d.* FROM documents d
-         |  JOIN (SELECT doc_id FROM r9 WHERE pass = 1) rp USING (doc_id)
-         |  JOIN (SELECT doc_id FROM cur) cp USING (doc_id)
-         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM repviol)),
-         |${decontCteFor("adocs", "dc")},
-         |bdocs AS (SELECT * FROM adocs
-         |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dchits)),
-         |${Dedup.sigCteFrom(Dedup.shingleCteFrom("bdocs", "w"), 1, "w")},
-         |${Dedup.simCandCteFrom("bdocs")},
-         |${Dedup.sigCteFrom(
-            Dedup.charShingleCte("cg", "bdocs"), Dedup.CharSampleMod, "cg")},
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM wcand
-         |  UNION SELECT doc_b, doc_a FROM wcand
-         |  UNION SELECT doc_a, doc_b FROM simcand
-         |  UNION SELECT doc_b, doc_a FROM simcand
-         |  UNION SELECT doc_a, doc_b FROM cgcand
-         |  UNION SELECT doc_b, doc_a FROM cgcand),
-         |cnodes AS (SELECT DISTINCT a AS id FROM e),
-         |r AS (SELECT id AS node, id AS reach FROM cnodes
-         |  UNION
-         |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
-         |drops AS (SELECT node FROM r GROUP BY node HAVING node <> min(reach)),
-         |cdocs AS (SELECT * FROM bdocs
-         |  WHERE doc_id NOT IN (SELECT node FROM drops)),
-         |wmix AS (SELECT source, round(w_raw / sum(w_raw) OVER (), 6) AS weight
-         |  FROM (SELECT source, power(CAST(sum(n_chars) AS DOUBLE), 0.7) AS w_raw
-         |        FROM cdocs GROUP BY source)),
-         |ddocs AS (SELECT c.* FROM cdocs c JOIN wmix USING (source)
-         |  WHERE CAST(('0x' || substr(md5('sample:' || c.doc_id), 1, 15)) AS BIGINT)
-         |    % 10000 < weight * 10000)
+         |$c8ChainCtes
          |SELECT doc_id, source, n_bpe_tokens,
          |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 2000) AS BIGINT) AS shard
          |FROM (SELECT doc_id, source, n_bpe_tokens,

@@ -303,6 +303,41 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  // -- m6: media duplicate clusters -------------------------------------------
+
+  /** Overlap floor for an m4 pair to count as an m6 cluster edge —
+    * m4's own default (1: every candidate pair is an edge; exact
+    * copies score all 8). A production run raises this (or verifies
+    * candidates first, the d2→d3 posture) — on the synthetic corpus
+    * near-dup edits spread through the text, so even byte-identical
+    * re-uploads are the main ≥2 signal and a higher floor leaves the
+    * gate-scale graph empty.
+    */
+  val MediaClusterMinShared = 1
+
+  /** m6 — media duplicate CLUSTERS: the transitive closure of m4's
+    * positional chunk-fingerprint pairs, one row per clustered media
+    * with its min-id cluster representative and a keep flag — m4
+    * grades pairs, m6 answers the question storage dedup actually
+    * asks ("which uploads are the same asset, and which copy do we
+    * keep?"). A truncated re-upload pairs with the original AND with
+    * other truncations; closure collapses the whole family to one
+    * representative, exactly like d8 does for text.
+    *
+    * Shape: the m4 blocking join (only 32-byte slice hashes shuffle)
+    * feeds [[graft.llm.Dedup.connectedComponents]] — the same
+    * two-tier CC (driver union-find under the broadcast budget,
+    * large-star/small-star alternation above it) every other cluster
+    * family rides; payload bytes are scanned exactly once.
+    */
+  def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.connectedComponents(
+      mediaChunkDedup(s, dir)
+        .filter(col("n_shared") >= MediaClusterMinShared)
+        .select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0).as("keep"))
+
   // -- m5: perceptual near-dup ----------------------------------------------
 
   /** m5 band layout: 60-bit signatures split into 6 bands of 10 bits;
@@ -501,6 +536,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_media_clusters" -> mediaDupClusters _,
     "m5_media_phash" -> mediaPhashPairs _,
     "m1_binary_meta" -> binaryMeta _,
     "m2_media_process" -> mediaProcess _,
@@ -561,6 +597,31 @@ object Multimodal {
         |FROM ch a JOIN ch b ON a.ci = b.ci AND a.fp = b.fp
         |  AND a.media_id < b.media_id
         |GROUP BY 1, 2""".stripMargin,
+    // m6: m4's pair SQL as the edge list (overlap floor applied),
+    // then the d8 recursive-reachability closure with min-id labels
+    "m6_media_clusters" ->
+      s"""WITH RECURSIVE
+        |d AS (SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+        |ch AS (SELECT media_id, c.range AS ci,
+        |  md5(substring(text, CAST((c.range * n) // 8 AS BIGINT) + 1,
+        |    CAST(((c.range + 1) * n) // 8 - (c.range * n) // 8 AS BIGINT)))
+        |    AS fp
+        |  FROM d CROSS JOIN range(8) c),
+        |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.fp = b.fp
+        |    AND a.media_id < b.media_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $MediaClusterMinShared),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |r AS (SELECT id AS node, id AS reach FROM nodes
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+        |SELECT node AS media_id, min(reach) AS cluster_id,
+        |  CAST(CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS INTEGER)
+        |    AS keep
+        |FROM r GROUP BY node""".stripMargin,
     // m3: md5 of the VARCHAR is md5 of its UTF-8 bytes — exactly the
     // payload Spark hashes (encode(text, 'UTF-8'))
     "m3_media_dedup" ->

@@ -1485,7 +1485,39 @@ object Similarity {
       .withColumn("shift", round(abs(col("mean_a") - col("mean_b")), 6))
   }
 
+  // -- s23: semantic-bucket-capped diversity downsampling -------------------
+
+  /** Per-bucket keep cap for the s23 diversity sample. */
+  val DiversityCap = 8
+
+  /** s23 — diversity downsampling by semantic-bucket cap: every vector
+    * lands in its [[lshBucket]] (the low-[[LshPlanes]]-bit SimHash
+    * cell — the same deterministic geometry the persisted LSH layout
+    * partitions by), and at most [[DiversityCap]] vectors survive per
+    * bucket (smallest vec_id, the stable choice). This is the cheap
+    * topic-balancing cut (cap redundant neighborhoods, keep coverage)
+    * that SemDeDup-style pipelines run when pairwise similarity (s16)
+    * is too expensive for a first pass: no pair join at all, ONE
+    * narrow map (64-bit signature per vector) + one bounded-heap
+    * aggregate per bucket via `topk_by` — never a rank window over
+    * raw vectors, never a shuffle of the embedding column beyond the
+    * 256-key bucket exchange of (bucket, vec_id) pairs.
+    */
+  def bucketCapSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    emb(s, dir)
+      .select(lshBucket(col("v")).as("bucket"), col("vec_id"))
+      .groupBy("bucket")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(-col("vec_id").cast("double"), col("vec_id"),
+          lit(DiversityCap)).as("tk"))
+      .select(col("bucket"), posexplode(col("tk")))
+      .select(col("bucket"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_bucket_cap" -> bucketCapSample _,
     "s22_recall_filtered" -> recallFiltered _,
     "s21_embedding_drift" -> embeddingDrift _,
     "s18_recall_lsh" -> recallLsh _,
@@ -1601,6 +1633,24 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // s23: the first LshPlanes plane constants as literals (the s6
+    // discipline), native rank window over the identical total order
+    "s23_bucket_cap" -> {
+      val bucketSql = sigPlanes.take(LshPlanes).zipWithIndex
+        .map { case (p, i) =>
+          val lst = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lst) >= 0" +
+            s" THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM e),
+         |r AS (SELECT bucket, vec_id,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+         |  FROM b)
+         |SELECT bucket, vec_id, CAST(rk AS BIGINT) AS rk FROM r
+         |WHERE rk <= $DiversityCap""".stripMargin
+    },
     "s21_embedding_drift" ->
       """WITH x AS (SELECT vec_id % 2 AS epoch,
         |    generate_subscripts(embedding, 1) AS dim,

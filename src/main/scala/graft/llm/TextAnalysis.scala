@@ -1082,7 +1082,97 @@ object TextAnalysis {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  // -- t26: Heaps'-law vocabulary-growth audit per source --------------------
+
+  /** t26 — Heaps'-law fit per source: ln(distinct types) regressed on
+    * ln(total tokens) across a source's documents. Natural text grows
+    * vocabulary as V ≈ K·nᵝ with β ≈ 0.4–0.6 (Heaps 1978); a template
+    * mill or a decompression bug flattens β toward 0 (same few types
+    * no matter how long the doc) or pushes it to 1 (every token novel
+    * — binary junk tokenized as words). The per-source (β, ln K) pair
+    * is the vocabulary-side companion to t25's corpus-wide Zipf slope.
+    *
+    * Determinism: both regression inputs are ln of exact per-doc
+    * integer counts, rounded to 9 dp and FIXED to DECIMAL before the
+    * sums (the t25/q77 discipline), so the five per-source sums are
+    * aggregation-order-proof; the closed form runs once per source in
+    * doubles. Shape: one scan, per-doc map-side counting (no shuffle
+    * until the |sources|-row aggregate).
+    */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(lower(col("text")))
+    val xy = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        round(log(size(tok).cast("double")), 9).cast("decimal(14,9)")
+          .as("x"),
+        round(log(size(array_distinct(tok)).cast("double")), 9)
+          .cast("decimal(14,9)").as("y"))
+    val agg = xy.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val den = col("n_docs") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n_docs") * col("sxy") - col("sx") * col("sy")) / den
+    agg.filter(den =!= 0.0)
+      .select(col("source"), col("n_docs"),
+        round(slope, 6).as("heaps_beta"),
+        round((col("sy") - slope * col("sx")) / col("n_docs"), 6)
+          .as("ln_k"))
+  }
+
+  // -- t27: per-source Jensen–Shannon divergence vs the corpus ---------------
+
+  /** t27 — per-source unigram Jensen–Shannon divergence against the
+    * whole-corpus distribution: the mixture-drift audit (which source
+    * no longer looks like the corpus it feeds?) that c3's volume
+    * weights and c16's waterfill consume as a health check. JSD is
+    * symmetric and bounded by ln 2, so one number per source is
+    * comparable across rounds and corpora.
+    *
+    * The sparse identity keeps it one join, not a dense cross: with
+    * p the source distribution, q the corpus one and m = (p+q)/2,
+    * terms with p(t) = 0 collapse to q(t)·ln 2, so
+    * JSD = ½·Σ_{t∈src}[p·ln(p/m) + q·ln(q/m)] + ½·ln 2·(1 − Σ_{t∈src} q).
+    * Everything flows from exact (source, token) and corpus token
+    * counts; each per-token double term rounds to 12 dp and fixes to
+    * DECIMAL before the per-source sum (aggregation-order-proof, the
+    * t25 discipline), and the assembly arithmetic runs once per
+    * source. Shape: one tokenized scan → (source, token) counts →
+    * broadcast-joined corpus counts (|vocab| rows) → |sources|-row
+    * aggregate.
+    */
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(tokens(lower(col("text")))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cst"))
+    val ns = st.groupBy("source").agg(sum(col("cst")).as("ns"))
+    val ct = st.groupBy("token").agg(sum(col("cst")).as("ct"))
+    val n = ct.agg(sum(col("ct")).cast(LongType).as("n"))
+    val p = col("cst").cast("double") / col("ns").cast("double")
+    val q = col("ct").cast("double") / col("n").cast("double")
+    val mm = (p + q) / 2.0
+    val terms = st.join(ns, "source").join(ct, "token")
+      .crossJoin(broadcast(n))
+      .select(col("source"),
+        round(p * log(p / mm) + q * log(q / mm), 12)
+          .cast("decimal(24,12)").as("term"),
+        round(q, 12).cast("decimal(24,12)").as("qmass"))
+    terms.groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("term")).cast("double").as("tsum"),
+        sum(col("qmass")).cast("double").as("qsum"))
+      .select(col("source"), col("n_types"),
+        round((col("tsum") +
+          (lit(1.0) - col("qsum")) * log(lit(2.0))) / 2.0, 6).as("jsd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_js_divergence" -> jsDivergence _,
+    "t26_heaps" -> heapsLaw _,
     "t25_zipf" -> zipfSlope _,
     "t24_fertility" -> bpeFertility _,
     "t23_pmi" -> pmiCollocations _,
@@ -1212,6 +1302,57 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // t26: ln of exact per-doc integer counts, 9-dp-fixed before the
+    // per-source OLS sums (the t25 discipline)
+    "t26_heaps" ->
+      """WITH xy AS (SELECT source,
+        |    CAST(round(ln(CAST(len(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS DOUBLE)), 9) AS DECIMAL(14,9)) AS x,
+        |    CAST(round(ln(CAST(len(list_distinct(string_split_regex(
+        |      lower(trim(text)), '\s+'))) AS DOUBLE)), 9)
+        |      AS DECIMAL(14,9)) AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY source)
+        |SELECT source, n_docs,
+        |  round((n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx), 6)
+        |    AS heaps_beta,
+        |  round((sy - (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx)
+        |    * sx) / n_docs, 6) AS ln_k
+        |FROM a WHERE n_docs * sxx - sx * sx <> 0.0""".stripMargin,
+    // t27: sparse JSD identity; per-token terms 12-dp-fixed before the
+    // per-source sum, assembly arithmetic mirrored term for term
+    "t27_js_divergence" ->
+      """WITH st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cst
+        |  FROM (SELECT source, unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS token FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source, token),
+        |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns
+        |  FROM st GROUP BY source),
+        |ct AS (SELECT token, CAST(SUM(cst) AS BIGINT) AS ct
+        |  FROM st GROUP BY token),
+        |n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct),
+        |terms AS (SELECT source,
+        |    CAST(round(
+        |      (CAST(cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+        |        ln((CAST(cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) /
+        |          ((CAST(cst AS DOUBLE) / CAST(ns.ns AS DOUBLE) +
+        |            CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)) / 2.0)) +
+        |      (CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |        ln((CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)) /
+        |          ((CAST(cst AS DOUBLE) / CAST(ns.ns AS DOUBLE) +
+        |            CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)) / 2.0)),
+        |      12) AS DECIMAL(24,12)) AS term,
+        |    CAST(round(CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE), 12)
+        |      AS DECIMAL(24,12)) AS qmass
+        |  FROM st JOIN ns USING (source) JOIN ct USING (token), n)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  round((CAST(SUM(term) AS DOUBLE) +
+        |    (1.0 - CAST(SUM(qmass) AS DOUBLE)) * ln(2.0)) / 2.0, 6) AS jsd
+        |FROM terms GROUP BY source""".stripMargin,
     // t23: the LM oracle's tokenization, exact integer counts, one
     // double ratio + ln per kept bigram
     "t23_pmi" ->

@@ -606,7 +606,12 @@ object Extended {
     * events, each join keyed on user_id (AQE broadcasts the per-user
     * stage tables when small).
     */
-  def q57Funnel(s: SparkSession, dir: String): DataFrame = {
+  /** The q57 stage chain (per-user first-entry times for view →
+    * click → purchase, each step strictly later and within 24 h),
+    * shared by q57's counts and q91's timing percentiles.
+    */
+  private def funnelStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
     def stage(tpe: String, after: Option[DataFrame]): DataFrame = {
@@ -620,11 +625,115 @@ object Extended {
     val v = stage("view", None)
     val c = stage("click", Some(v))
     val p = stage("purchase", Some(c))
+    (v, c, p)
+  }
+
+  def q57Funnel(s: SparkSession, dir: String): DataFrame = {
+    val (v, c, p) = funnelStages(s, dir)
     Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
       .map { case (name, df) =>
         df.agg(lit(name).as("stage"),
           count(lit(1)).cast(LongType).as("n_users")) }
       .reduce(_ unionByName _)
+  }
+
+  /** q91 — funnel TIMING: median and p90 seconds spent on each funnel
+    * transition (view→click, click→purchase), over exactly q57's
+    * converting users — the "how fast do they convert?" half of the
+    * funnel report (q57 answers "how many?"). Durations are exact
+    * second-truncated epoch differences (the q81 convention, since the
+    * fixture carries sub-second timestamps); each percentile is the
+    * same linear-interpolation quantile in both engines. Shape: the
+    * q57 user-keyed joins plus a 2-group aggregate; the per-group
+    * exact percentile holds one transition's durations — at 100 TB
+    * swap in the q67 binned-histogram quantile.
+    */
+  def q91FunnelTiming(s: SparkSession, dir: String): DataFrame = {
+    val (v, c, p) = funnelStages(s, dir)
+    def leg(name: String, from: DataFrame, to: DataFrame): DataFrame =
+      to.select(col("user_id"), col("t").as("t_to"))
+        .join(from.select(col("user_id"), col("t").as("t_from")), "user_id")
+        .select(lit(name).as("transition"),
+          (unix_timestamp(col("t_to")) - unix_timestamp(col("t_from")))
+            .as("sec"))
+    leg("1_view_to_click", v, c)
+      .unionByName(leg("2_click_to_purchase", c, p))
+      .groupBy("transition")
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(sec, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(sec, 0.9)"), 6).as("p90_s"))
+  }
+
+  /** q89 — CUSUM change-point detection on the hourly event volume:
+    * the hour where the cumulative deviation from the series mean
+    * peaks is the classic single-change-point estimate (Page 1954),
+    * the "WHEN did the rate shift?" companion to q59's "is this hour
+    * anomalous?" and q87's "is there structure?". Deviation cumsums
+    * are derived ORDER-PROOF: S_t = (Σ_{i≤t} x_i) − t·x̄, where the
+    * running Σx and the position t come from one window over the
+    * pre-aggregated hourly table (the q59 posture — never raw events)
+    * and are exact longs; the double expression per hour mirrors the
+    * oracle. The peak is elected by a broadcast 1-row max + equality
+    * (smallest hour on ties), and the normalized statistic
+    * max|S|/(σ̂·√n) rides the same broadcast series stats.
+    */
+  def q89Cusum(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val g = hourly.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("x")).cast(LongType).as("sx"),
+      sum(col("x") * col("x")).cast(LongType).as("sxx"))
+    val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    val cs = hourly
+      .select(col("h"), sum(col("x")).over(w).as("cumx"),
+        count(lit(1)).over(w).as("tpos"))
+      .crossJoin(broadcast(g))
+      .select(col("h"), col("n"), col("sx"), col("sxx"),
+        (col("cumx").cast("double") - col("tpos").cast("double") *
+          (col("sx").cast("double") / col("n").cast("double"))).as("s"))
+    val peak = cs.agg(max(abs(col("s"))).as("peak"))
+    cs.crossJoin(broadcast(peak))
+      .filter(abs(col("s")) === col("peak"))
+      .groupBy("n", "sx", "sxx", "peak")
+      .agg(min(col("h")).as("peak_hour"), min_by(col("s"), col("h")).as("sgn"))
+      .select(col("n"), col("peak_hour"),
+        round(col("sgn"), 6).as("cusum"),
+        round(col("peak") /
+          (sqrt((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")) / col("n").cast("double")) *
+            sqrt(col("n").cast("double"))), 6).as("stat"))
+  }
+
+  /** q90 — Gini concentration of customer spend: the inequality audit
+    * over per-customer order totals (a pipeline twin: concentration of
+    * corpus volume across sources/crawls — is one feed quietly 80% of
+    * the data?). Uses the rank identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n
+    * over spend ranked ascending: spends are exact DECIMAL sums, the
+    * rank·spend products accumulate in DECIMAL (order-proof), and the
+    * closing arithmetic runs once, oracle-mirrored. The ranking window
+    * runs over the PRE-AGGREGATED per-customer table (q59's posture —
+    * |customers| rows, never raw line items); ties order by custkey so
+    * the rank — and therefore the statistic — is total-order stable.
+    */
+  def q90Gini(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+      .groupBy("o_custkey").agg(sum(col("v")).as("spend"))
+    val w = Window.orderBy(col("spend"), col("o_custkey"))
+    val ranked = per.select(col("o_custkey"), col("spend"),
+      row_number().over(w).cast(LongType).as("rk"))
+    ranked.agg(count(lit(1)).cast(LongType).as("n_customers"),
+        sum(col("spend")).as("dts"),
+        sum(col("spend") * col("rk")).as("drs"))
+      .select(col("n_customers"),
+        round(col("dts").cast("double"), 2).as("total_spend"),
+        round(lit(2.0) * col("drs").cast("double") /
+          (col("n_customers").cast("double") * col("dts").cast("double")) -
+          (col("n_customers").cast("double") + 1.0) /
+            col("n_customers").cast("double"), 6).as("gini"))
   }
 
   /** q58 — cohort retention triangle: users cohorted by FIRST-seen
@@ -1342,6 +1451,154 @@ object Extended {
         (ea * ea / (col("na") - 1) + eb * eb / (col("nb") - 1)), 4).as("df"))
   }
 
+  /** q85 — Mann–Whitney U (Wilcoxon rank-sum) test between the
+    * open-order and filled-order price distributions — the
+    * distribution-free "did the median shift?" companion to q75's KS
+    * ("same distribution?") and q84's Welch t ("same mean?"). The raw
+    * rows compress to one row per DISTINCT value (the only
+    * corpus-sized aggregation; q75's posture — at 100 TB the same
+    * statistic runs over a binned ECDF), the ordered window walks
+    * |distinct values| rows, and every intermediate is an exact long:
+    * tied ranks are handled by accumulating DOUBLED rank sums
+    * (avg rank at v = (2·cum_total − ties + 1)/2, so 2·R₁ is an
+    * integer), and the tie correction Σ(t³−t) is integral too. The z
+    * normal approximation runs once in doubles at output, the same
+    * expression tree the oracle spells out — partitioning-proof by
+    * construction.
+    */
+  def q85MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_totalprice").as("v"),
+        when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("ia"))
+    val c = o.groupBy("v").agg(sum(col("ia")).as("ca"),
+      (count(lit(1)) - sum(col("ia"))).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = c
+      .withColumn("tt", col("ca") + col("cb"))
+      .withColumn("cumt", sum(col("ca") + col("cb")).over(w))
+    val agg = ranked.agg(
+      sum(col("ca")).cast(LongType).as("na"),
+      sum(col("cb")).cast(LongType).as("nb"),
+      sum(col("ca") * (lit(2L) * col("cumt") - col("tt") + 1L))
+        .cast(LongType).as("r1x2"),
+      sum(col("tt") * col("tt") * col("tt") - col("tt"))
+        .cast(LongType).as("ties"))
+    val nn = (col("na") + col("nb")).cast("double")
+    val u1 = (col("r1x2") - col("na") * (col("na") + 1L)).cast("double") / 2.0
+    val mu = col("na").cast("double") * col("nb").cast("double") / 2.0
+    val sig2 = col("na").cast("double") * col("nb").cast("double") / 12.0 *
+      ((nn + 1.0) - col("ties").cast("double") / (nn * (nn - 1.0)))
+    agg.select(col("na"), col("nb"),
+      round(u1, 1).as("u1"),
+      round(col("na").cast("double") * col("nb").cast("double") - u1, 1)
+        .as("u2"),
+      round((u1 - mu) / sqrt(sig2), 6).as("z"))
+  }
+
+  /** q86 — Benford first-digit audit over line-item prices: observed
+    * first-significant-digit shares vs the Benford expectation
+    * log₁₀(1+1/d), with the per-digit χ² contribution — the standard
+    * fabricated-data / broken-upstream-generator tripwire, run as ONE
+    * scan + a 9-row aggregate. The digit is taken from the price in
+    * exact integer cents (round-to-cents, then the leading character
+    * of the integer's decimal form), never from floating log₁₀ of the
+    * value, so bucket assignment can't straddle an ULP at a power of
+    * ten. The 9-row total broadcasts back; expected counts and χ²
+    * terms are one double expression per row, spelled identically in
+    * the oracle.
+    */
+  def q86Benford(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100.0, 0).cast(LongType)
+    val d = t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).cast(LongType).as("total"))
+    val bp = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val expn = col("total").cast("double") * bp
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("total"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(bp, 6).as("benford_p"),
+        round((col("n").cast("double") - expn) *
+          (col("n").cast("double") - expn) / expn, 6).as("chi2"))
+  }
+
+  /** q87 — autocorrelation of the hourly event volume at lags 1–6
+    * hours: the series-health signal behind q59's anomaly flags (a
+    * strong lag-24 says "daily cycle", a flat ACF says "noise").
+    * Shape: raw events collapse to the hourly table FIRST (the q59
+    * posture — the window never sees raw rows), lag pairs come from an
+    * equi-join of the hourly table against itself shifted by k·3600 s
+    * (no ordered window at all, so no global sort: the join key is
+    * (h + k), shuffled like any equi-join), and the per-lag sums of
+    * integer count products are exact longs. The classical estimator
+    * r_k = Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)² expands into those longs
+    * plus the broadcast 1-row series stats; the double arithmetic runs
+    * once per lag, oracle-identical.
+    */
+  def q87Acf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val g = hourly.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("x")).cast(LongType).as("sx"),
+      sum(col("x") * col("x")).cast(LongType).as("sxx"))
+    val lags = s.range(1, 7).toDF("k")
+    val a = hourly.select(col("h").as("ha"), col("x").as("xa"))
+    val b = hourly.select(col("h").as("hb"), col("x").as("xb"))
+    val perk = a.crossJoin(broadcast(lags))
+      .join(b, col("hb") === col("ha") + col("k") * lit(3600L))
+      .groupBy("k").agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa") * col("xb")).cast(LongType).as("sxy"),
+        sum(col("xa")).cast(LongType).as("sa"),
+        sum(col("xb")).cast(LongType).as("sb"))
+    val m = col("sx").cast("double") / col("n").cast("double")
+    perk.crossJoin(broadcast(g))
+      .select(col("k"), col("n_pairs"),
+        round((col("sxy").cast("double") -
+          m * (col("sa") + col("sb")).cast("double") +
+          col("n_pairs").cast("double") * m * m) /
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")), 6).as("acf"))
+  }
+
+  /** q88 — Theil–Sen robust slope of extended price on quantity per
+    * part: the median of all pairwise slopes, the estimator that
+    * shrugs off the outliers that wreck q77's least squares (one bad
+    * row moves OLS arbitrarily; Theil–Sen tolerates ~29% corruption).
+    * The pair loop is quadratic ONLY within a part — rows per part are
+    * bounded by construction (a part appears on a bounded number of
+    * lines), so the self-join on l_partkey scales like the number of
+    * parts, not its square; the per-group exact median holds one
+    * group's slopes at a time. Pair identity is the (orderkey,
+    * linenumber) row order, equal-quantity pairs contribute no slope,
+    * and thin groups (< 10 pairs) are suppressed as statistically
+    * meaningless.
+    */
+  def q88TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey").as("p"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val a = li.select(col("p"), col("ok").as("oka"), col("ln").as("lna"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = li.select(col("p"), col("ok").as("okb"), col("ln").as("lnb"),
+      col("x").as("xb"), col("y").as("yb"))
+    a.join(b, Seq("p"))
+      .filter((col("oka") < col("okb") ||
+        (col("oka") === col("okb") && col("lna") < col("lnb"))) &&
+        col("xa") =!= col("xb"))
+      .select(col("p"),
+        ((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("slope"))
+      .groupBy("p").agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+      .filter(col("n_pairs") >= 10)
+      .select(col("p").as("l_partkey"), col("n_pairs"), col("ts_slope"))
+  }
+
   /** q78 — declarative data-quality expectations (the dbt-test /
     * Deequ posture): a fixed rule set audited in ONE scan per table,
     * one output row per rule with (rows checked, violations). Row
@@ -1569,6 +1826,13 @@ object Extended {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_mannwhitney"    -> q85MannWhitney _,
+    "q86_benford"        -> q86Benford _,
+    "q87_acf"            -> q87Acf _,
+    "q88_theilsen"       -> q88TheilSen _,
+    "q89_cusum"          -> q89Cusum _,
+    "q90_gini"           -> q90Gini _,
+    "q91_funnel_timing"  -> q91FunnelTiming _,
     "q84_welch_ttest"    -> q84WelchTtest _,
     "q82_rank_twopass"   -> q82RankTwoPass _,
     "q81_twap"           -> q81Twap _,
@@ -1629,6 +1893,156 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q89: order-proof cusum (running Σx and position are exact longs),
+    // broadcast peak election with min-hour ties, mirrored doubles
+    "q89_cusum" ->
+      """WITH hourly AS (SELECT
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY h),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM hourly),
+        |cs AS (SELECT h, n, sx, sxx,
+        |    CAST(SUM(x) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+        |        AS DOUBLE) -
+        |      CAST(COUNT(*) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+        |        AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+        |  FROM hourly, g),
+        |peak AS (SELECT MAX(abs(s)) AS peak FROM cs)
+        |SELECT n, MIN(h) AS peak_hour,
+        |  round(arg_min(s, h), 6) AS cusum,
+        |  round(peak / (sqrt((CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) * sqrt(CAST(n AS DOUBLE))), 6) AS stat
+        |FROM cs, peak WHERE abs(s) = peak
+        |GROUP BY n, sx, sxx, peak""".stripMargin,
+    // q90: DECIMAL spend sums + rank·spend products, rank over the
+    // pre-aggregated per-customer table with the (spend, key) order
+    "q90_gini" ->
+      """WITH per AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT spend,
+        |    row_number() OVER (ORDER BY spend, o_custkey) AS rk FROM per),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    SUM(spend) AS dts, SUM(spend * rk) AS drs FROM r)
+        |SELECT n_customers,
+        |  round(CAST(dts AS DOUBLE), 2) AS total_spend,
+        |  round(2.0 * CAST(drs AS DOUBLE) /
+        |    (CAST(n_customers AS DOUBLE) * CAST(dts AS DOUBLE)) -
+        |    (CAST(n_customers AS DOUBLE) + 1.0) /
+        |      CAST(n_customers AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
+    // q91: q57's stage CTEs verbatim + second-truncated epoch diffs
+    // (the q81 convention); both engines interpolate quantiles linearly
+    "q91_funnel_timing" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t
+        |    AND e.ts <= v.t + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t
+        |    AND e.ts <= c.t + INTERVAL 24 HOUR GROUP BY 1),
+        |d AS (SELECT '1_view_to_click' AS transition,
+        |    CAST(epoch(date_trunc('second', c.t)) AS BIGINT) -
+        |      CAST(epoch(date_trunc('second', v.t)) AS BIGINT) AS sec
+        |  FROM c JOIN v USING (user_id)
+        |  UNION ALL SELECT '2_click_to_purchase',
+        |    CAST(epoch(date_trunc('second', p.t)) AS BIGINT) -
+        |      CAST(epoch(date_trunc('second', c.t)) AS BIGINT)
+        |  FROM p JOIN c USING (user_id))
+        |SELECT transition, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  round(quantile_cont(sec, 0.5), 6) AS p50_s,
+        |  round(quantile_cont(sec, 0.9), 6) AS p90_s
+        |FROM d GROUP BY transition""".stripMargin,
+    // q85: exact long rank machinery (doubled rank sums, integral tie
+    // correction); the z expression tree mirrors the engine term for term
+    "q85_mannwhitney" ->
+      """WITH s AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS ia
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |c AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb FROM s GROUP BY v),
+        |r AS (SELECT ca, cb, ca + cb AS tt,
+        |    SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumt
+        |  FROM c),
+        |a AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(ca * (2 * cumt - tt + 1)) AS BIGINT) AS r1x2,
+        |    CAST(SUM(tt * tt * tt - tt) AS BIGINT) AS ties FROM r)
+        |SELECT na, nb,
+        |  round(CAST(r1x2 - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u1,
+        |  round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) -
+        |    CAST(r1x2 - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u2,
+        |  round((CAST(r1x2 - na * (na + 1) AS DOUBLE) / 2.0 -
+        |      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |      ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |        (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))),
+        |    6) AS z
+        |FROM a""".stripMargin,
+    // q86: digit from exact integer cents; expected/χ² double trees
+    // written identically to the engine's
+    "q86_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(
+        |      l_extendedprice * 100.0, 0) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n, total,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+        |  round((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) *
+        |      log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) *
+        |    (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) *
+        |      log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) /
+        |    (CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))),
+        |    6) AS chi2
+        |FROM g, t""".stripMargin,
+    // q87: hourly pre-aggregation, shifted equi-join per lag, exact
+    // long sums; one double expression per lag mirroring the engine
+    "q87_acf" ->
+      """WITH hourly AS (SELECT
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY h),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM hourly),
+        |k AS (SELECT unnest(range(1, 7)) AS k),
+        |p AS (SELECT k.k AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.x) AS BIGINT) AS sa, CAST(SUM(b.x) AS BIGINT) AS sb
+        |  FROM hourly a, k, hourly b WHERE b.h = a.h + k.k * 3600
+        |  GROUP BY k.k)
+        |SELECT k, n_pairs,
+        |  round((CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) *
+        |        CAST(sa + sb AS DOUBLE) +
+        |      CAST(n_pairs AS DOUBLE) *
+        |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+        |      CAST(n AS DOUBLE)), 6) AS acf
+        |FROM p, g""".stripMargin,
+    // q88: identical pair set (row-order identity, equal-x pairs
+    // dropped), per-pair slope is one IEEE division, median is the
+    // same linear-interpolation quantile in both engines
+    "q88_theilsen" ->
+      """WITH li AS (SELECT l_partkey AS p, l_orderkey AS ok,
+        |    l_linenumber AS ln, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |pr AS (SELECT a.p AS p, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM li a JOIN li b ON a.p = b.p
+        |  WHERE (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+        |    AND a.x <> b.x)
+        |SELECT p AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS ts_slope
+        |FROM pr GROUP BY p HAVING COUNT(*) >= 10""".stripMargin,
     // q84: the five DECIMAL sums replay exactly; all double expressions
     // mirror the engine's op order term for term
     "q84_welch_ttest" ->
