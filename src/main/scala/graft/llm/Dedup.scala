@@ -262,6 +262,43 @@ object Dedup {
     finally sh.unpersist()
   }
 
+  /** d18 — LSH health report: one row quantifying how well d2's
+    * banding is tuned — candidate count, how many survive d3's exact
+    * Jaccard ≥ 0.8 verify, the precision, and the mean candidate
+    * Jaccard. This is the dedup family's evaluation harness (the s18
+    * posture applied to MinHash instead of ANN): precision collapsing
+    * says the band/row split drifted below the similarity threshold's
+    * s-curve knee and the verify tier is eating wasted exact-Jaccard
+    * work; a release pipeline tracks this number next to the recall
+    * keys in BENCH_DETAIL. Same plan shape as d3 (candidates +
+    * candidate-keyed shingle joins), reduced to a fixed-width
+    * aggregate; the mean accumulates the 4-dp-rounded Jaccards in
+    * DECIMAL so it is aggregation-order-proof.
+    */
+  def lshPrecision(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try minhashCandidatesFrom(sh)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        round(size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          / size(array_union(col("sa.shingles"), col("sb.shingles")))
+            .cast("double"), 4).as("jaccard"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L))
+          .cast(org.apache.spark.sql.types.LongType).as("n_verified"),
+        sum(col("jaccard").cast("decimal(14,4)")).as("dj"),
+        count(lit(1)).as("nc2"))
+      .select(col("n_candidates"), col("n_verified"),
+        round(col("dj").cast("double") / col("nc2").cast("double"), 6)
+          .as("mean_jaccard"),
+        round(col("n_verified").cast("double") /
+          col("n_candidates").cast("double"), 6).as("precision"))
+      .localCheckpoint(true)
+    finally sh.unpersist()
+  }
+
   /** Persists the corpus's hashed shingle SETS as a table bucketed by
     * doc_id — the artifact that removes d3's one remaining scale
     * liability (exact verify re-reads and re-shingles the text).
@@ -1802,6 +1839,7 @@ object Dedup {
     "d9_dedup_apply"  -> dedupApply _,
     "d14_split_leakfree" -> splitLeakfree _,
     "d2_minhash_lsh"  -> minhashCandidates _,
+    "d18_lsh_precision" -> lshPrecision _,
     "d3_jaccard_verify" -> jaccardVerify _,
     "d11_setsim_join" -> setSimJoin _,
     "d10_jaccard_est" -> jaccardEstimate _,
@@ -2205,6 +2243,24 @@ object Dedup {
          |JOIN sig a ON a.doc_id = doc_a
          |JOIN sig b ON b.doc_id = doc_b AND b.k = a.k
          |GROUP BY doc_a, doc_b""".stripMargin,
+    // d18: d3's candidate-Jaccard chain collapsed to the tuning
+    // report; DECIMAL-fixed mean, mirrored ratio expressions
+    "d18_lsh_precision" ->
+      s"""WITH $sigCte,
+         |j AS (SELECT round(len(list_intersect(sa.shingles, sb.shingles))
+         |    * 1.0 / len(list_distinct(list_concat(sa.shingles,
+         |      sb.shingles))), 4) AS jaccard
+         |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+         |            JOIN sh sb ON doc_b = sb.doc_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_verified,
+         |  round(CAST(SUM(CAST(jaccard AS DECIMAL(14,4))) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_jaccard,
+         |  round(CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS precision
+         |FROM j""".stripMargin,
     "d3_jaccard_verify" ->
       s"""WITH $sigCte
          |SELECT doc_a, doc_b, jaccard FROM (

@@ -1082,6 +1082,42 @@ object TextAnalysis {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  // -- t28: term burstiness (variance-to-mean dispersion) --------------------
+
+  /** Rank cut for the t28 burstiness audit. */
+  val BurstTopR = 50
+
+  /** t28 — burstiness of the top-[[BurstTopR]] corpus terms: the
+    * variance-to-mean ratio (VMR) of each term's per-document count,
+    * zeros included. Function words spread evenly (VMR ≈ 1, Poisson);
+    * topical terms clump into few documents (VMR ≫ 1) — the
+    * Church–Gale dispersion signal that separates "common because
+    * it's everywhere" from "common because three documents spam it",
+    * which tf alone (t7) cannot see. Zero-count documents enter
+    * through algebra, not a dense join: with m = tf/N,
+    * VMR = (Σc²/N − m²)/m needs only the per-doc counts that exist
+    * plus the corpus doc count (broadcast 1-row). Everything before
+    * the final per-term doubles is an exact long.
+    */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+    val n = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+    val top = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("token")
+      .agg(sum(col("c")).cast(LongType).as("tf"),
+        count(lit(1)).cast(LongType).as("df"),
+        sum(col("c") * col("c")).cast(LongType).as("sc2"))
+      .orderBy(desc("tf"), col("token")).limit(BurstTopR)
+    val m = col("tf").cast("double") / col("n_docs").cast("double")
+    top.crossJoin(broadcast(n))
+      .select(col("token"), col("tf"), col("df"),
+        round((col("sc2").cast("double") / col("n_docs").cast("double") -
+          m * m) / m, 6).as("vmr"))
+  }
+
   // -- t26: Heaps'-law vocabulary-growth audit per source --------------------
 
   /** t26 — Heaps'-law fit per source: ln(distinct types) regressed on
@@ -1171,6 +1207,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_burstiness" -> burstiness _,
     "t27_js_divergence" -> jsDivergence _,
     "t26_heaps" -> heapsLaw _,
     "t25_zipf" -> zipfSlope _,
@@ -1302,6 +1339,26 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // t28: exact long count moments, zeros entering through the
+    // algebra; one mirrored double expression per term
+    "t28_burstiness" ->
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents WHERE text IS NOT NULL),
+         |pc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+         |      '\\s+')) AS token FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY doc_id, token),
+         |top AS (SELECT token, CAST(SUM(c) AS BIGINT) AS tf,
+         |    CAST(COUNT(*) AS BIGINT) AS df,
+         |    CAST(SUM(c * c) AS BIGINT) AS sc2
+         |  FROM pc GROUP BY token
+         |  ORDER BY tf DESC, token LIMIT $BurstTopR)
+         |SELECT token, tf, df,
+         |  round((CAST(sc2 AS DOUBLE) / CAST(n_docs AS DOUBLE) -
+         |    (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)) *
+         |    (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE))) /
+         |    (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS vmr
+         |FROM top, n""".stripMargin,
     // t26: ln of exact per-doc integer counts, 9-dp-fixed before the
     // per-source OLS sums (the t25 discipline)
     "t26_heaps" ->

@@ -664,6 +664,33 @@ object Extended {
         round(expr("percentile(sec, 0.9)"), 6).as("p90_s"))
   }
 
+  /** q92 — first-order event-type transition matrix: for every
+    * consecutive event pair within a user's timeline, the
+    * (from → to) count and the row-normalized transition probability
+    * — the Markov-chain audit behind q57's funnel (the funnel asserts
+    * one path; this shows ALL the paths users actually take, and a
+    * probability shift is the earliest sign of an instrumentation or
+    * UX change). The lead window partitions by user_id — a
+    * high-cardinality key, state bounded per user — and the
+    * normalizing window runs over the |types|² transition matrix,
+    * never raw events. Order (ts, event_id) is total, so pairing is
+    * deterministic.
+    */
+  def q92Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type"))
+            .cast("double"), 6))
+  }
+
   /** q89 — CUSUM change-point detection on the hourly event volume:
     * the hour where the cumulative deviation from the series mean
     * peaks is the classic single-change-point estimate (Page 1954),
@@ -1833,6 +1860,7 @@ object Extended {
     "q89_cusum"          -> q89Cusum _,
     "q90_gini"           -> q90Gini _,
     "q91_funnel_timing"  -> q91FunnelTiming _,
+    "q92_transitions"    -> q92Transitions _,
     "q84_welch_ttest"    -> q84WelchTtest _,
     "q82_rank_twopass"   -> q82RankTwoPass _,
     "q81_twap"           -> q81Twap _,
@@ -1893,6 +1921,19 @@ object Extended {
     "q29_time_agg"       -> q29TimeAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // q92: lead over the identical (ts, event_id) total order; the
+    // probability normalizes over the tiny transition matrix
+    "q92_transitions" ->
+      """WITH tr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |g AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM g""".stripMargin,
     // q89: order-proof cusum (running Σx and position are exact longs),
     // broadcast peak election with min-hour ties, mirrored doubles
     "q89_cusum" ->

@@ -339,6 +339,69 @@ class StatsReportsSpec extends SparkSpec {
     }
   }
 
+  // -- d18 LSH precision ---------------------------------------------------------
+
+  test("d18: the report's counts are exactly d2's candidates and d3's " +
+      "verified pairs, and precision is their ratio") {
+    val rep = graft.llm.Dedup.lshPrecision(spark, sfDir).collect().head
+    val nCand = graft.llm.Dedup.minhashCandidates(spark, sfDir).count()
+    val nVer = graft.llm.Dedup.jaccardVerify(spark, sfDir).count()
+    assert(rep.getAs[Long]("n_candidates") == nCand)
+    assert(rep.getAs[Long]("n_verified") == nVer)
+    assert(math.abs(rep.getAs[Double]("precision") -
+      nVer.toDouble / nCand) < 1e-6)
+    val mj = rep.getAs[Double]("mean_jaccard")
+    assert(mj >= 0.0 && mj <= 1.0)
+  }
+
+  // -- t28 burstiness -------------------------------------------------------------
+
+  test("t28: a once-per-doc word has VMR 0, a one-doc spam word has " +
+      "VMR near its count") {
+    val dir = tmpDir("burst")
+    val docs = (0 until 20).map { i =>
+      val spam = if (i == 0) " spam" * 50 else ""
+      (i.toLong, s"even filler$i$spam", "en", "s", 10L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.llm.TextAnalysis.burstiness(spark, dir).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Double]("vmr")).toMap
+    // "even": once in each of 20 docs → zero variance → VMR 0
+    assert(got("even") == 0.0)
+    // "spam": 50 occurrences in one of 20 docs: m=2.5, E[c²]=125,
+    // VMR = (125 - 6.25)/2.5 = 47.5
+    assert(math.abs(got("spam") - 47.5) < 1e-9)
+  }
+
+  // -- q92 transitions --------------------------------------------------------------
+
+  test("q92: crafted timelines produce the exact transition matrix and " +
+      "row-normalized probabilities summing to 1") {
+    val dir = tmpDir("trans")
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // user 1: view→click→view ; user 2: view→view→purchase
+    val events = Seq(
+      (1L, 1L, "view"), (2L, 1L, "click"), (3L, 1L, "view"),
+      (4L, 2L, "view"), (5L, 2L, "view"), (6L, 2L, "purchase"))
+      .zipWithIndex.map { case ((id, u, tp), i) =>
+        (id, new java.sql.Timestamp(t0 + i * 60000L), u, tp, 1.0, "{}") }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Extended.q92Transitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(got(("view", "click"))._1 == 1L)
+    assert(got(("view", "view"))._1 == 1L)
+    assert(got(("view", "purchase"))._1 == 1L)
+    assert(got(("click", "view"))._1 == 1L)
+    assert(got(("click", "view"))._2 == 1.0)
+    val viewOut = got.collect { case ((f, _), (_, p)) if f == "view" => p }
+    // each p is 6-dp rounded (1/3 → 0.333333), so the row sum may sit
+    // up to |row| half-ulps from 1
+    assert(math.abs(viewOut.sum - 1.0) < 2e-6)
+  }
+
   // -- m6 media clusters --------------------------------------------------------
 
   test("m6: an exact copy and a one-slice edit collapse into one cluster " +
