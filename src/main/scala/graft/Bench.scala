@@ -192,9 +192,24 @@ object Bench {
     // suite accumulated (r12: in-suite medians 8.7/12.7 s vs 2.9/3.6 s
     // warm in a fresh JVM) — and they are also the aging SOURCE the
     // family comment describes.
-    val heavyFamily = Set("c8_curate_full", "d8_dedup_clusters",
-      "d9_dedup_apply", "d14_split_leakfree", "q79_entity_resolution",
-      "q60_cdc_upsert", "q61_cdc_scd2")
+    // c19 replays c8's staged chain (same checkpoints, same aging) —
+    // it joins the family with its twin rather than wasting the three
+    // in-JVM attempts its sentinel always fails (r12: ratio 2.4).
+    //
+    // SEMANTICS OF THE FRESH-JVM NUMBER: it is the STANDALONE
+    // steady-state cost — a fresh JVM, nothing else ever run, median
+    // of the last 3 of >= 5 runs. For the CC family this sits ~1.3-1.5×
+    // ABOVE the same query's in-suite raw median, and that gap is
+    // real, not noise: by the time the suite reaches the d/c heavies,
+    // ~170 earlier queries have JIT-compiled every shared kernel
+    // (shingling, md5, CC loop bodies), so the in-suite number is
+    // amortized. A 7-run child measures the same ~3.6 s for d8 as a
+    // 5-run one (r12) — more warmup does not close the gap, because
+    // the gap is amortization, not cold start. Round-over-round
+    // comparisons should use clean-vs-clean or raw-vs-raw, never mix.
+    val heavyFamily = Set("c8_curate_full", "c19_attrition",
+      "d8_dedup_clusters", "d9_dedup_apply", "d14_split_leakfree",
+      "q79_entity_resolution", "q60_cdc_upsert", "q61_cdc_scd2")
     val heavySelected =
       if (args.nonEmpty) Seq.empty // filtered child: measure in place
       else results.keySet.intersect(heavyFamily).toSeq.sorted

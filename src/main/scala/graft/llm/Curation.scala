@@ -292,6 +292,34 @@ object Curation {
   def mixWeights(s: SparkSession, dir: String, alpha: Double = 0.7): DataFrame =
     mixWeightsOf(Tables.load(s, dir, "documents"), alpha)
 
+  /** c21 — dedup-aware mixing weights: c3's temperature weights
+    * recomputed over each source's EFFECTIVE volume — the characters
+    * that survive exact dedup (d1's md5 canonicalization, min-doc_id
+    * winner) — instead of raw bytes. A source that pads its share
+    * with mirrored copies earns weight for the same text twice under
+    * c3; repeated data is worth less than fresh data to a training
+    * run (Muennighoff et al. 2023), and the effective count is the
+    * cheapest honest proxy. Same shape as c3 plus one fingerprint
+    * window: the dedup winner election shuffles (fp, doc_id, source,
+    * n_chars) — never text — and the weight table stays |sources| rows.
+    */
+  def mixWeightsDedupAware(s: SparkSession, dir: String): DataFrame = {
+    val uniq = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("fp"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+    uniq.groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_docs_eff"),
+        sum(col("n_chars")).cast(LongType).as("n_chars_eff"))
+      .withColumn("w_raw", pow(col("n_chars_eff").cast("double"), 0.7))
+      .withColumn("weight",
+        round(col("w_raw") / sum(col("w_raw")).over(Window.partitionBy()), 6))
+      .select(col("source"), col("n_docs_eff"), col("n_chars_eff"),
+        col("weight"))
+  }
+
   /** Deterministic weighted sampling by content hash: doc kept iff
     * hash60("sample:" + doc_id) mod `denom` < source_weight × denom,
     * with per-source rates from [[mixWeights]] (temperature-style:
@@ -1071,6 +1099,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_mix_dedup_aware" -> mixWeightsDedupAware _,
     "c19_attrition" -> attritionReport _,
     "c20_curriculum" -> curriculum _,
     "c18_shuffle_shards" -> shuffleShards _,
@@ -1332,6 +1361,22 @@ object Curation {
     // full corpus), three-detector dedup closure, weighted sample from
     // surviving volume, BPE-token pack. The stage artifacts are plain
     // CTEs (adocs/bdocs/cdocs/ddocs) mirroring the Spark checkpoints.
+    // c21: d1's md5 winner election + c3's weight arithmetic over the
+    // surviving volume; the window normalization mirrors c3's oracle
+    "c21_mix_dedup_aware" ->
+      """WITH uniq AS (SELECT source, n_chars FROM (
+        |    SELECT source, n_chars, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |    FROM documents)
+        |  WHERE rk = 1),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_eff,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_eff
+        |  FROM uniq GROUP BY source),
+        |b AS (SELECT source, n_docs_eff, n_chars_eff,
+        |    power(CAST(n_chars_eff AS DOUBLE), 0.7) AS w_raw FROM a)
+        |SELECT source, n_docs_eff, n_chars_eff,
+        |  round(w_raw / sum(w_raw) OVER (), 6) AS weight
+        |FROM b""".stripMargin,
     // c19: the SAME stage chain as c8 (shared CTE text), reduced to
     // one count per stage; the ratios replay the engine's expression
     "c19_attrition" ->

@@ -299,6 +299,35 @@ object Dedup {
     finally sh.unpersist()
   }
 
+  /** d19 — cross-source redundancy map: d3's verified near-dup pairs
+    * rolled up by the UNORDERED source pair — which feeds duplicate
+    * each other, and how tightly. The map is what a curation owner
+    * reads before c3/c21 mixing: a hot (crawlA, crawlB) cell means one
+    * of them is largely a re-crawl and its weight is double-counting;
+    * a hot diagonal cell means within-source boilerplate d9 will
+    * collapse anyway. Cost is d3 plus two id-keyed joins of the
+    * |sources|-wide doc→source projection (text never re-read) and a
+    * ≤|sources|²-row aggregate; the mean Jaccard accumulates
+    * DECIMAL-fixed (order-proof).
+    */
+  def crossSourceRedundancy(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    jaccardVerify(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(14,4)")).as("dj"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("dj").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("mean_jaccard"))
+  }
+
   /** Persists the corpus's hashed shingle SETS as a table bucketed by
     * doc_id — the artifact that removes d3's one remaining scale
     * liability (exact verify re-reads and re-shingles the text).
@@ -1840,6 +1869,7 @@ object Dedup {
     "d14_split_leakfree" -> splitLeakfree _,
     "d2_minhash_lsh"  -> minhashCandidates _,
     "d18_lsh_precision" -> lshPrecision _,
+    "d19_source_redundancy" -> crossSourceRedundancy _,
     "d3_jaccard_verify" -> jaccardVerify _,
     "d11_setsim_join" -> setSimJoin _,
     "d10_jaccard_est" -> jaccardEstimate _,
@@ -2243,6 +2273,26 @@ object Dedup {
          |JOIN sig a ON a.doc_id = doc_a
          |JOIN sig b ON b.doc_id = doc_b AND b.k = a.k
          |GROUP BY doc_a, doc_b""".stripMargin,
+    // d19: d3's verified pairs + the doc→source projection, rolled up
+    // by the unordered source pair; DECIMAL-fixed mean Jaccard
+    "d19_source_redundancy" ->
+      s"""WITH $sigCte,
+         |v AS (SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+         |    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+         |    AS jaccard
+         |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+         |            JOIN sh sb ON doc_b = sb.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |sp AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b, jaccard
+         |  FROM v JOIN documents da ON v.doc_a = da.doc_id
+         |         JOIN documents db ON v.doc_b = db.doc_id)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(SUM(CAST(jaccard AS DECIMAL(14,4))) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_jaccard
+         |FROM sp GROUP BY source_a, source_b""".stripMargin,
     // d18: d3's candidate-Jaccard chain collapsed to the tuning
     // report; DECIMAL-fixed mean, mirrored ratio expressions
     "d18_lsh_precision" ->

@@ -402,6 +402,58 @@ class StatsReportsSpec extends SparkSpec {
     assert(math.abs(viewOut.sum - 1.0) < 2e-6)
   }
 
+  // -- c21 dedup-aware mixing weights ---------------------------------------------
+
+  test("c21: a source padded with exact copies loses weight relative to " +
+      "c3, and c21 equals c3 on a copy-free corpus") {
+    val dir = tmpDir("c21")
+    def doc(i: Long, src: String, body: String) =
+      (i, body, "en", src, body.length.toLong)
+    // src_pad: 4 distinct docs, each duplicated 5x (20 rows, 4 unique)
+    // src_fresh: 20 distinct docs of the same per-doc length
+    val pad = (0 until 20).map(i => doc(i.toLong, "src_pad",
+      s"padded body number ${i % 4} with filler words"))
+    val fresh = (0 until 20).map(i => doc(100L + i, "src_fresh",
+      s"unique body number $i with filler words xx"))
+    (pad ++ fresh).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val aware = graft.llm.Curation.mixWeightsDedupAware(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs_eff"), r.getAs[Double]("weight"))).toMap
+    val naive = graft.llm.Curation.mixWeights(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("weight")).toMap
+    assert(aware("src_pad")._1 == 4L)
+    assert(aware("src_fresh")._1 == 20L)
+    // c3 sees both sources at full volume; c21 discounts the padded one
+    assert(aware("src_pad")._2 < naive("src_pad"))
+    assert(aware("src_fresh")._2 > naive("src_fresh"))
+    // copy-free corpus: the two weightings coincide
+    val dir2 = tmpDir("c21free")
+    fresh.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val a2 = graft.llm.Curation.mixWeightsDedupAware(spark, dir2)
+      .collect().head.getAs[Double]("weight")
+    val n2 = graft.llm.Curation.mixWeights(spark, dir2)
+      .collect().head.getAs[Double]("weight")
+    assert(a2 == n2 && a2 == 1.0)
+  }
+
+  // -- d19 cross-source redundancy ---------------------------------------------------
+
+  test("d19: a cross-source near-dup pair lands in the unordered " +
+      "(source_a, source_b) cell; counts reconcile with d3") {
+    val rep = graft.llm.Dedup.crossSourceRedundancy(spark, sfDir).collect()
+    val total = rep.map(_.getAs[Long]("n_pairs")).sum
+    val d3 = graft.llm.Dedup.jaccardVerify(spark, sfDir).count()
+    assert(total == d3)
+    rep.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"))
+      val mj = r.getAs[Double]("mean_jaccard")
+      assert(mj >= 0.8 && mj <= 1.0) // verified pairs only
+    }
+  }
+
   // -- m6 media clusters --------------------------------------------------------
 
   test("m6: an exact copy and a one-slice edit collapse into one cluster " +
