@@ -1599,27 +1599,38 @@ object Extended {
     * row moves OLS arbitrarily; Theil–Sen tolerates ~29% corruption).
     * The pair loop is quadratic ONLY within a part — rows per part are
     * bounded by construction (a part appears on a bounded number of
-    * lines), so the self-join on l_partkey scales like the number of
-    * parts, not its square; the per-group exact median holds one
-    * group's slopes at a time. Pair identity is the (orderkey,
-    * linenumber) row order, equal-quantity pairs contribute no slope,
-    * and thin groups (< 10 pairs) are suppressed as statistically
-    * meaningless.
+    * lines), so the expansion scales like the number of parts, not its
+    * square; the per-group exact median holds one group's slopes at a
+    * time. Pair identity is the full (orderkey, linenumber, x, y) row
+    * order (key-only order would under-pair on the fixture's duplicate
+    * line keys), equal-quantity pairs contribute no slope, and thin
+    * groups (< 10 pairs) are suppressed as statistically meaningless.
     */
   def q88TheilSen(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_partkey").as("p"),
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-    val a = li.select(col("p"), col("ok").as("oka"), col("ln").as("lna"),
-      col("x").as("xa"), col("y").as("ya"))
-    val b = li.select(col("p"), col("ok").as("okb"), col("ln").as("lnb"),
-      col("x").as("xb"), col("y").as("yb"))
-    a.join(b, Seq("p"))
-      .filter((col("oka") < col("okb") ||
-        (col("oka") === col("okb") && col("lna") < col("lnb"))) &&
-        col("xa") =!= col("xb"))
+    // ONE shuffle of the fact table (groupBy p), pairs expanded
+    // array-side inside each bounded group — the self-join form
+    // shuffled lineitem twice and materialized every candidate pair
+    // through a join (2.6× slower at sf0.1). sort_array on the
+    // (ok, ln, …) struct fixes the same row order the join's
+    // (oka, lna) < (okb, lnb) predicate enforced, so the slope SET —
+    // and therefore the median — is identical; the slice-explode is
+    // the d16 bucket-expansion pattern.
+    val grouped = li
+      .groupBy("p")
+      .agg(sort_array(collect_list(
+        struct(col("ok"), col("ln"), col("x"), col("y")))).as("rows"))
+      .filter(size(col("rows")) >= 2)
+    grouped
+      .select(col("p"), col("rows"), posexplode(col("rows")))
+      .select(col("p"), col("col").as("a"),
+        explode(slice(col("rows"), col("pos") + 2,
+          size(col("rows")))).as("b"))
+      .filter(col("a.x") =!= col("b.x"))
       .select(col("p"),
-        ((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("slope"))
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
       .groupBy("p").agg(count(lit(1)).as("n_pairs"),
         round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
       .filter(col("n_pairs") >= 10)
@@ -2070,16 +2081,19 @@ object Extended {
         |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
         |      CAST(n AS DOUBLE)), 6) AS acf
         |FROM p, g""".stripMargin,
-    // q88: identical pair set (row-order identity, equal-x pairs
-    // dropped), per-pair slope is one IEEE division, median is the
-    // same linear-interpolation quantile in both engines
+    // q88: identical pair set — pair identity is the FULL
+    // (ok, ln, x, y) row order (the fixture carries duplicate
+    // (orderkey, linenumber) keys, so a key-only order would
+    // under-pair exactly where the engine's sorted-array expansion
+    // pairs them); equal-x pairs dropped, per-pair slope one IEEE
+    // division, median the same linear-interpolation quantile
     "q88_theilsen" ->
       """WITH li AS (SELECT l_partkey AS p, l_orderkey AS ok,
         |    l_linenumber AS ln, l_quantity AS x, l_extendedprice AS y
         |  FROM lineitem),
         |pr AS (SELECT a.p AS p, (b.y - a.y) / (b.x - a.x) AS slope
         |  FROM li a JOIN li b ON a.p = b.p
-        |  WHERE (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+        |  WHERE (a.ok, a.ln, a.x, a.y) < (b.ok, b.ln, b.x, b.y)
         |    AND a.x <> b.x)
         |SELECT p AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS ts_slope
