@@ -250,6 +250,25 @@ object Curation {
       n, minShared, excludeSelf = true)
   }
 
+  /** c22 — per-benchmark-item contamination report: for each eval doc,
+    * how many corpus docs overlap it (c2's 8-gram hits), the deepest
+    * overlap, and the mean — the table an eval owner reads to decide
+    * whether a benchmark is still trustworthy against this corpus
+    * (one deeply-hit item means a leaked copy; broad shallow hits
+    * mean the benchmark shares idiom, not answers). Pure rollup of
+    * the c2 hit stream: no new scan, a ≤|bench|-row aggregate, the
+    * mean from exact long sums.
+    */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    decontaminate(s, dir)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        max(col("n_shared")).as("max_shared"),
+        sum(col("n_shared")).cast(LongType).as("ts"))
+      .select(col("bench_id"), col("n_docs"), col("max_shared"),
+        round(col("ts").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_shared"))
+
   /** Applies the c2 contamination scan: the corpus minus every doc
     * flagged as sharing >= `minShared` 8-grams with the benchmark —
     * the releasable-corpus terminal artifact (c2's pair list is the
@@ -1099,6 +1118,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c22_contamination_report" -> contaminationReport _,
     "c21_mix_dedup_aware" -> mixWeightsDedupAware _,
     "c19_attrition" -> attritionReport _,
     "c20_curriculum" -> curriculum _,
@@ -1361,6 +1381,14 @@ object Curation {
     // full corpus), three-detector dedup closure, weighted sample from
     // surviving volume, BPE-token pack. The stage artifacts are plain
     // CTEs (adocs/bdocs/cdocs/ddocs) mirroring the Spark checkpoints.
+    // c22: pure rollup of c2's hit CTE — exact long moments per bench doc
+    "c22_contamination_report" ->
+      s"""WITH $decontCte
+         |SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MAX(n_shared) AS BIGINT) AS max_shared,
+         |  round(CAST(SUM(n_shared) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS mean_shared
+         |FROM hits GROUP BY bench_id""".stripMargin,
     // c21: d1's md5 winner election + c3's weight arithmetic over the
     // surviving volume; the window normalization mirrors c3's oracle
     "c21_mix_dedup_aware" ->

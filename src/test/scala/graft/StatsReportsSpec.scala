@@ -439,6 +439,21 @@ class StatsReportsSpec extends SparkSpec {
     assert(a2 == n2 && a2 == 1.0)
   }
 
+  // -- c22 contamination report --------------------------------------------------
+
+  test("c22: per-benchmark rows reconcile exactly with the c2 hit stream") {
+    val rep = graft.llm.Curation.contaminationReport(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("bench_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("max_shared"))).toMap
+    val hits = graft.llm.Curation.decontaminate(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("bench_id"))
+    assert(rep.keySet == hits.keySet)
+    hits.foreach { case (b, rows) =>
+      assert(rep(b)._1 == rows.length)
+      assert(rep(b)._2 == rows.map(_.getAs[Long]("n_shared")).max)
+    }
+  }
+
   // -- d19 cross-source redundancy ---------------------------------------------------
 
   test("d19: a cross-source near-dup pair lands in the unordered " +
