@@ -739,20 +739,37 @@ object Extended {
     * the data?). Uses the rank identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n
     * over spend ranked ascending: spends are exact DECIMAL sums, the
     * rank·spend products accumulate in DECIMAL (order-proof), and the
-    * closing arithmetic runs once, oracle-mirrored. The ranking window
-    * runs over the PRE-AGGREGATED per-customer table (q59's posture —
-    * |customers| rows, never raw line items); ties order by custkey so
-    * the rank — and therefore the statistic — is total-order stable.
+    * closing arithmetic runs once, oracle-mirrored. The global rank is
+    * q82's two-pass percentile-cut machinery on the spend axis (bucket
+    * counts + broadcast offsets + bin-local windows, state ~n/B per
+    * task) — customers number in the billions at warehouse scale, so a
+    * single-partition ORDER BY window here would be the q44
+    * anti-pattern; the (spend, custkey) total order makes the two-pass
+    * rank identical to the window form, which is what the oracle runs.
     */
   def q90Gini(s: SparkSession, dir: String): DataFrame = {
     val per = t(s, dir, "orders")
       .select(col("o_custkey"),
         col("o_totalprice").cast("decimal(18,2)").as("v"))
       .groupBy("o_custkey").agg(sum(col("v")).as("spend"))
-    val w = Window.orderBy(col("spend"), col("o_custkey"))
-    val ranked = per.select(col("o_custkey"), col("spend"),
-      row_number().over(w).cast(LongType).as("rk"))
-    ranked.agg(count(lit(1)).cast(LongType).as("n_customers"),
+    val bounds = per.agg(min(col("spend")).as("lo"),
+      max(col("spend")).as("hi"))
+    val binned = per.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(RankBuckets - 1L),
+            floor((col("spend") - col("lo")).cast("double") /
+              ((col("hi") - col("lo")).cast("double") / RankBuckets)))))
+    val offs = binned.groupBy("bin").agg(count(lit(1)).as("bc"))
+      .withColumn("off",
+        sum(col("bc")).over(Window.orderBy("bin")) - col("bc"))
+      .select(col("bin"), col("off"))
+    val wLocal = Window.partitionBy("bin")
+      .orderBy(col("spend"), col("o_custkey"))
+    val rk = (col("off") + row_number().over(wLocal)).cast(LongType)
+    binned.join(broadcast(offs), Seq("bin"))
+      .select(col("spend"), rk.as("rk"))
+      .agg(count(lit(1)).cast(LongType).as("n_customers"),
         sum(col("spend")).as("dts"),
         sum(col("spend") * col("rk")).as("drs"))
       .select(col("n_customers"),
