@@ -469,6 +469,39 @@ class StatsReportsSpec extends SparkSpec {
     }
   }
 
+  // -- plan-shape pins (the 100 TB posture of the round's queries) -----------
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q88 plan: no join anywhere (pairs expand array-side) and the " +
+      "fact table shuffles on the part key only") {
+    val p = plan(Extended.q88TheilSen(spark, sfDir))
+    assert(!p.contains("Join"), s"q88 must not plan a join:\n$p")
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 2, s"q88 plans $shuffles key exchanges:\n$p")
+  }
+
+  test("q90 plan: no unpartitioned window over the per-customer table " +
+      "(the only global window ranks the 64-row bin-offset table)") {
+    val p = plan(graft.queries.Extended.q90Gini(spark, sfDir))
+    // bin-local rank windows carry a partition spec; the offs window
+    // is global but runs over <= RankBuckets rows. Assert every Window
+    // node either partitions by bin or consumes the bin-count aggregate.
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty)
+    val globalWins = winLines.filterNot(_.contains("bin#"))
+    assert(globalWins.isEmpty,
+      s"window without bin partitioning/input:\n${globalWins.mkString("\n")}")
+  }
+
+  test("s23 plan: no join, no sort — one signature map + the bounded-heap " +
+      "aggregate per bucket") {
+    val p = plan(graft.llm.Similarity.bucketCapSample(spark, sfDir))
+    assert(!p.contains("Join"), s"s23 must not plan a join:\n$p")
+    assert(!p.contains("Sort "), s"s23 must not plan a sort:\n$p")
+  }
+
   // -- m6 media clusters --------------------------------------------------------
 
   test("m6: an exact copy and a one-slice edit collapse into one cluster " +
