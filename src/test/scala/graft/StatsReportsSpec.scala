@@ -63,6 +63,35 @@ class StatsReportsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("z") - z) < 1e-5)
   }
 
+  test("q85: property — doubled-rank-sum algebra equals the averaged-rank " +
+      "construction on random samples of every tie shape") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a coarse value grid forces heavy within- and cross-group ties;
+    // sizes stay small so each case is one tiny Spark job
+    val sampleGen = for {
+      na <- Gen.choose(2, 40)
+      nb <- Gen.choose(2, 40)
+      as <- Gen.listOfN(na, Gen.choose(0, 6))
+      bs <- Gen.listOfN(nb, Gen.choose(0, 6))
+    } yield (as.map(_ * 100.0 + 1000), bs.map(_ * 100.0 + 1000))
+    val prop = Prop.forAll(sampleGen) { case (as, bs) =>
+      val dir = tmpDir("mwp")
+      (as.map(("O", _)) ++ bs.map(("F", _))).zipWithIndex
+        .map { case ((st, v), i) => (i.toLong, st, v) }
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val got = Extended.q85MannWhitney(spark, dir).collect().head
+      val (u1, u2, z) = bruteMw(as, bs)
+      math.abs(got.getAs[Double]("u1") - u1) < 1e-6 &&
+        math.abs(got.getAs[Double]("u2") - u2) < 1e-6 &&
+        (z.isNaN && got.getAs[Double]("z").isNaN ||
+          math.abs(got.getAs[Double]("z") - z) < 1e-5)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q85: swapping the group labels swaps U1/U2 and negates z") {
     val dir = tmpDir("mwswap")
     val rows = (0 until 200).map { i =>
