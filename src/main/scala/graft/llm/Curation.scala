@@ -37,42 +37,62 @@ object Curation {
     * predictions never agree), deduplicated on the canonical-form
     * fingerprint keeping the smallest doc_id.
     */
-  def curateOf(docs: DataFrame): DataFrame = {
-    graft.functions.SetFunctions.register(docs.sparkSession)
-    val tk = TextAnalysis.tokens(col("text"))
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+  /** The c1 per-doc score columns over a frame carrying tokenized `t`
+    * — exposed so the composed pipeline's stage A can compute them in
+    * the same scan projection as the t9 rule metrics.
+    */
+  private[llm] def curateScoreCols(): Seq[Column] =
+    Seq(size(col("t")).cast(LongType).as("n_tokens"),
+      // native count_in_set: hash probe per token in codegen (the
+      // filter-lambda form pays interpreted eval × linear scans)
+      round(graft.functions.SetFunctions
+        .countInSet(col("t"), TextAnalysis.stopwords)
+        / size(col("t")).cast("double"), 4).as("stop_ratio"),
+      round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
+        .as("diversity")) ++
+      TextAnalysis.langMarkers.map { case (l, ms) =>
+        size(array_intersect(array_distinct(col("t")), array(ms.map(lit): _*)))
+          .cast(LongType).as(s"s_$l")
+      }
 
-    val scored = docs
-      .select(col("doc_id"), col("lang"), tk.as("t"), md5(norm).as("fp"))
-      .select(
-        (Seq(col("doc_id"), col("lang"), col("fp"),
-          size(col("t")).cast(LongType).as("n_tokens"),
-          // native count_in_set: hash probe per token in codegen (the
-          // filter-lambda form pays interpreted eval × linear scans)
-          round(graft.functions.SetFunctions
-            .countInSet(col("t"), TextAnalysis.stopwords)
-            / size(col("t")).cast("double"), 4).as("stop_ratio"),
-          round(size(array_distinct(col("t"))) / size(col("t")).cast("double"), 4)
-            .as("diversity")) ++
-          TextAnalysis.langMarkers.map { case (l, ms) =>
-            size(array_intersect(array_distinct(col("t")), array(ms.map(lit): _*)))
-              .cast(LongType).as(s"s_$l")
-          }): _*)
-      .withColumn("quality",
-        round(lit(0.6) * col("diversity")
-          + lit(0.4) * (lit(1.0) - abs(col("stop_ratio") - lit(0.4))), 4))
+  /** The composite quality score over [[curateScoreCols]] outputs. */
+  private[llm] def curateQualityCol: Column =
+    round(lit(0.6) * col("diversity")
+      + lit(0.4) * (lit(1.0) - abs(col("stop_ratio") - lit(0.4))), 4)
 
+  /** Marker-argmax predicted language over the s_<lang> columns. */
+  private[llm] def curatePredLangCol: Column = {
     val best = TextAnalysis.langMarkers.map(m => col(s"s_${m._1}"))
       .reduce(greatest(_, _))
-    val pred = TextAnalysis.langMarkers.foldRight(lit("und")) {
+    TextAnalysis.langMarkers.foldRight(lit("und")) {
       case ((l, _), acc) => when(col(s"s_$l") === best && best > 0, lit(l))
         .otherwise(acc)
     }
+  }
+
+  /** The c1 keep condition over quality/n_tokens/pred_lang columns. */
+  private[llm] def curateKeepCond: Column =
+    col("quality") >= MinQuality && col("n_tokens") >= MinTokens &&
+      col("pred_lang") === col("lang")
+
+  /** The canonical-form fingerprint the c1 dedup elects winners on. */
+  private[llm] def curateFpCol: Column =
+    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+
+  def curateOf(docs: DataFrame): DataFrame = {
+    graft.functions.SetFunctions.register(docs.sparkSession)
+    val tk = TextAnalysis.tokens(col("text"))
+
+    val scored = docs
+      .select(col("doc_id"), col("lang"), tk.as("t"), curateFpCol.as("fp"))
+      .select(
+        (Seq(col("doc_id"), col("lang"), col("fp")) ++
+          curateScoreCols()): _*)
+      .withColumn("quality", curateQualityCol)
 
     val kept = scored
-      .withColumn("pred_lang", pred)
-      .filter(col("quality") >= MinQuality && col("n_tokens") >= MinTokens
-        && col("pred_lang") === col("lang"))
+      .withColumn("pred_lang", curatePredLangCol)
+      .filter(curateKeepCond)
 
     val w = Window.partitionBy("fp").orderBy("doc_id")
     kept
@@ -567,15 +587,37 @@ object Curation {
     */
   def curateFullStaged(s: SparkSession, dir: String, budget: Long,
       boundary: (String, DataFrame) => DataFrame): DataFrame = {
+    graft.functions.SetFunctions.register(s)
     val docs = Tables.load(s, dir, "documents")
     val repViolators = TextAnalysis.repetitionStatsOf(docs)
       .filter((col("n") === 2 && col("top_share") > MaxTopShare2) ||
         (col("n") === 3 && col("top_share") > MaxTopShare3))
       .select("doc_id").distinct()
+    // Stage A's two per-doc gates (t9 rules ∧ c1 curation) fuse into
+    // ONE scan: every signal both need — rule metrics, score columns,
+    // the canonical fingerprint — comes out of a single projection
+    // (one tokenization), and the intersection rides the c1 dedup
+    // window as a trailing filter (the rules flag doesn't influence
+    // the winner election, so it must be applied AFTER rk = 1 — the
+    // same set the old two-semi-join form produced, now with one scan
+    // and one join fewer; the c8/c19 oracles hash-pin the equality).
+    val signals = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokens(col("text")).as("t"),
+        split(col("text"), "\n").as("lines"), curateFpCol.as("fp"))
+      .select((Seq(col("doc_id"), col("lang"), col("fp")) ++
+        TextAnalysis.ruleMetricCols() ++ curateScoreCols()): _*)
+      .withColumn("pass", TextAnalysis.rulePassCol)
+      .withColumn("quality", curateQualityCol)
+      .withColumn("pred_lang", curatePredLangCol)
+    val aIds = signals
+      .filter(curateKeepCond)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") === 1 && col("pass") === 1)
+      .select("doc_id")
     val a = boundary("a_rules", docs
-      .join(TextAnalysis.qualityRulesOf(docs)
-        .filter(col("pass") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
-      .join(curateOf(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(aIds, Seq("doc_id"), "left_semi")
       .join(repViolators, Seq("doc_id"), "left_anti"))
     val bench = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text"))

@@ -107,8 +107,13 @@ object TextAnalysis {
     * One narrow projection, no shuffle — string counts via
     * length-difference (no regex), line metrics via split + HOFs.
     */
-  def qualityRulesOf(docs: DataFrame): DataFrame = {
-    val tk = tokens(col("text"))
+  /** The five t9 rule metrics as named columns over a frame carrying
+    * `text`, tokenized `t`, and newline-split `lines` — exposed so the
+    * composed pipeline (c8 stage A) can compute them in the SAME scan
+    * projection as the curation signals instead of re-reading and
+    * re-tokenizing the corpus.
+    */
+  private[llm] def ruleMetricCols(): Seq[Column] = {
     val nWords = size(col("t")).cast("double")
     val hashes = (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
       .cast("double")
@@ -117,25 +122,33 @@ object TextAnalysis {
     val bulletLed = size(filter(col("lines"), l =>
       ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
         ltrim(l).startsWith("•")))
+    Seq(
+      // same codegen identity as t1: Σ len(word) = chars after
+      // stripping all whitespace — no interpreted per-token lambda
+      round(char_length(regexp_replace(col("text"), "\\s+", ""))
+        .cast("double") / nWords, 4).as("mean_word_len"),
+      round(bulletLed / size(col("lines")).cast("double"), 4)
+        .as("bullet_frac"),
+      round(hashes / nWords, 4).as("hash_ratio"),
+      round(ellipses / nWords, 4).as("ellipsis_ratio"),
+      round(lit(1.0) - size(array_distinct(col("lines")))
+        / size(col("lines")).cast("double"), 4).as("dup_line_frac"))
+  }
+
+  /** The t9 composite pass flag over [[ruleMetricCols]]'s outputs. */
+  private[llm] def rulePassCol: Column =
+    (col("mean_word_len").between(3.0, 10.0) &&
+      col("bullet_frac") <= 0.9 && col("hash_ratio") <= 0.1 &&
+      col("ellipsis_ratio") <= 0.3 && col("dup_line_frac") <= 0.3)
+      .cast("int")
+
+  def qualityRulesOf(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
     docs
       .select(col("doc_id"), col("text"), tk.as("t"),
         split(col("text"), "\n").as("lines"))
-      .select(col("doc_id"),
-        // same codegen identity as t1: Σ len(word) = chars after
-        // stripping all whitespace — no interpreted per-token lambda
-        round(char_length(regexp_replace(col("text"), "\\s+", ""))
-          .cast("double") / nWords, 4).as("mean_word_len"),
-        round(bulletLed / size(col("lines")).cast("double"), 4)
-          .as("bullet_frac"),
-        round(hashes / nWords, 4).as("hash_ratio"),
-        round(ellipses / nWords, 4).as("ellipsis_ratio"),
-        round(lit(1.0) - size(array_distinct(col("lines")))
-          / size(col("lines")).cast("double"), 4).as("dup_line_frac"))
-      .withColumn("pass",
-        (col("mean_word_len").between(3.0, 10.0) &&
-          col("bullet_frac") <= 0.9 && col("hash_ratio") <= 0.1 &&
-          col("ellipsis_ratio") <= 0.3 && col("dup_line_frac") <= 0.3)
-          .cast("int"))
+      .select(col("doc_id") +: ruleMetricCols(): _*)
+      .withColumn("pass", rulePassCol)
   }
 
   def qualityRules(s: SparkSession, dir: String): DataFrame =
