@@ -319,9 +319,9 @@ object Bench {
             .toMap.filter(kv => kv._1 == name)
         }
       } catch { case _: Throwable => Map.empty }
-    val resultsFresh: Map[String, Double] =
-      if (stillDirty.isEmpty || args.nonEmpty) Map.empty
-      else stillDirty.flatMap(freshJvmRun).toMap
+    // resultsFresh is DEFERRED until after the recall block: the
+    // children deserve a quiet box, so the parent session is torn down
+    // first (see below).
     // ANN quality, machine-tracked like timing and plans. Truth is
     // chosen per query for a MEANINGFUL number: s4 (KMeans IVF) and s6
     // (hyperplane LSH) recall against the exact brute-force top-k —
@@ -381,6 +381,22 @@ object Bench {
           name -> (math.round(t.intersect(got).size.toDouble / t.size * 1000) / 1000.0)
         }.toMap
       } catch { case _: Throwable => Map.empty }
+    // The fresh-JVM tier runs LAST, on a torn-down box: the recall
+    // block above was the parent session's final consumer, so the
+    // parent's executors/heap release BEFORE the children spawn — a
+    // child measured under the parent's residual footprint is not the
+    // reference environment (r12: a child's c8 median read 7.9 s next
+    // to a live 190-query parent vs 5.3 s on an idle box; everything
+    // downstream of here is pure JSON assembly).
+    val resultsFresh: Map[String, Double] =
+      if (stillDirty.isEmpty || args.nonEmpty) Map.empty
+      else {
+        releaseState()
+        spark.stop()
+        System.gc()
+        Thread.sleep(500)
+        stillDirty.flatMap(freshJvmRun).toMap
+      }
     // fingerprint drift gate: diff v1 fingerprints against the newest
     // driver artifact BENCH_r{N}.json (v1-hashed through round 6) and
     // v2 against the committed BENCH_DETAIL.json sidecar — a query is
