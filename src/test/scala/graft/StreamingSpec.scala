@@ -787,4 +787,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("nd_bands").count() == b1 &&
       spark.table("nd_hsets").count() == h1, "replay grew the indexes")
   }
+
+  test("continuous Benford monitoring: a conforming batch scores a tiny " +
+      "chi2, a single-digit batch blows it up, replays are byte-stable") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_benford")
+      .toString
+    // batch 0: amounts drawn FROM the Benford shape (frequency of
+    // digit d proportional to log10(1+1/d)) — chi2 near zero
+    val conforming = (1 to 9).flatMap { d =>
+      val n = math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt
+      (0 until n).map(i => d * 100.0 + i * 0.01)
+    }
+    val mem = MemoryStream[Double]
+    val q = graft.streaming.IngestBenford.run(
+      mem.toDF().select(col("value").as("amount")),
+      s"$base/out", s"$base/ck")
+    try { mem.addData(conforming: _*); q.processAllAvailable() }
+    finally q.stop()
+    val b0 = spark.read.parquet(s"$base/out/batch_id=0").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Double]("share"), r.getAs[Double]("chi2"))).toMap
+    assert(b0.keySet == (1 to 9).toSet)
+    (1 to 9).foreach { d =>
+      assert(math.abs(b0(d)._1 - math.log10(1.0 + 1.0 / d)) < 2e-3,
+        s"digit $d share ${b0(d)._1}")
+    }
+    assert(b0.values.map(_._2).sum < 1.0, "conforming batch flagged")
+    // batch 1 through the SAME processBatch entry: every amount leads
+    // with digit 7 — the injected-synthetic-rows signature
+    val spam = (0 until 500).map(i => 7000.0 + i).toDF("amount")
+    graft.streaming.IngestBenford.processBatch(spam, 1L, s"$base/out")
+    def b1() = spark.read.parquet(s"$base/out/batch_id=1").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Double]("chi2")).toMap
+    val first = b1()
+    assert(first.keySet == Set(7))
+    // all mass on one digit: chi2 contribution (n - n*p)^2/(n*p) with
+    // p = log10(8/7) ~ 0.058 -> ~ n * (1-p)^2/p ~ 7660
+    assert(first(7) > 5000, s"single-digit batch chi2 ${first(7)}")
+    // crash-replay: identical recompute, identical directory
+    graft.streaming.IngestBenford.processBatch(spam, 1L, s"$base/out")
+    assert(b1() == first, "replay diverged")
+  }
 }
