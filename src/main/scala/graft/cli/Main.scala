@@ -34,6 +34,7 @@ import graft.viz.VizQueries
   *   graft.cli.Main ingest init-drift <corpusDir> <baselineDir>   // per-dim mean table
   *   graft.cli.Main ingest drift <watchDir> <baselineDir> <outDir> <ckDir>
   *   graft.cli.Main ingest ann   <watchDir> <lshIndexDir> <ckDir>
+  *   graft.cli.Main ingest benford <watchDir> <outDir> <ckDir>   // first-digit χ² feed
   *   graft.cli.Main ingest cms   <watchDir> <sketchDir> <ckDir>  // live CMS
   *   graft.cli.Main ingest kmv   <watchDir> <sketchDir> <ckDir>  // live KMV
   *   graft.cli.Main lm train <tableDir> <modelDir>   // persisted bigram LM
@@ -329,6 +330,14 @@ object Main {
       val q = graft.streaming.IngestDrift.run(
         spark.readStream.schema(Sources.parquet(spark, watch).schema)
           .parquet(watch), baseline, out, ck)
+      try q.processAllAvailable() finally q.stop()
+    // `benford`: continuous first-digit monitoring of an amounts feed
+    // (q86's streaming twin — the expectation is arithmetic, no
+    // baseline artifact)
+    case Seq("ingest", "benford", watch, out, ck) =>
+      val q = graft.streaming.IngestBenford.run(
+        spark.readStream.schema(Sources.parquet(spark, watch).schema)
+          .parquet(watch), out, ck)
       try q.processAllAvailable() finally q.stop()
     case Seq("ingest", "ann", watch, idx, ck) =>
       val q = graft.streaming.IngestAnn.run(

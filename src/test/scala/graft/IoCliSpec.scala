@@ -523,4 +523,23 @@ class IoCliSpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(merged.toSeq == oneShot)
   }
+
+  test("cli ingest benford: the drained batch's digit report equals the " +
+      "q86 audit over the same amounts") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_benfordcli").toString
+    val amounts = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_extendedprice").as("amount"))
+    new java.io.File(s"$dir/watch").mkdirs()
+    amounts.write.mode("append").parquet(s"$dir/watch")
+    graft.cli.Main.run(spark,
+      Seq("ingest", "benford", s"$dir/watch", s"$dir/out", s"$dir/ck"))
+    val got = spark.read.parquet(s"$dir/out/batch_id=0").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("chi2"))).toMap
+    val q86 = graft.queries.Extended.q86Benford(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("chi2"))).toMap
+    assert(got == q86, "streaming report diverges from the batch audit")
+  }
 }
