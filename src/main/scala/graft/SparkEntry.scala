@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` aggregates every implemented operator family's query
-  * inventory; `oracleSql` carries the DuckDB-equivalent SQL for each
-  * (omitted for RNG-dependent / non-SQL-expressible ops, which get a
-  * rows-only check PLUS a statistical envelope verdict emitted by
-  * [[Verify]] into `envelope.json` — see [[graft.tools.Envelopes]]).
+  * inventory; `oracleSql` carries the DuckDB-equivalent SQL for each.
+  * RNG-dependent / non-SQL-expressible ops register envelope VERDICT
+  * faces (deterministic bounds + 0/1 pass flags, hash-gated like any
+  * other oracle row — see [[graft.tools.Envelopes]]); their measured
+  * values additionally land in `envelope.json` via [[Verify]].
   */
 object SparkEntry {
 
@@ -38,5 +39,8 @@ object SparkEntry {
       graft.llm.Curation.oracleSql ++
       graft.llm.LanguageModel.oracleSql ++
       graft.llm.Multimodal.oracleSql ++
-      graft.ops.Maintenance.oracleSql
+      graft.ops.Maintenance.oracleSql ++
+      // r13: the five formerly rows-only queries now register envelope
+      // VERDICT faces with real DuckDB oracles (no `no_oracle` rows)
+      graft.tools.Envelopes.oracleSql
 }

@@ -343,9 +343,14 @@ object Curation {
     * n_chars) — never text — and the weight table stays |sources| rows.
     */
   def mixWeightsDedupAware(s: SparkSession, dir: String): DataFrame = {
+    // null-text docs carry no content to dedup on: md5(NULL) is NULL,
+    // and a bare PARTITION BY fp would collapse ALL of them into one
+    // "duplicate" group (ADVICE r12) — each gets its own singleton
+    // fingerprint instead, passing through at full volume
     val uniq = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"),
-        md5(col("text")).as("fp"))
+        coalesce(md5(col("text")),
+          concat(lit("null:"), col("doc_id").cast("string"))).as("fp"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .filter(col("rk") === 1)
@@ -1169,7 +1174,13 @@ object Curation {
     "c16_mix_waterfill" -> mixWaterfill _,
     "c14_dsir_weights" -> dsirWeights _,
     "c15_dsir_select" -> dsirSelect _,
-    "c12_quality_model" -> qualityClassifierScores _,
+    // verdict face (r13): the distributed GBT fit is float-order
+    // sensitive, so the registered query emits the acc/AUC envelope
+    // verdict (deterministic doc count + floors + 0/1 flags) hash-gated
+    // by a real DuckDB oracle; the per-doc scores stay exercised inside
+    // the verdict and in CurationModelSpec.
+    "c12_quality_model" -> ((s: SparkSession, dir: String) =>
+      graft.tools.Envelopes.c12Verdict(s, dir)),
     "c10_enrich_asof" -> enrichFreshness _,
     "c8_curate_full" -> ((s: SparkSession, dir: String) => curateFull(s, dir)),
     "c1_curate" -> curate _,
@@ -1432,11 +1443,14 @@ object Curation {
          |    AS mean_shared
          |FROM hits GROUP BY bench_id""".stripMargin,
     // c21: d1's md5 winner election + c3's weight arithmetic over the
-    // surviving volume; the window normalization mirrors c3's oracle
+    // surviving volume; the window normalization mirrors c3's oracle.
+    // null-text docs get singleton fingerprints (full pass-through) —
+    // same coalesce as the Spark side
     "c21_mix_dedup_aware" ->
       """WITH uniq AS (SELECT source, n_chars FROM (
         |    SELECT source, n_chars, row_number() OVER (
-        |      PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |      PARTITION BY coalesce(md5(text),
+        |        'null:' || CAST(doc_id AS VARCHAR)) ORDER BY doc_id) AS rk
         |    FROM documents)
         |  WHERE rk = 1),
         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_eff,

@@ -205,11 +205,22 @@ object Multimodal {
     * batched like [[decodeFeatures]].
     */
   def processedFeatures(s: SparkSession, dir: String, maxSide: Int = 32,
+      everyK: Int = 5): Dataset[(MediaFeatures, Seq[Int])] =
+    processedFeaturesOf(mediaTable(s, dir), maxSide, everyK)
+
+  /** The m2 chain over ANY media frame — the spec drives it with real
+    * PNG payloads so the resize arithmetic is exercised on true
+    * decoded geometry, not just the stub's.
+    */
+  def processedFeaturesOf(media: Dataset[MediaRow], maxSide: Int = 32,
       everyK: Int = 5): Dataset[(MediaFeatures, Seq[Int])] = {
-    import s.implicits._
-    decodeFeatures(s, dir).mapPartitions(_.map { f =>
-      val r = stubResize(f, maxSide)
-      (r, stubSampleFrames(r, everyK))
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val d = decodeImage(r)
+      val f = MediaFeatures(d.media_id, d.kind, d.width, d.height,
+        d.n_frames, d.checksum)
+      val rs = stubResize(f, maxSide)
+      (rs, stubSampleFrames(rs, everyK))
     })
   }
 

@@ -243,13 +243,23 @@ object Maintenance {
     * semantic definition the sink must converge to: window-latest per
     * key over the unioned batches.
     */
-  def q60CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+  /** q60's two deterministic change batches (full v1 snapshot, v2
+    * updates for even keys) — shared by the gated query and the
+    * bench's phase-timed split so they cannot drift.
+    */
+  private def q60Batches(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
     val b1 = docs.withColumn("ver", lit(1L))
     val b2 = docs.filter(col("doc_id") % 2 === 0)
       .withColumn("n_chars", col("n_chars") + 7)
       .withColumn("ver", lit(2L))
+    (b1, b2)
+  }
+
+  def q60CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (b1, b2) = q60Batches(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q60")
       .resolve("t").toString
     graft.streaming.IngestUpsert.processBatch(b1, tmp, Seq("doc_id"), "ver", 8)
@@ -269,17 +279,25 @@ object Maintenance {
     * verbatim. Replay convergence and incremental ≡ batch were
     * previously spec-only contracts; this row hash-gates both.
     */
-  def q61CdcScd2(s: SparkSession, dir: String): DataFrame = {
+  /** q61's two CDC batches (event log split at its temporal midpoint)
+    * — shared by the gated query and the bench's phase-timed split.
+    */
+  private def q61Batches(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"))
     val mid = ev
       .agg((((unix_timestamp(min(col("ts"))) +
         unix_timestamp(max(col("ts")))) / 2).cast("long")).as("m"))
       .head().getLong(0)
+    (ev.filter(unix_timestamp(col("ts")) <= mid),
+      ev.filter(unix_timestamp(col("ts")) > mid))
+  }
+
+  def q61CdcScd2(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q61")
       .resolve("t").toString
-    val b1 = ev.filter(unix_timestamp(col("ts")) <= mid)
-    val b2 = ev.filter(unix_timestamp(col("ts")) > mid)
+    val (b1, b2) = q61Batches(s, dir)
     graft.streaming.IngestScd2.processBatch(b1, tmp, Seq("user_id"), "ts", 8)
     graft.streaming.IngestScd2.processBatch(b2, tmp, Seq("user_id"), "ts", 8)
     // replay: convergent, so the final dimension is unchanged
@@ -289,6 +307,46 @@ object Maintenance {
         unix_timestamp(col("valid_from")).as("valid_from_s"),
         unix_timestamp(col("valid_to")).as("valid_to_s"),
         col("is_current"))
+  }
+
+  /** Phase-timed CDC apply for the bench artifact (VERDICT r12 ask
+    * #5): the q60/q61 gated queries replay bootstrap + apply + replay
+    * in one opaque number, which reads as a 5× "regression" next to
+    * the amortized in-suite figure. This runs the SAME batches through
+    * the SAME sinks but times each phase separately — `bootstrap` is
+    * the one-time table-creation write, `apply` the steady per-batch
+    * cost a production stream pays per trigger, `replay` the
+    * idempotent re-apply (reads the table, rewrites touched buckets).
+    * Returns (bootstrap_sec, apply_sec, replay_sec).
+    */
+  def cdcPhaseTimings(s: SparkSession, dir: String,
+      scd2: Boolean): (Double, Double, Double) = {
+    def tm(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    if (scd2) {
+      val (b1, b2) = q61Batches(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q61")
+        .resolve("t").toString
+      val boot = tm(graft.streaming.IngestScd2
+        .processBatch(b1, tmp, Seq("user_id"), "ts", 8))
+      val ap = tm(graft.streaming.IngestScd2
+        .processBatch(b2, tmp, Seq("user_id"), "ts", 8))
+      val rp = tm(graft.streaming.IngestScd2
+        .processBatch(b2, tmp, Seq("user_id"), "ts", 8))
+      (boot, ap, rp)
+    } else {
+      val (b1, b2) = q60Batches(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q60")
+        .resolve("t").toString
+      val boot = tm(graft.streaming.IngestUpsert
+        .processBatch(b1, tmp, Seq("doc_id"), "ver", 8))
+      val ap = tm(graft.streaming.IngestUpsert
+        .processBatch(b2, tmp, Seq("doc_id"), "ver", 8))
+      val rp = tm(graft.streaming.IngestUpsert
+        .processBatch(b2, tmp, Seq("doc_id"), "ver", 8))
+      (boot, ap, rp)
+    }
   }
 
   /** q62 — incremental JOIN-view maintenance, the join analogue of

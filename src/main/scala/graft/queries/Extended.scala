@@ -1905,8 +1905,14 @@ object Extended {
     "q38_profile"        -> q38Profile _,
     "q37_range_join"     -> q37RangeJoin _,
     "q43_range_join_binned" -> q43RangeJoinBinned _,
-    "q35_approx_stats"   -> q35ApproxStats _,
-    "q36_stratified"     -> q36StratifiedSample _,
+    // verdict faces (r13): sketch internals / sampleBy RNG are
+    // engine-specific, so the registered queries emit deterministic
+    // envelope verdicts (exact counts + 0/1 flags) hash-gated by real
+    // DuckDB oracles; the raw operators run inside the verdicts.
+    "q35_approx_stats"   -> ((s: SparkSession, d: String) =>
+      graft.tools.Envelopes.q35Verdict(s, d)),
+    "q36_stratified"     -> ((s: SparkSession, d: String) =>
+      graft.tools.Envelopes.q36Verdict(s, d)),
     "q48_hash_sample"    -> q48HashSample _,
     "q49_stratified_hash" -> q49StratifiedHash _,
     "q54_pagerank"       -> q54PageRank _,

@@ -55,8 +55,15 @@ object IngestBenford {
     * downstream alerting sums the contributions for the batch χ².
     */
   def processBatch(batch: DataFrame, id: Long, outPath: String): Unit = {
-    if (batch.isEmpty) return
-    val d = digitCounts(batch)
+    // materialize the ≤ 9-row histogram ONCE and gate on it — a
+    // batch.isEmpty pre-check costs an extra Spark job per micro-batch
+    // and still lets an all-nonpositive batch through to write an
+    // empty batch_id=N directory (ADVICE r12)
+    val d0 = digitCounts(batch)
+    val hist = d0.collect()
+    if (hist.isEmpty) return
+    val d = batch.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hist: _*), d0.schema)
     val tot = d.agg(sum(col("n")).cast(LongType).as("total"))
     val bp = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
     val expn = col("total").cast("double") * bp

@@ -1,117 +1,271 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-/** Machine-checkable envelope verdicts for the queries that are
-  * rows-only by declared design (VERDICT r11 ask #5): their
-  * correctness is statistical (RNG samples, sketch bounds, recall and
-  * metric floors), so instead of a DuckDB hash compare the verify run
-  * computes each query's declared envelope ON THE VERIFY SF and emits
-  * pass/fail into the artifact next to the oracle results. The same
-  * envelopes are pinned harder (fixture corpora, tighter tolerances)
-  * in ScalaTest; this module exists so the correctness artifact is
-  * auditable without reading test code.
+import graft.core.Tables
+
+/** Statistical-envelope verdicts for the queries whose raw outputs are
+  * non-oracle-able by declared design (RNG samples, sketch internals,
+  * float-order-sensitive model fits).
+  *
+  * Round 13 (VERDICT r12 ask #2): the verdicts are no longer a side
+  * artifact — each of the five queries' `SparkEntry.queries` face IS
+  * the envelope verdict, a DataFrame whose every column is a
+  * DETERMINISTIC function of the input tables *provided the envelope
+  * holds* (exact counts, declared rates/floors, closed-form binomial
+  * bounds, and 0/1 pass flags). Each face carries a real DuckDB oracle
+  * asserting the expected verdict, so the driver's own hash gate
+  * enforces the envelope and `CORRECTNESS_r*.json` has no bare
+  * `no_oracle` rows. The raw operator outputs (the sample itself, the
+  * sketch values, the ANN pairs, the per-doc scores) stay exercised:
+  * the verdict faces *call* them, Bench's recall gate reads the ANN
+  * pairs directly, and the ScalaTest specs pin them on fixtures.
+  *
+  * [[check]] still emits the side `envelope.json` with MEASURED values
+  * (realized sample counts, recall, acc/auc) — detail the hash-gated
+  * verdict rows cannot carry because the measurements are themselves
+  * nondeterministic.
   */
 object Envelopes {
 
-  /** name -> (pass, detail) for every rows-only query. */
+  private def flag(c: Column): Column = c.cast("int")
+
+  // -- q11: seeded Bernoulli(0.01) over lineitem --------------------------
+
+  /** Full q11 frame: measured realized count next to the deterministic
+    * 6-sigma binomial envelope. One row.
+    */
+  def q11Frame(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_total"))
+    val k = graft.queries.Relational.q11Sample(s, dir)
+      .agg(count(lit(1)).as("n_sampled"))
+    val p = lit(0.01)
+    val mu = col("n_total").cast("double") * p
+    val sig = sqrt(col("n_total").cast("double") * p * (lit(1.0) - p))
+    n.crossJoin(k)
+      .withColumn("rate", p)
+      .withColumn("lo", round(mu - lit(6.0) * sig, 4))
+      .withColumn("hi", round(mu + lit(6.0) * sig, 4))
+      .withColumn("within_6sigma",
+        flag(col("n_sampled").cast("double").between(
+          mu - lit(6.0) * sig, mu + lit(6.0) * sig)))
+  }
+
+  /** q11 verdict face: the deterministic columns only. */
+  def q11Verdict(s: SparkSession, dir: String): DataFrame =
+    q11Frame(s, dir).select("n_total", "rate", "lo", "hi", "within_6sigma")
+
+  // -- q36: per-stratum Bernoulli fractions --------------------------------
+
+  /** Declared sampleBy rates (must match q36StratifiedSample). */
+  private val q36Rates: Column =
+    when(col("o_orderstatus") === "O", 0.1)
+      .when(col("o_orderstatus") === "F", 0.05)
+      .otherwise(0.5)
+
+  /** Full q36 frame: per-stratum realized counts + 6-sigma envelopes. */
+  def q36Frame(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_total"))
+    val sampled = graft.queries.Extended.q36StratifiedSample(s, dir)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_sampled"))
+    val mu = col("n_total").cast("double") * col("rate")
+    val sig = sqrt(col("n_total").cast("double") * col("rate")
+      * (lit(1.0) - col("rate")))
+    totals.join(sampled, Seq("o_orderstatus"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .withColumn("rate", q36Rates)
+      .withColumn("lo", round(mu - lit(6.0) * sig, 4))
+      .withColumn("hi", round(mu + lit(6.0) * sig, 4))
+      .withColumn("within_6sigma",
+        flag(col("n_sampled").cast("double").between(
+          mu - lit(6.0) * sig, mu + lit(6.0) * sig)))
+  }
+
+  /** q36 verdict face: per-stratum deterministic columns. */
+  def q36Verdict(s: SparkSession, dir: String): DataFrame =
+    q36Frame(s, dir).select("o_orderstatus", "n_total", "rate",
+      "lo", "hi", "within_6sigma")
+
+  // -- q35: sketch aggregates vs exact -------------------------------------
+
+  /** Full q35 frame: HLL++/GK sketch values next to the exact distinct
+    * and the exact [0.49, 0.51] quantile band. The exact aggregates run
+    * only here, at verify SF — the production operator is the sketch.
+    */
+  def q35Frame(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_exact"),
+        expr("percentile(l_extendedprice, 0.49)").as("p_lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("p_hi"))
+    exact.join(graft.queries.Extended.q35ApproxStats(s, dir), "l_returnflag")
+      .withColumn("nd_within",
+        flag(abs(col("nd_parts") - col("nd_exact"))
+          <= lit(5 * 0.01) * col("nd_exact").cast("double")))
+      .withColumn("p50_within",
+        flag(col("p50_approx").between(col("p_lo"), col("p_hi"))))
+  }
+
+  /** q35 verdict face: flag + exact distinct (itself hash-checkable). */
+  def q35Verdict(s: SparkSession, dir: String): DataFrame =
+    q35Frame(s, dir).select("l_returnflag", "nd_exact",
+      "nd_within", "p50_within")
+
+  // -- s4: KMeans-IVF recall@5 vs exact brute force -------------------------
+
+  /** Full s4 frame: measured recall@5 next to the 0.9 floor. The truth
+    * set (brute-force top-5, deterministic tie-break) and the hit count
+    * stay in-plan — no driver collect.
+    */
+  def s4Frame(s: SparkSession, dir: String): DataFrame = {
+    val truth = graft.llm.Similarity.knnBrute(s, dir)
+      .select(col("q_id"), col("vec_id"))
+    val got = graft.llm.Similarity.knnIvfKmeans(s, dir)
+      .select(col("q_id"), col("vec_id"))
+    val n = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = truth.join(got, Seq("q_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    n.crossJoin(hits)
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+      .withColumn("recall_floor", lit(0.9))
+      .withColumn("recall_ok", flag(col("recall") >= col("recall_floor")))
+  }
+
+  /** s4 verdict face: deterministic truth size + floor + pass flag. */
+  def s4Verdict(s: SparkSession, dir: String): DataFrame =
+    s4Frame(s, dir).select("n_truth", "recall_floor", "recall_ok")
+
+  // -- c12: distilled quality-gate classifier metrics -----------------------
+
+  /** Full c12 frame: measured accuracy and tie-corrected rank AUC of
+    * the GBT quality gate vs its floors. AUC uses the q85 doubled-rank
+    * machinery (avg rank per tied score as exact integers) — one
+    * ordered walk over |distinct scores| rows, not an n² pair join.
+    */
+  def c12Frame(s: SparkSession, dir: String): DataFrame = {
+    val sc = graft.llm.Curation.qualityClassifierScores(s, dir)
+      .localCheckpoint(true)
+    val byScore = sc.groupBy("model_score")
+      .agg(sum(col("gate_label")).cast(LongType).as("ca"),
+        (count(lit(1)) - sum(col("gate_label"))).cast(LongType).as("cb"))
+    val w = Window.orderBy("model_score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byScore
+      .withColumn("tt", col("ca") + col("cb"))
+      .withColumn("cumt", sum(col("ca") + col("cb")).over(w))
+    val agg = ranked.agg(
+      sum(col("ca")).cast(LongType).as("na"),
+      sum(col("cb")).cast(LongType).as("nb"),
+      sum(col("ca") * (lit(2L) * col("cumt") - col("tt") + 1L))
+        .cast(LongType).as("r1x2"))
+    val accDf = sc.agg(
+      count(lit(1)).as("n_docs"),
+      avg((col("model_pass") === col("gate_label")).cast("double")).as("acc"))
+    val u1 = (col("r1x2") - col("na") * (col("na") + 1L)).cast("double") / 2.0
+    accDf.crossJoin(agg)
+      .withColumn("auc",
+        u1 / (col("na").cast("double") * col("nb").cast("double")))
+      .withColumn("acc_floor", lit(0.85))
+      .withColumn("auc_floor", lit(0.9))
+      .withColumn("acc_ok", flag(col("acc") >= col("acc_floor")))
+      .withColumn("auc_ok", flag(col("auc") >= col("auc_floor")))
+  }
+
+  /** c12 verdict face: doc count + floors + pass flags. */
+  def c12Verdict(s: SparkSession, dir: String): DataFrame =
+    c12Frame(s, dir).select("n_docs", "acc_floor", "auc_floor",
+      "acc_ok", "auc_ok")
+
+  /** DuckDB oracles for the verdict faces: every column restated as the
+    * deterministic expectation (exact counts and closed-form bounds
+    * computed by DuckDB itself; pass flags asserted 1).
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q11_sample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(0.01 AS DOUBLE) AS rate,
+        | round(CAST(count(*) AS DOUBLE)*CAST(0.01 AS DOUBLE)
+        |   - 6*sqrt(CAST(count(*) AS DOUBLE)*CAST(0.01 AS DOUBLE)
+        |     *CAST(0.99 AS DOUBLE)), 4) AS lo,
+        | round(CAST(count(*) AS DOUBLE)*CAST(0.01 AS DOUBLE)
+        |   + 6*sqrt(CAST(count(*) AS DOUBLE)*CAST(0.01 AS DOUBLE)
+        |     *CAST(0.99 AS DOUBLE)), 4) AS hi,
+        | CAST(1 AS INTEGER) AS within_6sigma
+        |FROM lineitem""".stripMargin,
+    "q36_stratified" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(CASE o_orderstatus WHEN 'O' THEN 0.1 WHEN 'F' THEN 0.05
+        |   ELSE 0.5 END AS DOUBLE) AS rate,
+        | round(CAST(count(*) AS DOUBLE)*rate
+        |   - 6*sqrt(CAST(count(*) AS DOUBLE)*rate*(1-rate)), 4) AS lo,
+        | round(CAST(count(*) AS DOUBLE)*rate
+        |   + 6*sqrt(CAST(count(*) AS DOUBLE)*rate*(1-rate)), 4) AS hi,
+        | CAST(1 AS INTEGER) AS within_6sigma
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q35_approx_stats" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+        | CAST(1 AS INTEGER) AS nd_within,
+        | CAST(1 AS INTEGER) AS p50_within
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "s4_knn_ivf_kmeans" ->
+      """SELECT CAST(5*count(*) AS BIGINT) AS n_truth,
+        | CAST(0.9 AS DOUBLE) AS recall_floor,
+        | CAST(1 AS INTEGER) AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "c12_quality_model" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(0.85 AS DOUBLE) AS acc_floor,
+        | CAST(0.9 AS DOUBLE) AS auc_floor,
+        | CAST(1 AS INTEGER) AS acc_ok,
+        | CAST(1 AS INTEGER) AS auc_ok
+        |FROM documents""".stripMargin)
+
+  /** name -> (pass, detail) with the MEASURED values, for the side
+    * `envelope.json` (and the smoke spec's envelope gate).
+    */
   def check(spark: SparkSession, sfDir: String): Seq[(String, Boolean, String)] =
-    Seq(
-      "q11_sample" -> q11(spark, sfDir) _,
-      "q36_stratified" -> q36(spark, sfDir) _,
-      "q35_approx_stats" -> q35(spark, sfDir) _,
-      "s4_knn_ivf_kmeans" -> s4(spark, sfDir) _,
-      "c12_quality_model" -> c12(spark, sfDir) _
+    Seq[(String, () => (Boolean, String))](
+      "q11_sample" -> (() => {
+        val r = q11Frame(spark, sfDir).head()
+        (r.getAs[Int]("within_6sigma") == 1,
+          f"rows=${r.getAs[Long]("n_sampled")} in [${r.getAs[Double]("lo")}%.1f, ${r.getAs[Double]("hi")}%.1f] (6 sigma)")
+      }),
+      "q36_stratified" -> (() => {
+        val rows = q36Frame(spark, sfDir).collect()
+          .sortBy(_.getAs[String]("o_orderstatus"))
+        (rows.forall(_.getAs[Int]("within_6sigma") == 1),
+          rows.map(r => f"${r.getAs[String]("o_orderstatus")}:${r.getAs[Long]("n_sampled")} in [${r.getAs[Double]("lo")}%.1f, ${r.getAs[Double]("hi")}%.1f]")
+            .mkString(" "))
+      }),
+      "q35_approx_stats" -> (() => {
+        val rows = q35Frame(spark, sfDir).collect()
+          .sortBy(_.getAs[String]("l_returnflag"))
+        (rows.forall(r => r.getAs[Int]("nd_within") == 1
+            && r.getAs[Int]("p50_within") == 1),
+          rows.map(r => f"${r.getAs[String]("l_returnflag")}:nd=${r.getAs[Long]("nd_parts")}/${r.getAs[Long]("nd_exact")} p50=${r.getAs[Double]("p50_approx")}%.2f∈[${r.getAs[Double]("p_lo")}%.2f,${r.getAs[Double]("p_hi")}%.2f]")
+            .mkString(" "))
+      }),
+      "s4_knn_ivf_kmeans" -> (() => {
+        val r = s4Frame(spark, sfDir).head()
+        (r.getAs[Int]("recall_ok") == 1,
+          f"recall@5=${r.getAs[Double]("recall")}%.3f floor=0.9")
+      }),
+      "c12_quality_model" -> (() => {
+        val r = c12Frame(spark, sfDir).head()
+        (r.getAs[Int]("acc_ok") == 1 && r.getAs[Int]("auc_ok") == 1,
+          f"acc=${r.getAs[Double]("acc")}%.3f auc=${r.getAs[Double]("auc")}%.3f floors=0.85/0.9")
+      })
     ).map { case (name, f) =>
-      try { val (ok, detail) = f(()); (name, ok, detail) }
+      try { val (ok, detail) = f(); (name, ok, detail) }
       catch { case e: Throwable =>
         (name, false, s"envelope check crashed: ${e.getMessage}")
       }
     }
-
-  /** q11: seeded Bernoulli(0.01) over lineitem — realized row count
-    * within 6 binomial sigmas of the expectation.
-    */
-  private def q11(spark: SparkSession, sfDir: String)(u: Unit) = {
-    val n = graft.core.Tables.load(spark, sfDir, "lineitem").count()
-    val k = graft.SparkEntry.queries("q11_sample")(spark, sfDir).count()
-    val p = 0.01
-    val tol = 6 * math.sqrt(n * p * (1 - p))
-    (math.abs(k - n * p) <= tol,
-      f"rows=$k expected=${n * p}%.1f tol=$tol%.1f (6 sigma)")
-  }
-
-  /** q36: per-stratum Bernoulli fractions — every stratum's realized
-    * count within 6 binomial sigmas of its declared rate.
-    */
-  private def q36(spark: SparkSession, sfDir: String)(u: Unit) = {
-    val rates = Map("O" -> 0.1, "F" -> 0.05, "P" -> 0.5)
-    val totals = graft.core.Tables.load(spark, sfDir, "orders")
-      .groupBy("o_orderstatus").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val got = graft.SparkEntry.queries("q36_stratified")(spark, sfDir)
-      .groupBy("o_orderstatus").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val checks = rates.toSeq.sortBy(_._1).map { case (st, p) =>
-      val n = totals.getOrElse(st, 0L)
-      val k = got.getOrElse(st, 0L).toDouble
-      val tol = 6 * math.sqrt(n * p * (1 - p))
-      (math.abs(k - n * p) <= tol, f"$st:$k%.0f/${n * p}%.1f±$tol%.1f")
-    }
-    (checks.forall(_._1), checks.map(_._2).mkString(" "))
-  }
-
-  /** q35: HLL++ distinct within 5×rsd of the exact distinct per group;
-    * the GK median between the exact 0.49 and 0.51 quantiles.
-    */
-  private def q35(spark: SparkSession, sfDir: String)(u: Unit) = {
-    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
-    val exact = li.groupBy("l_returnflag").agg(
-      countDistinct(col("l_partkey")).as("nd"),
-      expr("percentile(l_extendedprice, 0.49)").as("lo"),
-      expr("percentile(l_extendedprice, 0.51)").as("hi"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = graft.SparkEntry.queries("q35_approx_stats")(spark, sfDir)
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2))).toMap
-    val checks = approx.toSeq.sortBy(_._1).map { case (g, (nd, p50)) =>
-      val (ndX, lo, hi) = exact(g)
-      val ndOk = math.abs(nd - ndX) <= 5 * 0.01 * ndX
-      val pOk = p50 >= lo && p50 <= hi
-      (ndOk && pOk, f"$g:nd=$nd/$ndX p50=$p50%.2f∈[$lo%.2f,$hi%.2f]")
-    }
-    (checks.forall(_._1), checks.map(_._2).mkString(" "))
-  }
-
-  /** s4: KMeans-IVF recall@5 against the exact brute-force neighbors —
-    * the same 0.9 floor the bench's quality gate enforces.
-    */
-  private def s4(spark: SparkSession, sfDir: String)(u: Unit) = {
-    def pairs(name: String) =
-      graft.SparkEntry.queries(name)(spark, sfDir).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = graft.SparkEntry.queries("s1_knn_brute")(spark, sfDir)
-      .collect().filter(_.getLong(3) <= 5)
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = pairs("s4_knn_ivf_kmeans")
-    val recall = truth.intersect(got).size.toDouble / truth.size
-    (recall >= 0.9, f"recall@5=$recall%.3f floor=0.9")
-  }
-
-  /** c12: distilled quality gate — accuracy ≥ 0.85 and rank AUC ≥ 0.9
-    * against the rule labels (the CurationModelSpec floors).
-    */
-  private def c12(spark: SparkSession, sfDir: String)(u: Unit) = {
-    val rows = graft.llm.Curation.qualityClassifierScores(spark, sfDir)
-      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getInt(3)))
-    val acc = rows.count(r => r._3 == r._1).toDouble / rows.length
-    val pos = rows.filter(_._1 == 1).map(_._2)
-    val neg = rows.filter(_._1 == 0).map(_._2)
-    val auc = pos.iterator.map(p =>
-      neg.count(p > _) + 0.5 * neg.count(p == _)).sum /
-      (pos.length.toDouble * neg.length)
-    (acc >= 0.85 && auc >= 0.9, f"acc=$acc%.3f auc=$auc%.3f floors=0.85/0.9")
-  }
 }

@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** sf1 scaling soak (VERDICT r12 ask #8): turns the "plans you'd want
+  * at 100×" argument from plan-shape pins into a MEASURED scaling
+  * curve for the heavy family. The driver ships no sf1 testdata, so
+  * the soak corpus is derived from sf0.1 by `factor`-way replication
+  * with deterministic perturbation:
+  *
+  *  - `documents`: replica i offsets doc_id by i·stride and appends
+  *    " r<i>" to the text (replica 0 is the original) — every replica
+  *    is a DISTINCT document to the fingerprint/shingle/LSH paths, so
+  *    dedup work scales ~linearly instead of collapsing to (or
+  *    exploding on) 10 exact copies of everything. Null-text docs
+  *    stay null (concat propagates), preserving that edge population.
+  *  - `events`: replica i offsets event_id and user_id — 10× the
+  *    users, same per-user stream shape, which is how an event log
+  *    actually grows.
+  *  - every other table copies through verbatim (the heavy six don't
+  *    read them; the copy keeps `Tables.all` warmup working).
+  *
+  * This corpus exists ONLY for the scaling measurement — correctness
+  * stays gated on the driver's own testdata. Output: soak parquet
+  * under the repo's target/ plus `BENCH_SF1.json` with per-query
+  * sf0.1 vs soak medians and the observed scaling factor (data is
+  * `factor`× — a healthy plan lands ≈ factor, a super-linear blowup
+  * lands far above).
+  *
+  * Usage: ScaleSoak [baseDir] [outDir] [factor] [queryRegex]
+  */
+object ScaleSoak {
+
+  /** The queries the verdict named for the soak. */
+  val DefaultHeavy = Seq("c8_curate_full", "c19_attrition",
+    "d9_dedup_apply", "d16_apss_sketch", "q79_entity_resolution",
+    "q61_cdc_scd2")
+
+  def buildCorpus(s: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val reps = s.range(factor.toLong).select(col("id").as("rep"))
+    val docs = Tables.load(s, baseDir, "documents")
+    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * docStride)
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" r"), col("rep"))))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val ev = Tables.load(s, baseDir, "events")
+    val evStride = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val userStride = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+    ev.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * evStride)
+      .withColumn("user_id", col("user_id") + col("rep") * userStride)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    Tables.all.filterNot(Set("documents", "events")).foreach { t =>
+      Tables.load(s, baseDir, t)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1)
+      else "/root/repo/target/soak_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val regex = if (args.length > 3) args(3)
+      else DefaultHeavy.mkString("^(", "|", ")$")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildCorpus(spark, baseDir, outDir, factor)
+
+    def releaseState(): Unit = {
+      val stray = spark.sparkContext.getPersistentRDDs.values
+      spark.catalog.clearCache()
+      stray.foreach(r => try r.unpersist(blocking = true)
+        catch { case _: Throwable => () })
+      System.gc()
+    }
+    def timeQuery(fn: (SparkSession, String) => DataFrame, dir: String,
+        runs: Int): Seq[Double] =
+      (1 to runs).map { _ =>
+        releaseState()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseState()
+        dt
+      }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val selected = graft.SparkEntry.queries
+      .filter(_._1.matches(regex)).toSeq.sortBy(_._1)
+    val rows = selected.map { case (name, fn) =>
+      // base: median of 3 (cheap); soak: 2 runs, min = the warm
+      // steady-state (the first run carries codegen for the new plans)
+      val base = med(timeQuery(fn, baseDir, 3))
+      val soakRuns = timeQuery(fn, outDir, 2)
+      val soak = soakRuns.min
+      val scale = if (base > 0) soak / base else Double.NaN
+      System.err.println(
+        f"[soak] $name base=$base%.2fs soak=$soak%.2fs (runs " +
+          soakRuns.map(r => f"$r%.2f").mkString("[", ",", "]") +
+          f") scale=$scale%.2f of ${factor}x data")
+      (name, base, soak, soakRuns, scale)
+    }
+    def f3(d: Double): String = "%.3f".format(d)
+    val json = rows.map { case (n, b, sk, runs2, sc) =>
+      s""""$n":{"base_sec":${f3(b)},"soak_sec":${f3(sk)},""" +
+        s""""soak_runs":[${runs2.map(f3).mkString(",")}],""" +
+        s""""scale":${f3(sc)}}"""
+    }.mkString(
+      s"""{"base_sf":"$baseDir","soak_factor":$factor,""" +
+        s""""soak_dir":"$outDir","cpus":$cpus,"queries":{""",
+      ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+        .resolve("BENCH_SF1.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

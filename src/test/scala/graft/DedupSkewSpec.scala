@@ -89,4 +89,41 @@ class DedupSkewSpec extends SparkSpec {
     info(s"short-tail corpus: $cands prefix candidates (flood expected)")
     assert(cands > 1000L, s"expected a flood, got $cands")
   }
+
+  test("CC tier cutover: labels identical at exactly driverMaxEdges ± 1 " +
+      "(ScalaCheck over random graph shapes)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the r12 pins proved driver == distributed on fixed fixtures and
+    // the real d8 graph; this property pins the CUTOVER itself — the
+    // SAME random graph resolved with the threshold set to its exact
+    // canonical edge count (driver tier: E <= max) and to one below
+    // (distributed tier) must label identically, so an off-by-one in
+    // the `E.n <= driverMaxEdges` comparison can never ship silently
+    val graphGen = for {
+      nNodes <- Gen.choose(2, 60)
+      nEdges <- Gen.choose(1, 120)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, nNodes - 1)
+        b <- Gen.choose(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    val prop = Prop.forAll(graphGen) { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      // canonical edge count = what the tier comparison actually sees
+      val canon = edges.filter(e => e._1 != e._2)
+        .map(e => (math.max(e._1, e._2), math.min(e._1, e._2)))
+        .distinct.size.toLong
+      def asMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val atDriver = asMap(Dedup.connectedComponents(df,
+        driverMaxEdges = math.max(canon, 1L)))
+      val atDist = asMap(Dedup.connectedComponents(df,
+        driverMaxEdges = math.max(canon - 1L, 0L)))
+      atDriver == atDist
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

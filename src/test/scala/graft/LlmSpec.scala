@@ -1199,6 +1199,25 @@ class LlmSpec extends SparkSpec {
     assert(viaReal == viaStub)
   }
 
+  test("m2 pipeline on a real PNG: true decoded geometry flows through " +
+      "resize + frame-sample") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(100, 60,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 60; x <- 0 until 100) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val rows = Seq(Multimodal.MediaRow(7L, "image", png, png.length.toLong))
+    val (f, frames) = Multimodal
+      .processedFeaturesOf(rows.toDS(), maxSide = 32, everyK = 5)
+      .collect().head
+    // real geometry 100x60 → scale 0.32 → 32x19 (aspect preserved)
+    assert(f.width == 32 && f.height == 19,
+      s"resized real geometry ${(f.width, f.height)}")
+    assert(frames == Seq(0), "image rows sample their single frame")
+  }
+
   test("m5: real pixel aHash — a one-cell patch edit lands at hamming 1 " +
       "and is paired through the banded join; the inverted image is not") {
     import spark.implicits._

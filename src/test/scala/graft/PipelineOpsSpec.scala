@@ -300,13 +300,16 @@ class PipelineOpsSpec extends SparkSpec {
     }).toMap
     val m = Similarity.PqM
     val dsub = Similarity.Dims / m
-    def cellOf(u: Array[Double]): Int =
+    // multi-assignment (r13): each vector is assigned to its
+    // IvfPqAssign best cells, with a residual code PER assigned cell
+    def cellsOf(u: Array[Double]): Seq[Int] =
       cells.toSeq.map { case (c, cv) => (dot(u, cv), c) }
-        .sortBy { case (d, c) => (-d, c) }.head._2
-    // min-L2 encode of the residual: argmax (r·c − ½‖c‖²), ties to
-    // the smallest code — the pqEncode rule
-    def codesOf(u: Array[Double]): Array[Int] = {
-      val cv = cells(cellOf(u))
+        .sortBy { case (d, c) => (-d, c) }
+        .take(Similarity.IvfPqAssign).map(_._2)
+    // min-L2 encode of the residual vs the GIVEN cell: argmax
+    // (r·c − ½‖c‖²), ties to the smallest code — the pqEncode rule
+    def codesOf(u: Array[Double], cell: Int): Array[Int] = {
+      val cv = cells(cell)
       val r = u.indices.map(i => u(i) - cv(i)).toArray
       (0 until m).map { sub =>
         val seg = r.slice(sub * dsub, (sub + 1) * dsub)
@@ -318,30 +321,39 @@ class PipelineOpsSpec extends SparkSpec {
           .sortBy { case (d, c) => (-d, c) }.head._2
       }.toArray
     }
-    val allCodes = units.view.mapValues(codesOf).toMap
+    val allCells = units.view.mapValues(cellsOf).toMap
+    val allCodes = (for {
+      (v, u) <- units.toSeq; cell <- allCells(v)
+    } yield (v, cell) -> codesOf(u, cell)).toMap
     out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
       val qu = units(qid)
       val probed = cells.toSeq
         .map { case (c, cv) => (dot(qu, cv), c) }
         .sortBy { case (d, c) => (-d, c) }
         .take(Similarity.IvfPqProbes).map(_._2).toSet
-      // the ADC top-C candidate set this query's rerank may draw from
+      // the ADC top-C candidate set this query's rerank may draw from:
+      // each vector scores from its best probed copy (max over the
+      // assigned∩probed cells of the per-cell rounded ADC score)
       val qcd = cells.view.mapValues(dot(qu, _)).toMap
       val cand = units.keys.toSeq
-        .filter(v => v != qid && probed.contains(cellOf(units(v))))
+        .filter(v => v != qid && allCells(v).exists(probed.contains))
         .map { v =>
-          val adc = allCodes(v).zipWithIndex.map { case (code, sub) =>
-            dot(qu.slice(sub * dsub, (sub + 1) * dsub), books((sub, code)))
-          }.sum
-          val score = qcd(cellOf(units(v))) + adc
-          (math.rint(score * 1e6) / 1e6, v)
+          val score = allCells(v).filter(probed.contains).map { cell =>
+            val adc = allCodes((v, cell)).zipWithIndex
+              .map { case (code, sub) =>
+                dot(qu.slice(sub * dsub, (sub + 1) * dsub),
+                  books((sub, code)))
+              }.sum
+            math.rint((qcd(cell) + adc) * 1e6) / 1e6
+          }.max
+          (score, v)
         }
         .sortBy { case (a, v) => (-a, v) }
-        .take(Similarity.PqRerank).map(_._2).toSet
+        .take(Similarity.IvfPqRerank).map(_._2).toSet
       rows.foreach { r =>
         val vid = r.getLong(1)
-        assert(probed.contains(cellOf(units(vid))),
-          s"neighbor $vid of $qid outside probed cells")
+        assert(allCells(vid).exists(probed.contains),
+          s"neighbor $vid of $qid has no assigned cell among the probed")
         assert(cand.contains(vid),
           s"neighbor $vid of $qid outside the ADC top-C candidates")
         val exact = dot(qu, units(vid))
@@ -419,20 +431,27 @@ class PipelineOpsSpec extends SparkSpec {
         .take(5).map { case (_, v) => (q, v) }
     }.toSet
     val recall = truth.intersect(got).size.toDouble / truth.size
-    // probed fraction: mass of the nprobe cells each query scans
+    // probed fraction: CODE ROWS the nprobe cells hold, relative to
+    // corpus size — under IvfPqAssign-way assignment each vector
+    // contributes one code copy to each of its assigned cells, so the
+    // honest scan measure counts copies, not primary members
     val cells = cellIds.map(byId)
-    def cellOf(u: Array[Double]): Int = cells.zipWithIndex
+    def cellsOf(u: Array[Double]): Seq[Int] = cells.zipWithIndex
       .map { case (cv, c) => (dot(u, cv), c) }
-      .sortBy { case (d, c) => (-d, c) }.head._2
-    val cellMass = vecs.groupBy { case (_, u) => cellOf(u) }
-      .view.mapValues(_.size).toMap
+      .sortBy { case (d, c) => (-d, c) }
+      .take(Similarity.IvfPqAssign).map(_._2)
+    val cellMass = vecs.flatMap { case (_, u) => cellsOf(u) }
+      .groupBy(identity).view.mapValues(_.size).toMap
     val fracs = (0L until 20L).map { q =>
       val qu = byId(q)
       cells.zipWithIndex.map { case (cv, c) => (dot(qu, cv), c) }
         .sortBy { case (d, c) => (-d, c) }.take(nprobe)
         .map { case (_, c) => cellMass.getOrElse(c, 0) }.sum.toDouble / n
     }
-    assert(fracs.max <= 0.25,
+    // ideal = IvfPqAssign·nprobe/nClusters = 0.2; uneven cluster draw
+    // pushes individual queries a few points above it — 0.3 still
+    // proves "well under half the mass" with 2-way assignment
+    assert(fracs.max <= 0.3,
       s"probed fraction ${fracs.max} — clusters not separating")
     assert(recall >= 0.9,
       s"clustered-corpus recall $recall probing ${fracs.max} of the mass")

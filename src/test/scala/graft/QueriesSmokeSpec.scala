@@ -9,18 +9,20 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every queries entry has an oracle or is a declared rows-only check") {
-    // RNG-dependent / sketch-internal / model-fit-dependent by design
-    val rowsOnly = Set("q11_sample", "q35_approx_stats", "q36_stratified",
-      "s4_knn_ivf_kmeans", "c12_quality_model")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every queries entry has an oracle (verdict faces included)") {
+    // r13: the formerly rows-only queries register envelope VERDICT
+    // faces with real oracles — nothing may ship without a hash gate
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
-    // ...and every declared rows-only query has an ENVELOPE check, so
-    // the correctness artifact carries a verdict for all of them
-    val enveloped = graft.tools.Envelopes
-      .check(spark, sfDir).map(_._1).toSet
-    assert(rowsOnly == enveloped,
-      s"rows-only/envelope drift: ${rowsOnly.diff(enveloped)} / ${enveloped.diff(rowsOnly)}")
+    // ...and the five statistical queries also carry a measured-value
+    // envelope check (the side `envelope.json` detail)
+    val enveloped = graft.tools.Envelopes.check(spark, sfDir).map(_._1).toSet
+    val expected = Set("q11_sample", "q35_approx_stats", "q36_stratified",
+      "s4_knn_ivf_kmeans", "c12_quality_model")
+    assert(enveloped == expected,
+      s"envelope drift: ${expected.diff(enveloped)} / ${enveloped.diff(expected)}")
+    assert(expected.subsetOf(SparkEntry.oracleSql.keySet),
+      "verdict faces must carry DuckDB oracles")
   }
 
   test("every envelope verdict passes at sf0.001") {

@@ -250,8 +250,10 @@ class StatsReportsSpec extends SparkSpec {
       assert(got.get("1_view_to_click").exists(_._1 == q57("2_click")))
     if (q57("3_purchase") > 0)
       assert(got.get("2_click_to_purchase").exists(_._1 == q57("3_purchase")))
-    // durations are positive and p50 <= p90 by construction
-    got.values.foreach { case (_, p50) => assert(p50 > 0) }
+    // second-truncated transition durations are legitimately 0 when a
+    // view and its click land within the same wall-clock second —
+    // assert non-negativity, not strict positivity (ADVICE r12)
+    got.values.foreach { case (_, p50) => assert(p50 >= 0) }
   }
 
   // -- t26 Heaps --------------------------------------------------------------
