@@ -20,6 +20,9 @@ import graft.core.Tables
   *  - `events`: replica i offsets event_id and user_id — 10× the
   *    users, same per-user stream shape, which is how an event log
   *    actually grows.
+  *  - `customer` (q79's input): replica i offsets c_custkey and tags
+  *    c_name with " r<i>" — distinct names, so the deletion-variant
+  *    blocking does 10× the real work instead of rescanning copies.
   *  - every other table copies through verbatim (the heavy six don't
   *    read them; the copy keeps `Tables.all` warmup working).
   *
@@ -59,7 +62,16 @@ object ScaleSoak {
       .withColumn("user_id", col("user_id") + col("rep") * userStride)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    Tables.all.filterNot(Set("documents", "events")).foreach { t =>
+    val cust = Tables.load(s, baseDir, "customer")
+    val custStride = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    cust.crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * custStride)
+      .withColumn("c_name",
+        when(col("rep") === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit(" r"), col("rep"))))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    Tables.all.filterNot(Set("documents", "events", "customer")).foreach { t =>
       Tables.load(s, baseDir, t)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
