@@ -46,7 +46,7 @@ object Envelopes {
     val p = lit(0.01)
     val mu = col("n_total").cast("double") * p
     val sig = sqrt(col("n_total").cast("double") * p * (lit(1.0) - p))
-    n.crossJoin(k)
+    n.crossJoin(broadcast(k))
       .withColumn("rate", p)
       .withColumn("lo", round(mu - lit(6.0) * sig, 4))
       .withColumn("hi", round(mu + lit(6.0) * sig, 4))
@@ -130,7 +130,7 @@ object Envelopes {
     val n = truth.agg(count(lit(1)).as("n_truth"))
     val hits = truth.join(got, Seq("q_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
-    n.crossJoin(hits)
+    n.crossJoin(broadcast(hits))
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_truth").cast("double"))
       .withColumn("recall_floor", lit(0.9))
@@ -168,7 +168,7 @@ object Envelopes {
       count(lit(1)).as("n_docs"),
       avg((col("model_pass") === col("gate_label")).cast("double")).as("acc"))
     val u1 = (col("r1x2") - col("na") * (col("na") + 1L)).cast("double") / 2.0
-    accDf.crossJoin(agg)
+    accDf.crossJoin(broadcast(agg))
       .withColumn("auc",
         u1 / (col("na").cast("double") * col("nb").cast("double")))
       .withColumn("acc_floor", lit(0.85))
