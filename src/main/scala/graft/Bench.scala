@@ -76,12 +76,18 @@ object Bench {
       // scratch tables under java.io.tmpdir per execution; a full
       // suite leaves O(runs × 3) table copies of dirty pages behind,
       // whose writeback taxes whatever runs next — sweep them once
-      // the query that produced them has been consumed
+      // the query that produced them has been consumed. The prefixes
+      // embed OUR pid (Maintenance.cdcScratchPrefix), so a concurrent
+      // Verify/test/bench process on the same box never loses its
+      // live scratch to this sweep.
       try {
         val tmpRoot = java.nio.file.Paths
           .get(System.getProperty("java.io.tmpdir"))
+        val ownPrefixes = Seq("q60", "q61")
+          .map(graft.ops.Maintenance.cdcScratchPrefix)
         Option(tmpRoot.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("graft_q6"))
+          .filter(f => f.isDirectory &&
+            ownPrefixes.exists(f.getName.startsWith))
           .foreach { d =>
             java.nio.file.Files.walk(d.toPath)
               .sorted(java.util.Comparator.reverseOrder())
@@ -218,6 +224,16 @@ object Bench {
           name -> ((med(runs3.map(_._1)), med(runs3.map(_._2)),
             med(runs3.map(_._3))))
         }.toMap
+    // The CDC pair's RECORDED clean number IS its phase-split sum
+    // (VERDICT r13 ask #3): the in-suite median inherits whatever
+    // block-manager/writeback state the first 189 queries accumulated
+    // (r13 driver run: 15.9 s in-suite vs 3.4 s for the identical
+    // three phases measured via the split) — the split, taken under
+    // releaseState with per-phase medians, is the number the plan
+    // actually costs, so the headline consumes it instead of spawning
+    // a fresh-JVM child that re-measures the same three phases.
+    val cdcOverrides: Map[String, Double] =
+      cdcSplit.map { case (n, (b, a, r)) => n -> (b + a + r) }
     releaseState()
     val CleanThreshold = 1.3
     // The CC/curation-heavy family never settles in-JVM: its iterative
@@ -249,15 +265,18 @@ object Bench {
     // 5-run one (r12) — more warmup does not close the gap, because
     // the gap is amortization, not cold start. Round-over-round
     // comparisons should use clean-vs-clean or raw-vs-raw, never mix.
+    // q60/q61 left the family in r14: their clean tier is the CDC
+    // phase-split sum (cdcOverrides above), measured in this JVM.
     val heavyFamily = Set("c8_curate_full", "c19_attrition",
       "d8_dedup_clusters", "d9_dedup_apply", "d14_split_leakfree",
-      "q79_entity_resolution", "q60_cdc_upsert", "q61_cdc_scd2")
+      "q79_entity_resolution")
     val heavySelected =
       if (args.nonEmpty) Seq.empty // filtered child: measure in place
       else results.keySet.intersect(heavyFamily).toSeq.sorted
     val flagged = (results.keySet.toSeq.sorted
       .filter(n => sentinels.get(n).exists(_ > CleanThreshold)))
       .filterNot(heavySelected.contains)
+      .filterNot(cdcOverrides.contains)
     val cleanSentinels = scala.collection.mutable.Map[String, Double]()
     val resultsClean: Map[String, Double] = flagged.map { name =>
       val fn = selected(name)
@@ -511,13 +530,15 @@ object Bench {
     // (clean_sentinel_ratio stays the in-JVM measurement — it is the
     // evidence the escalation was needed)
     val qsClean = jmap(
-      (resultsClean ++ resultsFresh).map { case (k, v) => k -> f3(v) },
+      (resultsClean ++ resultsFresh ++ cdcOverrides)
+        .map { case (k, v) => k -> f3(v) },
       quote = false)
     val cleanMethodJson = jmap(
-      (flagged ++ heavySelected).map(n => n ->
+      ((flagged ++ heavySelected).map(n => n ->
         (if (resultsFresh.contains(n)) "fresh-jvm"
         else if (heavySelected.contains(n)) "fresh-jvm-failed"
-        else "in-jvm")).toMap,
+        else "in-jvm")) ++
+        cdcOverrides.keys.map(_ -> "cdc-phase-split")).toMap,
       quote = true)
     val cleanSentinelJson = jmap(
       cleanSentinels.toMap.map { case (k, v) => k -> v.toString },
@@ -532,13 +553,38 @@ object Bench {
     // per-query sentinel machinery already produces the trustworthy
     // number for every flagged query; the headline should be built
     // from it. `value_raw` keeps the uncorrected sum alongside.
-    val cleanOverrides = resultsClean ++ resultsFresh
+    val cleanOverrides = resultsClean ++ resultsFresh ++ cdcOverrides
     val totalRaw = if (results.nonEmpty) results.values.sum else 0.0
     val total = if (results.nonEmpty)
       results.map { case (k, v) => cleanOverrides.getOrElse(k, v) }.sum
       else 0.0
+    // Self-adjudicating artifact (VERDICT r13 ask #7): every
+    // substitution decision is a per-query flag, and one verdict
+    // string states what the headline is made of — so a judge can
+    // adjudicate a raw-vs-clean divergence from this file alone.
+    val substitutedJson = jmap(results.keys.map(n =>
+      n -> cleanOverrides.contains(n).toString).toMap, quote = false)
+    val contaminatedNames = results.keySet.toSeq.sorted
+      .filter(n => sentinels.get(n).exists(_ > CleanThreshold))
+    val contaminationVerdict =
+      if (contaminatedNames.isEmpty && cleanOverrides.isEmpty)
+        "quiet-box: headline is the raw in-suite sum"
+      else s"${contaminatedNames.size} queries exceeded the sentinel " +
+        s"ratio $CleanThreshold and ${cleanOverrides.size} substituted " +
+        "a clean-tier value into the headline (see clean_method per " +
+        "query); compare value_raw raw-to-raw, value clean-to-clean"
+    // The five envelope-VERDICT faces time operator + exact
+    // verification baseline in one number (s4 adds the brute-force
+    // truth scan, q35 the exact countDistinct/percentile, c12 a GBT
+    // fit + AUC) — tagged so consumers never compare them against
+    // pre-r13 rounds or sibling raw operators (ADVICE r13).
+    val verdictFaces = Seq("c12_quality_model", "q11_sample",
+      "q35_approx_stats", "q36_stratified", "s4_knn_ivf_kmeans")
+      .filter(results.contains)
+    val verdictFacesJson =
+      verdictFaces.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"fp_method":"aqe-final-v2","sf":"$sfDir","plans_changed":$changedJson,""" +
+      s"""{"fp_method":"aqe-final-v2","bench_schema":"v3-clean-substituted","verdict_faces":$verdictFacesJson,"sf":"$sfDir","plans_changed":$changedJson,""" +
         s""""plans_changed_base":"${(if (detailPrev.nonEmpty)
             Seq("BENCH_DETAIL.json") else Seq.empty) ++
           (if (driverPrev.nonEmpty)
@@ -548,7 +594,7 @@ object Bench {
           }}","recall":$recallJson,"plans":$plans,""" +
         s""""plans_legacy":$plansV1}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"value_raw":${f3(totalRaw)},"unit":"sec","sf":"$sfDir","warmup_sec":${f3(warmupSec)},"sentinel_sec":${f3(sentinelSec)},"queries_clean":$qsClean,"queries":$qs}"""
+      s"""{"metric":"total","value":${f3(total)},"value_raw":${f3(totalRaw)},"unit":"sec","bench_schema":"v3-clean-substituted","sf":"$sfDir","warmup_sec":${f3(warmupSec)},"sentinel_sec":${f3(sentinelSec)},"queries_clean":$qsClean,"queries":$qs}"""
     // BENCH_SELF.json: the SELF-SUFFICIENT artifact — the union of the
     // summary line and the detail sidecar plus the quality gate and
     // per-query sentinel ratios, written by the bench itself. Two
@@ -561,12 +607,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val self =
       s"""{"metric":"total","value":${f3(total)},"value_raw":${f3(totalRaw)},"unit":"sec","sf":"$sfDir",""" +
+        s""""bench_schema":"v3-clean-substituted",""" +
+        s""""contamination_verdict":"$contaminationVerdict",""" +
         s""""warmup_sec":${f3(warmupSec)},"sentinel_sec":${f3(sentinelSec)},""" +
         s""""cdc_split":$cdcSplitJson,""" +
         s""""queries":$qs,"sentinel_ratio":$sentinelJson,""" +
         s""""queries_clean":$qsClean,""" +
+        s""""substituted":$substitutedJson,""" +
         s""""clean_method":$cleanMethodJson,""" +
         s""""clean_sentinel_ratio":$cleanSentinelJson,""" +
+        s""""verdict_faces":$verdictFacesJson,""" +
         s""""recall":$recallJson,"recall_floors":$floorsJson,""" +
         s""""recall_failures":$recallFailJson,""" +
         s""""fp_method":"aqe-final-v2","plans_changed":$changedJson,""" +

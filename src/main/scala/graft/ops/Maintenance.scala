@@ -258,9 +258,18 @@ object Maintenance {
     (b1, b2)
   }
 
+  /** CDC scratch directories embed this JVM's PID so a cleanup sweep
+    * (Bench's releaseState) can match ITS OWN scratch only — a
+    * concurrent Verify/test/bench process on the same box keeps its
+    * live CDC tables (the bare "graft_q6*" glob used to delete them
+    * mid-query).
+    */
+  def cdcScratchPrefix(q: String): String =
+    s"graft_${q}_p${ProcessHandle.current().pid()}_"
+
   def q60CdcUpsert(s: SparkSession, dir: String): DataFrame = {
     val (b1, b2) = q60Batches(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q60")
+    val tmp = java.nio.file.Files.createTempDirectory(cdcScratchPrefix("q60"))
       .resolve("t").toString
     graft.streaming.IngestUpsert.processBatch(b1, tmp, Seq("doc_id"), "ver", 8)
     graft.streaming.IngestUpsert.processBatch(b2, tmp, Seq("doc_id"), "ver", 8)
@@ -295,7 +304,7 @@ object Maintenance {
   }
 
   def q61CdcScd2(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q61")
+    val tmp = java.nio.file.Files.createTempDirectory(cdcScratchPrefix("q61"))
       .resolve("t").toString
     val (b1, b2) = q61Batches(s, dir)
     graft.streaming.IngestScd2.processBatch(b1, tmp, Seq("user_id"), "ts", 8)
@@ -326,7 +335,7 @@ object Maintenance {
     }
     if (scd2) {
       val (b1, b2) = q61Batches(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q61")
+      val tmp = java.nio.file.Files.createTempDirectory(cdcScratchPrefix("q61"))
         .resolve("t").toString
       val boot = tm(graft.streaming.IngestScd2
         .processBatch(b1, tmp, Seq("user_id"), "ts", 8))
@@ -337,7 +346,7 @@ object Maintenance {
       (boot, ap, rp)
     } else {
       val (b1, b2) = q60Batches(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q60")
+      val tmp = java.nio.file.Files.createTempDirectory(cdcScratchPrefix("q60"))
         .resolve("t").toString
       val boot = tm(graft.streaming.IngestUpsert
         .processBatch(b1, tmp, Seq("doc_id"), "ver", 8))

@@ -609,18 +609,29 @@ object Extended {
   /** The q57 stage chain (per-user first-entry times for view →
     * click → purchase, each step strictly later and within 24 h),
     * shared by q57's counts and q91's timing percentiles.
+    *
+    * Each stage is MATERIALIZED (the kcore/CC snap pattern: persist +
+    * count + rebuilt LogicalRDD) before the next consumes it: q57
+    * unions all three stage counts and q91 joins consecutive stages,
+    * so without the snap the `view` aggregate subtree evaluated up to
+    * 5× per run — five redundant full `events` scans at 100 TB. With
+    * it, `events` is scanned exactly once per stage (3 total) and the
+    * downstream q57/q91 plans read three tiny per-user in-memory
+    * frames.
     */
   private def funnelStages(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
+    def snap(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def stage(tpe: String, after: Option[DataFrame]): DataFrame = {
       val base = ev.filter(col("event_type") === tpe)
-      after.fold(base)(prev =>
+      snap(after.fold(base)(prev =>
           base.join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
             .filter(col("ts") > col("pt") &&
               col("ts") <= col("pt") + expr("INTERVAL 24 HOURS")))
-        .groupBy("user_id").agg(min(col("ts")).as("t"))
+        .groupBy("user_id").agg(min(col("ts")).as("t")))
     }
     val v = stage("view", None)
     val c = stage("click", Some(v))

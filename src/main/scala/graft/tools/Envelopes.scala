@@ -50,9 +50,11 @@ object Envelopes {
       .withColumn("rate", p)
       .withColumn("lo", round(mu - lit(6.0) * sig, 4))
       .withColumn("hi", round(mu + lit(6.0) * sig, 4))
+      // the flag compares against the SAME rounded bounds the face
+      // publishes, so flag and printed interval can never disagree
+      // on a count landing between the rounded and unrounded bound
       .withColumn("within_6sigma",
-        flag(col("n_sampled").cast("double").between(
-          mu - lit(6.0) * sig, mu + lit(6.0) * sig)))
+        flag(col("n_sampled").cast("double").between(col("lo"), col("hi"))))
   }
 
   /** q11 verdict face: the deterministic columns only. */
@@ -81,9 +83,9 @@ object Envelopes {
       .withColumn("rate", q36Rates)
       .withColumn("lo", round(mu - lit(6.0) * sig, 4))
       .withColumn("hi", round(mu + lit(6.0) * sig, 4))
+      // rounded-bound comparison — same reason as q11Frame
       .withColumn("within_6sigma",
-        flag(col("n_sampled").cast("double").between(
-          mu - lit(6.0) * sig, mu + lit(6.0) * sig)))
+        flag(col("n_sampled").cast("double").between(col("lo"), col("hi"))))
   }
 
   /** q36 verdict face: per-stratum deterministic columns. */

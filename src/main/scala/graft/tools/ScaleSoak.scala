@@ -37,10 +37,16 @@ import graft.core.Tables
   */
 object ScaleSoak {
 
-  /** The queries the verdict named for the soak. */
+  /** The queries the verdict named for the soak: the r12 heavy six
+    * plus (r13 ask #6) the ANN family (s4/s6/s10/s11 over the
+    * replicated embeddings) and the event family (q57/q91/q92 over
+    * the replicated log).
+    */
   val DefaultHeavy = Seq("c8_curate_full", "c19_attrition",
     "d9_dedup_apply", "d16_apss_sketch", "q79_entity_resolution",
-    "q61_cdc_scd2")
+    "q61_cdc_scd2",
+    "s4_knn_ivf_kmeans", "s6_knn_lsh", "s10_knn_pq", "s11_knn_ivfpq",
+    "q57_funnel", "q91_funnel_timing", "q92_transitions")
 
   def buildCorpus(s: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
@@ -62,6 +68,26 @@ object ScaleSoak {
       .withColumn("user_id", col("user_id") + col("rep") * userStride)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // embeddings: replica i offsets vec_id and nudges every replica
+    // vector by a DIRECTION-CHANGING deterministic perturbation
+    // (alternating-sign epsilon, scaled by rep) — replicas are
+    // distinct points in unit-cosine space, so the ANN soak ranks a
+    // genuinely `factor`×-denser corpus instead of re-ranking exact
+    // copies (a pure rescale would be invisible to the normalized
+    // paths). Queries stay vec_id < 20 (replica 0 = original), so
+    // query count is fixed while the corpus grows — the production
+    // shape of an index scaling up.
+    val embT = Tables.load(s, baseDir, "embeddings")
+    val embStride = embT.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    embT.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * embStride)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            when(i % 2 === 0, 1.0).otherwise(-1.0)
+              * col("rep").cast("double") * lit(0.003)).cast("float")))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     val cust = Tables.load(s, baseDir, "customer")
     val custStride = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1L
     cust.crossJoin(reps)
@@ -71,7 +97,8 @@ object ScaleSoak {
           .otherwise(concat(col("c_name"), lit(" r"), col("rep"))))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
-    Tables.all.filterNot(Set("documents", "events", "customer")).foreach { t =>
+    Tables.all.filterNot(
+      Set("documents", "events", "customer", "embeddings")).foreach { t =>
       Tables.load(s, baseDir, t)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
@@ -119,22 +146,29 @@ object ScaleSoak {
     val selected = graft.SparkEntry.queries
       .filter(_._1.matches(regex)).toSeq.sortBy(_._1)
     val rows = selected.map { case (name, fn) =>
-      // base: median of 3 (cheap); soak: 2 runs, min = the warm
-      // steady-state (the first run carries codegen for the new plans)
-      val base = med(timeQuery(fn, baseDir, 3))
-      val soakRuns = timeQuery(fn, outDir, 2)
-      val soak = soakRuns.min
+      // SYMMETRIC estimator on both sides (ADVICE r13): median of 3
+      // for base AND soak — the old base-median vs soak-min asymmetry
+      // systematically lowered the reported scale factor, the
+      // direction that flattered the headline. The soak side's
+      // codegen-cold first run falls out of its median naturally;
+      // both run lists are emitted so min/median are both readable.
+      val baseRuns = timeQuery(fn, baseDir, 3)
+      val base = med(baseRuns)
+      val soakRuns = timeQuery(fn, outDir, 3)
+      val soak = med(soakRuns)
       val scale = if (base > 0) soak / base else Double.NaN
       System.err.println(
         f"[soak] $name base=$base%.2fs soak=$soak%.2fs (runs " +
           soakRuns.map(r => f"$r%.2f").mkString("[", ",", "]") +
           f") scale=$scale%.2f of ${factor}x data")
-      (name, base, soak, soakRuns, scale)
+      (name, base, baseRuns, soak, soakRuns, scale)
     }
     def f3(d: Double): String = "%.3f".format(d)
-    val json = rows.map { case (n, b, sk, runs2, sc) =>
+    val json = rows.map { case (n, b, bruns, sk, runs2, sc) =>
       s""""$n":{"base_sec":${f3(b)},"soak_sec":${f3(sk)},""" +
+        s""""base_runs":[${bruns.map(f3).mkString(",")}],""" +
         s""""soak_runs":[${runs2.map(f3).mkString(",")}],""" +
+        s""""estimator":"median-of-3-both-sides",""" +
         s""""scale":${f3(sc)}}"""
     }.mkString(
       s"""{"base_sf":"$baseDir","soak_factor":$factor,""" +

@@ -100,6 +100,68 @@ class ModelFamiliesSpec extends SparkSpec {
       s"acc ${r.metrics.accuracy} vs prior0 $prior0")
   }
 
+  test("law: model-quality ordering on a planted-signal fixture — " +
+      "AUC(GBT) > AUC(LR) > AUC(NB), and GBT's Var set is the argmax") {
+    import org.apache.spark.sql.functions._
+    // The report's headline result (BASELINE.md model table: GBT-Var
+    // best AUC, tree ensembles above linear above NB) as a LAW on a
+    // fixture with the signal planted to exercise each family's
+    // representational edge (seeded, pinned session — every number
+    // below is deterministic):
+    //  - an INTERACTION: (DepTimeMinute >= 30) XOR (AirTime > 165) —
+    //    marginally ~flat on each carrier (P ≈ 0.5 per side), so only
+    //    the tree ensemble (depth ≥ 2) can represent it; both carriers
+    //    are top-variance numerics, so the Var set keeps them while
+    //    Uni's marginal ANOVA-F scores are blind to them.
+    //  - a margin on the DIFFERENCE of two correlated columns
+    //    (Distance ≈ 7.5·AirTime + U[0,50)): logistic regression
+    //    recovers the clean difference with one weight pair; Gaussian
+    //    NB's diagonal covariance cannot — the shared AirTime variance
+    //    swamps each marginal. LR > NB by construction, not by luck.
+    val at = coalesce(col("AirTime"), lit(150.0))
+    val dist = coalesce(col("Distance"), lit(1150.0))
+    val u = (abs(xxhash64(col("DayofMonth"), col("DepTimeMinute"),
+      col("AirTime"), lit(1414))) % 1000).cast("double") / 1000.0
+    val xorSig = (coalesce(col("DepTimeMinute"), lit(0.0)) >= 30.0)
+      .=!=(at > 165.0)
+    val lin = (dist - at * 7.5) / 50.0 // the U[0,1) noise component
+    val p1 = when(xorSig, lit(0.62)).otherwise(lit(0.05)) + lin * 0.3
+    val shaped = cleaned.withColumn("Delay_Status", (u < p1).cast("int"))
+    def auc(catC: Seq[String], numC: Seq[String],
+        est: org.apache.spark.ml.PipelineStage): Double =
+      TrainJob.run(shaped, catC, numC, est, None).metrics.areaRoc
+    def gbt() = new GBTClassifier().setSeed(777L).setMaxDepth(3).setMaxIter(20)
+    val full = (cols._1, cols._2)
+    val gbtFull = auc(full._1, full._2, gbt())
+    val lrFull = auc(full._1, full._2, new LogisticRegression())
+    val nbFull = auc(full._1, full._2,
+      new NaiveBayes().setModelType("gaussian"))
+    // Pinned-session values: GBT 0.737, LR 0.558, NB 0.449 (LR's edge
+    // over NB is exactly the correlated-difference margin: LR on the
+    // (Distance, AirTime) pair alone reads 0.590 — the planted 0.597
+    // — while NB lands BELOW chance, double-counting the shared
+    // variance). Margins assert the law with ~half the measured gaps
+    // as cushion against ML-impl drift across Spark versions.
+    assert(gbtFull > lrFull + 0.08,
+      s"tree ensemble must beat linear on the interaction: $gbtFull vs $lrFull")
+    assert(lrFull > nbFull + 0.04,
+      s"LR must beat diagonal-covariance NB on the correlated-difference " +
+        s"margin: $lrFull vs $nbFull")
+    // Feature sets via the script-2 selection flow (uni top-k, var
+    // top-6) — GBT on the Var set is the argmax, the report's
+    // headline cell: the Var set keeps exactly the high-variance
+    // signal carriers while Full dilutes depth-limited trees with
+    // noise columns and Uni's ANOVA-F scores are blind to the
+    // marginally-flat interaction carriers.
+    val sel = Statistics.analyze(shaped)
+    val gbtUni = auc(sel.uniCat, sel.uniNum, gbt())
+    val gbtVar = auc(Nil, sel.varNum, gbt())
+    assert(gbtVar >= gbtFull && gbtVar > gbtUni,
+      s"GBT-Var must be the argmax: var=$gbtVar full=$gbtFull uni=$gbtUni")
+    assert(gbtVar > lrFull && gbtVar > nbFull,
+      s"GBT-Var must top the family AUCs: $gbtVar vs lr=$lrFull nb=$nbFull")
+  }
+
   test("sentinel: DecisionTree best rows identical on full vs univariate sets " +
       "when the signal feature survives selection") {
     import org.apache.spark.sql.functions._
