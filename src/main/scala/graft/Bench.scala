@@ -235,6 +235,36 @@ object Bench {
     val cdcOverrides: Map[String, Double] =
       cdcSplit.map { case (n, (b, a, r)) => n -> (b + a + r) }
     releaseState()
+    // The five envelope-VERDICT faces time operator + verification
+    // baseline in one number (ADVICE r13): time the RAW operator each
+    // face wraps, separately, so the artifact carries both — compare
+    // verdict_face_raw round-over-round for operator cost, the queries
+    // row for the gated face.
+    val verdictFaceRawFns: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "s4_knn_ivf_kmeans" ->
+        ((s: SparkSession, d: String) => graft.llm.Similarity.knnIvfKmeans(s, d)),
+      "q11_sample" ->
+        ((s: SparkSession, d: String) => graft.queries.Relational.q11Sample(s, d)),
+      "q35_approx_stats" ->
+        ((s: SparkSession, d: String) => graft.queries.Extended.q35ApproxStats(s, d)),
+      "q36_stratified" ->
+        ((s: SparkSession, d: String) => graft.queries.Extended.q36StratifiedSample(s, d)),
+      "c12_quality_model" ->
+        ((s: SparkSession, d: String) => graft.llm.Curation.qualityClassifierScores(s, d)))
+    val verdictFaceRaw: Map[String, Double] =
+      if (args.nonEmpty) Map.empty
+      else verdictFaceRawFns.filter(kv => results.contains(kv._1))
+        .map { case (name, fn) =>
+          val ts = (1 to 3).map { _ =>
+            releaseState()
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> ts.sorted.apply(1)
+        }
+    releaseState()
     val CleanThreshold = 1.3
     // The CC/curation-heavy family never settles in-JVM: its iterative
     // cache-and-release loops age the block manager enough that the
@@ -425,8 +455,11 @@ object Bench {
     // can't see answer quality, so the bench artifact must
     val recallFloors = Map(
       "s4_knn_ivf_kmeans" -> 0.9,
-      "s6_knn_lsh" -> 0.7,
-      "s13_knn_jl" -> 0.7,
+      // r14: the 128-bit signature reads 0.967 at sf0.1 — floor raised
+      // past the 0.85 bar the other ANN tiers clear (VERDICT r13 #4)
+      "s6_knn_lsh" -> 0.85,
+      // r14: 48-dim JL sketch reads 0.883 at sf0.1 (was 0.80 at 32d)
+      "s13_knn_jl" -> 0.8,
       "s7_knn_int8" -> 0.95,
       "s10_knn_pq" -> 0.8,
       "s11_knn_ivfpq" -> 0.8)
@@ -447,7 +480,21 @@ object Bench {
           name -> (math.round(t.intersect(got).size.toDouble / t.size * 1000) / 1000.0)
         }.toMap
       } catch { case _: Throwable => Map.empty }
-    // The fresh-JVM tier runs LAST, on a torn-down box: the recall
+    // Filtered-ANN recall vs predicate selectivity (VERDICT r13 ask
+    // #8): the s22 gated query pins ONE selectivity (the label
+    // predicate); this sweeps 1% → 50% so a recall cliff under
+    // selective predicates is visible in the artifact. Keys are the
+    // selectivities, values mean recall@3 of the s20 discipline
+    // against exact-within-subset truth.
+    val filteredSweep: Map[String, Double] =
+      if (!selected.contains("s20_knn_filtered_lsh")) Map.empty
+      else try {
+        Seq(100, 20, 10, 4, 2).map { m =>
+          val r = graft.llm.Similarity.filteredRecallAt(spark, sfDir, m)
+          releaseState()
+          ("%.2f".format(1.0 / m)) -> r
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
     // block above was the parent session's final consumer, so the
     // parent's executors/heap release BEFORE the children spawn — a
     // child measured under the parent's residual footprint is not the
@@ -517,6 +564,8 @@ object Bench {
     val plansV1 = jmap(fpsV1.toMap, quote = true)
     val recallJson = jmap(recalls.map { case (k, v) => k -> v.toString },
       quote = false)
+    val sweepJson = jmap(
+      filteredSweep.map { case (k, v) => k -> v.toString }, quote = false)
     val floorsJson = jmap(recallFloors.filter(f => anns.contains(f._1))
       .map { case (k, v) => k -> v.toString }, quote = false)
     val recallFailures = recalls.toSeq.sorted.collect {
@@ -583,6 +632,8 @@ object Bench {
       .filter(results.contains)
     val verdictFacesJson =
       verdictFaces.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val verdictFaceRawJson = jmap(
+      verdictFaceRaw.map { case (k, v) => k -> f3(v) }, quote = false)
     val detail =
       s"""{"fp_method":"aqe-final-v2","bench_schema":"v3-clean-substituted","verdict_faces":$verdictFacesJson,"sf":"$sfDir","plans_changed":$changedJson,""" +
         s""""plans_changed_base":"${(if (detailPrev.nonEmpty)
@@ -591,7 +642,7 @@ object Bench {
             prevDriver.map(_._2.getFileName.toString).toSeq
           else Seq.empty) match {
             case Seq() => "none"; case s => s.mkString("+")
-          }}","recall":$recallJson,"plans":$plans,""" +
+          }}","recall":$recallJson,"filtered_recall_sweep":$sweepJson,"plans":$plans,""" +
         s""""plans_legacy":$plansV1}"""
     val summary =
       s"""{"metric":"total","value":${f3(total)},"value_raw":${f3(totalRaw)},"unit":"sec","bench_schema":"v3-clean-substituted","sf":"$sfDir","warmup_sec":${f3(warmupSec)},"sentinel_sec":${f3(sentinelSec)},"queries_clean":$qsClean,"queries":$qs}"""
@@ -617,8 +668,10 @@ object Bench {
         s""""clean_method":$cleanMethodJson,""" +
         s""""clean_sentinel_ratio":$cleanSentinelJson,""" +
         s""""verdict_faces":$verdictFacesJson,""" +
+        s""""verdict_face_raw":$verdictFaceRawJson,""" +
         s""""recall":$recallJson,"recall_floors":$floorsJson,""" +
         s""""recall_failures":$recallFailJson,""" +
+        s""""filtered_recall_sweep":$sweepJson,""" +
         s""""fp_method":"aqe-final-v2","plans_changed":$changedJson,""" +
         s""""plans":$plans,"plans_legacy":$plansV1}"""
     // Only an UNFILTERED run may replace the sidecars: a regex-filtered
