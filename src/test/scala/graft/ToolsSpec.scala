@@ -49,5 +49,39 @@ class ToolsSpec extends SparkSpec {
     assert(c.count() == factor * cBase.count())
     assert(c.select("c_name").distinct().count() ==
       factor * cBase.select("c_name").distinct().count())
+    // embeddings (r14): the ANN soak needs factor-x DISTINCT points in
+    // unit-cosine space — ids unique, replica 0 byte-identical to the
+    // base, and every replica vector direction-perturbed (a pure
+    // rescale would vanish under normalization)
+    val emb = graft.core.Tables.load(spark, out, "embeddings")
+    val embBase = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val nEmbBase = embBase.count()
+    assert(emb.count() == factor * nEmbBase)
+    assert(emb.select("vec_id").distinct().count() == factor * nEmbBase)
+    val rep0 = emb.filter(col("vec_id") < nEmbBase)
+      .select(col("vec_id"), col("embedding"))
+    assert(rep0.exceptAll(embBase.select(col("vec_id"), col("embedding")))
+      .count() == 0, "replica 0 must be the original vectors")
+    // a replica's unit direction differs from its source: compare the
+    // cosine of (base vec, replica-1 vec) — strictly below 1 for all
+    import org.apache.spark.sql.functions.{sqrt => sqrtC}
+    graft.functions.VectorFunctions.register(spark)
+    val dotUdfFree = {
+      val a = embBase.select(col("vec_id").as("k"),
+        col("embedding").cast("array<double>").as("va"))
+      val b = emb.filter(col("vec_id") >= nEmbBase &&
+          col("vec_id") < 2 * nEmbBase)
+        .select((col("vec_id") - nEmbBase).as("k"),
+          col("embedding").cast("array<double>").as("vb"))
+      a.join(b, "k").select(
+        (graft.llm.Similarity.dot(col("va"), col("vb")) /
+          (sqrtC(graft.llm.Similarity.dot(col("va"), col("va"))) *
+            sqrtC(graft.llm.Similarity.dot(col("vb"), col("vb")))))
+          .as("cos"))
+    }
+    val maxCos = dotUdfFree.agg(org.apache.spark.sql.functions.max("cos"))
+      .head().getDouble(0)
+    assert(maxCos < 1.0 - 1e-9,
+      s"replica vectors must change direction, max cos = $maxCos")
   }
 }
