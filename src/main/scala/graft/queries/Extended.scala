@@ -600,53 +600,54 @@ object Extended {
     * type-count funnel would credit a purchase that preceded the
     * first view; an unwindowed one saturates on any long-lived user —
     * on this fixture every user eventually does everything, while the
-    * 24 h funnel reads 150 → 60 → 25). Each stage is one filtered
-    * min-aggregate keyed by user joined to the previous stage's entry
-    * times — three scans of a single-column slice, no window over raw
-    * events, each join keyed on user_id (AQE broadcasts the per-user
-    * stage tables when small).
+    * 24 h funnel reads 150 → 60 → 25). All three stages come from the
+    * one-pass [[funnelUserTimes]] frame: one events scan, one shuffle,
+    * no joins.
     */
-  /** The q57 stage chain (per-user first-entry times for view →
-    * click → purchase, each step strictly later and within 24 h),
-    * shared by q57's counts and q91's timing percentiles.
+  /** The q57 stage chain as ONE PASS (r14): per-user first-entry
+    * times for view → click → purchase, each step strictly later than
+    * the previous entry and within its 24 h window — computed from a
+    * single per-user aggregation instead of three filtered aggregates
+    * chained by user-keyed joins. The funnel entry times are pure
+    * per-user functions of that user's event multiset, so one
+    * `collect_list` groupBy + three chained array-HOF projections
+    * (filter/transform/array_min — all codegen) replace 3 events
+    * scans + 4 joins: the r13 shape cost 1.0–1.5 s at sf0.1 even
+    * after stage-persisting (and 5 redundant scans before that); this
+    * shape is one scan + one shuffle. Per-user state is bounded by
+    * the user's funnel-event count (the q92 window makes the same
+    * assumption); at extreme per-user volumes swap the collect for
+    * the windowed variant.
     *
-    * Each stage is MATERIALIZED (the kcore/CC snap pattern: persist +
-    * count + rebuilt LogicalRDD) before the next consumes it: q57
-    * unions all three stage counts and q91 joins consecutive stages,
-    * so without the snap the `view` aggregate subtree evaluated up to
-    * 5× per run — five redundant full `events` scans at 100 TB. With
-    * it, `events` is scanned exactly once per stage (3 total) and the
-    * downstream q57/q91 plans read three tiny per-user in-memory
-    * frames.
+    * Returns one row per user with funnel activity: (user_id, tv, tc,
+    * tp) — tc/tp NULL when the user never reached that stage.
     */
-  private def funnelStages(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val ev = t(s, dir, "events")
+  private def funnelUserTimes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_type"))
-    def snap(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def stage(tpe: String, after: Option[DataFrame]): DataFrame = {
-      val base = ev.filter(col("event_type") === tpe)
-      snap(after.fold(base)(prev =>
-          base.join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
-            .filter(col("ts") > col("pt") &&
-              col("ts") <= col("pt") + expr("INTERVAL 24 HOURS")))
-        .groupBy("user_id").agg(min(col("ts")).as("t")))
-    }
-    val v = stage("view", None)
-    val c = stage("click", Some(v))
-    val p = stage("purchase", Some(c))
-    (v, c, p)
-  }
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts"), col("event_type"))).as("evs"))
+      .withColumn("tv", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'view'), e -> e.ts)")))
+      .withColumn("tc", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'click' AND e.ts > tv" +
+          " AND e.ts <= tv + INTERVAL 24 HOURS), e -> e.ts)")))
+      .withColumn("tp", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'purchase' AND e.ts > tc" +
+          " AND e.ts <= tc + INTERVAL 24 HOURS), e -> e.ts)")))
+      .drop("evs")
 
-  def q57Funnel(s: SparkSession, dir: String): DataFrame = {
-    val (v, c, p) = funnelStages(s, dir)
-    Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
-      .map { case (name, df) =>
-        df.agg(lit(name).as("stage"),
-          count(lit(1)).cast(LongType).as("n_users")) }
-      .reduce(_ unionByName _)
-  }
+  def q57Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelUserTimes(s, dir)
+      .agg(count(col("tv")).as("nv"), count(col("tc")).as("nc"),
+        count(col("tp")).as("np"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("nv").cast(LongType).as("n_users")),
+        struct(lit("2_click").as("stage"), col("nc").cast(LongType).as("n_users")),
+        struct(lit("3_purchase").as("stage"), col("np").cast(LongType).as("n_users"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
 
   /** q91 — funnel TIMING: median and p90 seconds spent on each funnel
     * transition (view→click, click→purchase), over exactly q57's
@@ -655,25 +656,25 @@ object Extended {
     * second-truncated epoch differences (the q81 convention, since the
     * fixture carries sub-second timestamps); each percentile is the
     * same linear-interpolation quantile in both engines. Shape: the
-    * q57 user-keyed joins plus a 2-group aggregate; the per-group
-    * exact percentile holds one transition's durations — at 100 TB
-    * swap in the q67 binned-histogram quantile.
+    * one-pass [[funnelUserTimes]] frame exploded into ≤ 2 duration
+    * rows per converting user, then a 2-group aggregate; the
+    * per-group exact percentile holds one transition's durations — at
+    * 100 TB swap in the q67 binned-histogram quantile.
     */
-  def q91FunnelTiming(s: SparkSession, dir: String): DataFrame = {
-    val (v, c, p) = funnelStages(s, dir)
-    def leg(name: String, from: DataFrame, to: DataFrame): DataFrame =
-      to.select(col("user_id"), col("t").as("t_to"))
-        .join(from.select(col("user_id"), col("t").as("t_from")), "user_id")
-        .select(lit(name).as("transition"),
-          (unix_timestamp(col("t_to")) - unix_timestamp(col("t_from")))
-            .as("sec"))
-    leg("1_view_to_click", v, c)
-      .unionByName(leg("2_click_to_purchase", c, p))
+  def q91FunnelTiming(s: SparkSession, dir: String): DataFrame =
+    funnelUserTimes(s, dir)
+      .select(explode(array(
+        struct(lit("1_view_to_click").as("transition"),
+          (unix_timestamp(col("tc")) - unix_timestamp(col("tv"))).as("sec")),
+        struct(lit("2_click_to_purchase").as("transition"),
+          (unix_timestamp(col("tp")) - unix_timestamp(col("tc"))).as("sec"))))
+        .as("l"))
+      .select(col("l.transition").as("transition"), col("l.sec").as("sec"))
+      .filter(col("sec").isNotNull)
       .groupBy("transition")
       .agg(count(lit(1)).as("n_users"),
         round(expr("percentile(sec, 0.5)"), 6).as("p50_s"),
         round(expr("percentile(sec, 0.9)"), 6).as("p90_s"))
-  }
 
   /** q92 — first-order event-type transition matrix: for every
     * consecutive event pair within a user's timeline, the

@@ -302,34 +302,26 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 3, "no two-phase aggregate")
   }
 
-  test("q91 funnel timing: stage frames are persisted — events is " +
-      "scanned at most 3x (once per stage cache fill), never 5x") {
-    // funnelStages persists each of v/c/p, so every stage's aggregate
-    // evaluates exactly once per run (the cache fill) and all later
-    // references are InMemoryTableScans. Without the persist, q91's
-    // two legs re-evaluated the `view` chain up to 5× — five redundant
-    // full `events` scans at 100 TB (VERDICT r13 ask #1). Plan TEXT
-    // re-prints each cached relation's definition at every reference,
-    // so the pin walks the actual tree: every leaf the query EXECUTES
-    // must be an in-memory scan, never a file scan (the ≤3 fill scans
-    // live inside the cached relations, each filled once).
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def executedLeaves(df: org.apache.spark.sql.DataFrame) = {
-      val top = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case o => o
-      }
-      top.collectLeaves()
+  test("q57/q91 funnel: ONE events scan, no joins — the whole stage " +
+      "chain is a single per-user aggregation") {
+    // funnelUserTimes computes all three stage entry times from one
+    // collect_list groupBy + chained array HOFs, so the r13 shape's
+    // 3 scans + 4 user-keyed joins (and the pre-r14 5× re-evaluation
+    // of the view chain, VERDICT r13 ask #1) are structurally gone:
+    // one parquet scan of events, one hash exchange, zero joins.
+    for (df <- Seq(Extended.q91FunnelTiming(spark, sfDir),
+        Extended.q57Funnel(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.split("Scan parquet").length - 1 == 1,
+        s"funnel must scan events exactly once:\n$p")
+      assert(!p.contains("Join"), s"funnel must not plan a join:\n$p")
+      // ≤ 2 hash exchanges: the user_id aggregation plus (q91 only)
+      // the 2-group transition aggregate, whose exchange carries two
+      // partial-percentile rows — nothing event-sized reshuffles
+      assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+        s"funnel must shuffle only the user_id agg + the 2-group agg:\n$p")
+      assert(!p.toLowerCase.contains("udf"), p)
     }
-    val l91 = executedLeaves(Extended.q91FunnelTiming(spark, sfDir))
-    assert(!l91.exists(_.isInstanceOf[FileSourceScanExec]),
-      s"q91's executed tree must read only the persisted stage frames: $l91")
-    assert(l91.count(_.nodeName.contains("InMemoryTableScan")) >= 3,
-      s"q91 must read the three persisted stage frames: $l91")
-    val l57 = executedLeaves(Extended.q57Funnel(spark, sfDir))
-    assert(!l57.exists(_.isInstanceOf[FileSourceScanExec]),
-      s"q57's executed tree must read only the persisted stage frames: $l57")
   }
 
   test("q83 zorder: extent row broadcasts; the 32-term Morton interleave " +
