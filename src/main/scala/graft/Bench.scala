@@ -297,9 +297,15 @@ object Bench {
     // comparisons should use clean-vs-clean or raw-vs-raw, never mix.
     // q60/q61 left the family in r14: their clean tier is the CDC
     // phase-split sum (cdcOverrides above), measured in this JVM.
+    // s10 joined in r14 from the opposite direction: its plan is
+    // byte-stable since r12 and costs 0.93 s in a fresh JVM, but its
+    // in-suite median grows with suite size at a CLEAN sentinel
+    // (1.49 s after 6 queries, 2.6 s after 150) — code-cache/JIT
+    // pressure on its large literal-codebook kernels, not plan cost.
+    // The fresh-JVM child is the number that tracks the plan.
     val heavyFamily = Set("c8_curate_full", "c19_attrition",
       "d8_dedup_clusters", "d9_dedup_apply", "d14_split_leakfree",
-      "q79_entity_resolution")
+      "q79_entity_resolution", "s10_knn_pq")
     val heavySelected =
       if (args.nonEmpty) Seq.empty // filtered child: measure in place
       else results.keySet.intersect(heavyFamily).toSeq.sorted
