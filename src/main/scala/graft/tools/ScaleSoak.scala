@@ -164,20 +164,37 @@ object ScaleSoak {
       (name, base, baseRuns, soak, soakRuns, scale)
     }
     def f3(d: Double): String = "%.3f".format(d)
-    val json = rows.map { case (n, b, bruns, sk, runs2, sc) =>
-      s""""$n":{"base_sec":${f3(b)},"soak_sec":${f3(sk)},""" +
-        s""""base_runs":[${bruns.map(f3).mkString(",")}],""" +
-        s""""soak_runs":[${runs2.map(f3).mkString(",")}],""" +
-        s""""estimator":"median-of-3-both-sides",""" +
-        s""""scale":${f3(sc)}}"""
-    }.mkString(
+    val rowJson: Map[String, String] =
+      rows.map { case (n, b, bruns, sk, runs2, sc) =>
+        n -> (s""""base_sec":${f3(b)},"soak_sec":${f3(sk)},""" +
+          s""""base_runs":[${bruns.map(f3).mkString(",")}],""" +
+          s""""soak_runs":[${runs2.map(f3).mkString(",")}],""" +
+          s""""estimator":"median-of-3-both-sides","scale":${f3(sc)}""")
+      }.toMap
+    // A FILTERED run merges its rows into the existing artifact
+    // instead of shrinking it to the selected queries (a regex probe
+    // used to clobber the committed full-set file); the write is
+    // try-wrapped so a missing SPARK_GRAFT_REPO dir can't kill the
+    // stdout line that carries the same JSON.
+    val repoPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+      .resolve("BENCH_SF1.json")
+    val prevRows: Map[String, String] =
+      try {
+        val txt = java.nio.file.Files.readString(repoPath)
+        "\"([a-zA-Z0-9_]+)\":(\\{[^{}]*\\})".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).stripPrefix("{").stripSuffix("}"))
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    val merged = (prevRows -- Seq("queries")) ++ rowJson
+    val json =
       s"""{"base_sf":"$baseDir","soak_factor":$factor,""" +
-        s""""soak_dir":"$outDir","cpus":$cpus,"queries":{""",
-      ",", "}}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-        .resolve("BENCH_SF1.json"), json + "\n")
+        s""""soak_dir":"$outDir","cpus":$cpus,"queries":{""" +
+        merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":{$v}""" }.mkString(",") + "}}"
+    try java.nio.file.Files.writeString(repoPath, json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[soak] artifact write failed: ${e.getMessage}") }
     println(json)
     spark.stop()
   }
