@@ -36,4 +36,30 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(fn(spark, sfDir).count() >= 0)
     }
   }
+
+  test("global plan lint: no cartesian product, no Python, no UDF in " +
+      "any of the 190 query plans (MLlib model faces exempt from the " +
+      "UDF rule — predict transforms plan ScalaUDFs by construction)") {
+    // The per-operator PlanSpec pins cover ~30 hand-picked shapes;
+    // this closes the other 160: a CartesianProduct anywhere is a
+    // 100 TB outage (every crossJoin in the tree must stay broadcast-
+    // pinned), and the zero-UDF claim (all custom kernels are codegen
+    // Expressions or typed aggregates) is asserted engine-wide
+    // instead of spot-checked.
+    val udfExempt = Set("c12_quality_model", "s4_knn_ivf_kmeans")
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct"))
+          bad += s"$name: CartesianProduct"
+        if (p.contains("BatchEvalPython") || p.contains("ArrowEvalPython"))
+          bad += s"$name: Python UDF"
+        if (!udfExempt(name) && p.contains("ScalaUDF"))
+          bad += s"$name: ScalaUDF"
+      } catch { case e: Throwable => bad += s"$name: plan build failed: " +
+        e.getMessage.take(120) }
+    }
+    assert(bad.isEmpty, s"plan lint failures:\n${bad.mkString("\n")}")
+  }
 }
