@@ -85,9 +85,16 @@ object Bench {
           .get(System.getProperty("java.io.tmpdir"))
         val ownPrefixes = Seq("q60", "q61")
           .map(graft.ops.Maintenance.cdcScratchPrefix)
+        // own scratch always; another process's scratch ONLY when its
+        // pid is dead (a crashed run's dirs would otherwise leak
+        // forever — no one else reclaims them)
+        def deadOwner(name: String): Boolean =
+          "graft_q6[01]_p(\\d+)_".r.findFirstMatchIn(name).exists(m =>
+            !ProcessHandle.of(m.group(1).toLong).isPresent)
         Option(tmpRoot.toFile.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory &&
-            ownPrefixes.exists(f.getName.startsWith))
+            (ownPrefixes.exists(f.getName.startsWith) ||
+              deadOwner(f.getName)))
           .foreach { d =>
             java.nio.file.Files.walk(d.toPath)
               .sorted(java.util.Comparator.reverseOrder())
@@ -256,13 +263,17 @@ object Bench {
       if (args.nonEmpty) Map.empty
       else verdictFaceRawFns.filter(kv => results.contains(kv._1))
         .map { case (name, fn) =>
+          var failed = false
           val ts = (1 to 3).map { _ =>
             releaseState()
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => failed = true }
             (System.nanoTime() - t0) / 1e9
           }
-          name -> ts.sorted.apply(1)
+          // a failing operator must not publish its time-to-exception
+          // as a cost improvement: -1 is the self-identifying marker
+          name -> (if (failed) -1.0 else ts.sorted.apply(1))
         }
     releaseState()
     val CleanThreshold = 1.3
@@ -493,7 +504,8 @@ object Bench {
     // selectivities, values mean recall@3 of the s20 discipline
     // against exact-within-subset truth.
     val filteredSweep: Map[String, Double] =
-      if (!selected.contains("s20_knn_filtered_lsh")) Map.empty
+      if (args.nonEmpty || !selected.contains("s20_knn_filtered_lsh"))
+        Map.empty // filtered children never re-run the sweep
       else try {
         Seq(100, 20, 10, 4, 2).map { m =>
           val r = graft.llm.Similarity.filteredRecallAt(spark, sfDir, m)

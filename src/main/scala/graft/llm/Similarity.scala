@@ -1192,7 +1192,21 @@ object Similarity {
     */
   def knnLshFromIndex(s: SparkSession, indexDir: String,
       topK: Int = 3): DataFrame = {
-    val e = s.read.parquet(s"$indexDir/buckets")
+    // Layout compatibility across the r14 signature widening: a
+    // pre-r14 index has no sig2 column, and an r14 append into such a
+    // layout leaves MIXED files (old rows read sig2 = null under
+    // mergeSchema). Backfill from the stored vector in both cases —
+    // the planes are constants, so the backfilled word is identical
+    // to what a rebuild would store; fully-new layouts read the
+    // column and plan no signature arithmetic. Old rows pay the
+    // 64-dot projection until the next compaction rewrites them.
+    val raw = s.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/buckets")
+    val e =
+      if (!raw.columns.contains("sig2"))
+        raw.withColumn("sig2", lshSig2(col("v")))
+      else raw.withColumn("sig2",
+        coalesce(col("sig2"), lshSig2(col("v"))))
     hammingRerank(e, rerankBudget(e), topK)
   }
 

@@ -166,10 +166,14 @@ object ScaleSoak {
     def f3(d: Double): String = "%.3f".format(d)
     val rowJson: Map[String, String] =
       rows.map { case (n, b, bruns, sk, runs2, sc) =>
+        // per-row factor: merged artifacts can carry rows measured
+        // under different run configurations, so provenance must ride
+        // on the row, not only the (current-run) header
         n -> (s""""base_sec":${f3(b)},"soak_sec":${f3(sk)},""" +
           s""""base_runs":[${bruns.map(f3).mkString(",")}],""" +
           s""""soak_runs":[${runs2.map(f3).mkString(",")}],""" +
-          s""""estimator":"median-of-3-both-sides","scale":${f3(sc)}""")
+          s""""estimator":"median-of-3-both-sides",""" +
+          s""""factor":$factor,"scale":${f3(sc)}""")
       }.toMap
     // A FILTERED run merges its rows into the existing artifact
     // instead of shrinking it to the selected queries (a regex probe
@@ -182,8 +186,10 @@ object ScaleSoak {
     val prevRows: Map[String, String] =
       try {
         val txt = java.nio.file.Files.readString(repoPath)
-        "\"([a-zA-Z0-9_]+)\":(\\{[^{}]*\\})".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).stripPrefix("{").stripSuffix("}"))
+        // tolerate pretty-printed files ("name": { ... } with spaces)
+        "\"([a-zA-Z0-9_]+)\"\\s*:\\s*(\\{[^{}]*\\})".r.findAllMatchIn(txt)
+          .map(m => m.group(1) ->
+            m.group(2).stripPrefix("{").stripSuffix("}").trim)
           .toMap
       } catch { case _: Throwable => Map.empty }
     val merged = (prevRows -- Seq("queries")) ++ rowJson

@@ -158,6 +158,39 @@ class LlmSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("LSH index migration: a pre-r14 layout (no sig2) and a mixed " +
+      "layout (r14 append into it) both search identically to a rebuild") {
+    import graft.ops.Partitioning
+    val base = java.nio.file.Files.createTempDirectory("graft_annmig").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // truth: full r14 build
+    Similarity.buildLshIndexFrom(all, s"$base/full")
+    val full = Similarity.knnLshFromIndex(spark, s"$base/full")
+      .collect().map(_.toSeq).toSet
+    // pre-r14 layout: the same build WITHOUT the sig2 column
+    Similarity.buildLshIndexFrom(all, s"$base/old")
+    val oldFrame = spark.read.parquet(s"$base/old/buckets")
+      .drop("sig2")
+    val oldDir = s"$base/oldstyle"
+    Partitioning.writePartitioned(oldFrame, s"$oldDir/buckets", "bucket")
+    val fromOld = Similarity.knnLshFromIndex(spark, oldDir)
+      .collect().map(_.toSeq).toSet
+    assert(fromOld == full,
+      "sig2 backfill over a pre-r14 layout must equal a rebuild")
+    // mixed layout: pre-r14 slice + r14 append of the rest
+    val mixDir = s"$base/mixed"
+    Partitioning.writePartitioned(
+      spark.read.parquet(s"$base/old/buckets").drop("sig2")
+        .filter(col("vec_id") < 40),
+      s"$mixDir/buckets", "bucket")
+    Similarity.appendToLshIndex(spark,
+      all.filter(col("vec_id") >= 40), mixDir)
+    val fromMixed = Similarity.knnLshFromIndex(spark, mixDir)
+      .collect().map(_.toSeq).toSet
+    assert(fromMixed == full,
+      "null-sig2 rows in a mixed layout must backfill, not null-rank")
+  }
+
   test("set-similarity join is exact: equals brute-force Jaccard >= t") {
     // ground truth by enumeration (small data): ALL pairs >= 0.8 —
     // exactness means d11 finds every one (LSH may not), no extras

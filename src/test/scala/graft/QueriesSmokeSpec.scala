@@ -58,7 +58,7 @@ class QueriesSmokeSpec extends SparkSpec {
         if (!udfExempt(name) && p.contains("ScalaUDF"))
           bad += s"$name: ScalaUDF"
       } catch { case e: Throwable => bad += s"$name: plan build failed: " +
-        e.getMessage.take(120) }
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(120) }
     }
     assert(bad.isEmpty, s"plan lint failures:\n${bad.mkString("\n")}")
   }
