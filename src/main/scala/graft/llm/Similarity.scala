@@ -65,6 +65,28 @@ object Similarity {
   private def pairCos(av: Column, an: Column, bv: Column, bn: Column): Column =
     dot(av, bv) / (an * bn)
 
+  /** Final exact-top-k presentation shared by every ANN tier: ranks
+    * (q_id, vec_id, sim) rows per query through the `topk_by` bounded
+    * heap and emits (q_id, vec_id, sim, rk) in the s1 column contract.
+    * Order and tie rule are IDENTICAL to the
+    * `row_number() OVER (ORDER BY sim DESC, vec_id)` window this
+    * replaces (heap keeps the largest ord, ties to the smallest id,
+    * output sorted the same way — [[graft.functions.TopKBy]]), so
+    * every oracle row is unchanged; what changes is the plan: the
+    * aggregate partial-aggregates map-side (each task exchanges ≤ k
+    * rows per query instead of sorting its whole scored stream for a
+    * rank window), the shape that survives 100 TB (VERDICT r14 #2).
+    */
+  private def finalTopK(scored: DataFrame, topK: Int): DataFrame = {
+    graft.functions.TopKFunctions.register(scored.sparkSession)
+    scored.groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("sim"), col("vec_id"), lit(topK)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.ord").as("sim"), (col("pos") + 1).cast(LongType).as("rk"))
+  }
+
   // -- s1: brute-force top-k ----------------------------------------------
   /** Exact cosine top-5 over the whole corpus for queries vec_id < 20.
     * Ties broken by neighbor id so ranks are deterministic.
@@ -97,15 +119,11 @@ object Similarity {
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.crossJoin(broadcast(q))
+    finalTopK(e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
       .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim")),
+      topK)
   }
 
   /** Per-query candidate budget for the FILTERED tier: the rerank
@@ -125,10 +143,14 @@ object Similarity {
     */
   val FilteredBudgetFloor = 50
 
-  private def filteredBudget(e: DataFrame, topK: Int): Int = {
+  private def filteredBudget(e: DataFrame): Int = {
     val r = e.agg(count(lit(1)).cast("double"),
       countDistinct(col("label")).cast("double")).head()
-    math.max(math.max(4 * topK, FilteredBudgetFloor),
+    // exactly GREATEST(floor, frac) — the oracle's formula. A 4·topK
+    // term used to ride along; at any topK > floor/4 it silently
+    // diverged from the SQL contract (ADVICE r14), and at the
+    // supported topK range the 50 floor dominates it anyway.
+    math.max(FilteredBudgetFloor,
       math.ceil(RerankFraction * r.getDouble(0) / r.getDouble(1)).toInt)
   }
 
@@ -152,7 +174,7 @@ object Similarity {
     graft.functions.TopKFunctions.register(s)
     val e = emb(s, dir).withColumn("sig", lshSig(col("v")))
       .withColumn("sig2", lshSig2(col("v")))
-    val topC = filteredBudget(e, topK)
+    val topC = filteredBudget(e)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("sig").as("q_sig"), col("sig2").as("q_sig2"),
@@ -170,16 +192,12 @@ object Similarity {
         .topkBy(col("nh"), col("vec_id"), lit(topC)).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("p"))
       .select(col("q_id"), col("p.id").as("vec_id"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.select(col("vec_id"), col("v"), col("nrm"))
+    finalTopK(e.select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim")),
+      topK)
   }
 
   // -- s9: brute-force top-k via the bounded-heap aggregate ---------------
@@ -224,15 +242,11 @@ object Similarity {
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.join(broadcast(q), col("label") === col("q_label"))
+    finalTopK(e.join(broadcast(q), col("label") === col("q_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim")),
+      3)
   }
 
   // -- s3: embedding near-dup pairs ---------------------------------------
@@ -324,26 +338,32 @@ object Similarity {
     */
   private def probeCells(assigned: DataFrame, centDf: DataFrame,
       nprobe: Int, topK: Int): DataFrame = {
+    graft.functions.TopKFunctions.register(assigned.sparkSession)
     val q = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // nearest-nprobe centroids per normalized query:
-    // ||q/‖q‖ − c||² = 1 − 2·(q·c)/‖q‖ + c·c
-    val wc = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
+    // ||q/‖q‖ − c||² = 1 − 2·(q·c)/‖q‖ + c·c. Ranked through the
+    // bounded heap on −cdist (heap keeps largest ord, ties to the
+    // smallest cell — exactly ORDER BY cdist, cell): the |Q|·k
+    // centroid fanout partial-aggregates to |Q|·nprobe map-side
+    // instead of shuffling through a rank window (VERDICT r14 #2).
     val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("cdist",
-        lit(1.0) - lit(2.0) * dot(col("qv"), col("cv")) / col("qn") + col("cc"))
-      .withColumn("cr", row_number().over(wc))
-      .filter(col("cr") <= nprobe)
-      .select(col("q_id"), col("cell"), col("qv"), col("qn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    assigned.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"),
+        (lit(1.0) - lit(2.0) * dot(col("qv"), col("cv")) / col("qn")
+          + col("cc")).as("cdist"))
+      .groupBy("q_id")
+      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+        graft.functions.TopKFunctions
+          .topkBy(-col("cdist"), col("cell").cast(LongType), lit(nprobe))
+          .as("tk"))
+      .select(col("q_id"), col("qv"), col("qn"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").cast("int").as("cell"),
+        col("qv"), col("qn"))
+    finalTopK(assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim")),
+      topK)
   }
 
   /** IVF core over any (vec_id, v, nrm) frame — fit quantizer, assign
@@ -830,7 +850,10 @@ object Similarity {
   private[graft] def coarseCellsOf(unit: DataFrame,
       cellIds: Seq[Long]): DataFrame = {
     import unit.sparkSession.implicits._
-    val cellIdx = cellIds.zipWithIndex.toDF("vec_id", "cell")
+    // cell ids are LONG so the heap-ranked assignment/probing below
+    // keeps them without casts (topk_by ids are int64)
+    val cellIdx = cellIds.zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("vec_id", "cell")
     broadcast(unit.join(broadcast(cellIdx), "vec_id")
       .select(col("cell"), col("uv").as("ccv")))
   }
@@ -838,30 +861,50 @@ object Similarity {
   /** Coarse assignment: the `assign` best cells by dot (= min-L2,
     * cells unit-norm), ties to the smallest cell id — (vec_id, cell,
     * rv) with rv the residual uv − cell, one row per assigned cell.
+    *
+    * Shape (VERDICT r14 #2): the n·k (vector, cell) fanout collapses
+    * to n·assign MAP-SIDE through the `topk_by` bounded heap — the
+    * broadcast crossJoin emits every cell row on the vector's own
+    * partition, so the partial aggregate finishes each vector's heap
+    * before the exchange, which then carries n rows (heap + uv). The
+    * rank-window form this replaces shuffled and sorted all n·k rows
+    * by vec_id first — the engine's one remaining avoidable full
+    * shuffle at 100 TB. Residual subtraction happens after the cut
+    * via a broadcast re-join of the k-row cell table (heap elements
+    * are (score, id) pairs; ccv re-enters by id).
     */
   private[graft] def ivfPqAssign(unit: DataFrame, cells: DataFrame,
       assign: Int = 1): DataFrame = {
-    val wCell = Window.partitionBy("vec_id").orderBy(desc("cd"), col("cell"))
+    graft.functions.TopKFunctions.register(unit.sparkSession)
     unit.crossJoin(cells)
-      .select(col("vec_id"), col("uv"), col("cell"), col("ccv"),
+      .select(col("vec_id"), col("uv"), col("cell"),
         dot(col("uv"), col("ccv")).as("cd"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= assign)
+      .groupBy("vec_id")
+      .agg(first(col("uv")).as("uv"),
+        graft.functions.TopKFunctions
+          .topkBy(col("cd"), col("cell"), lit(assign)).as("tk"))
+      .select(col("vec_id"), col("uv"), explode(col("tk")).as("a"))
+      .select(col("vec_id"), col("uv"), col("a.id").as("cell"))
+      .join(cells, "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("uv"), col("ccv"), (a, b) => a - b).as("rv"))
   }
 
   /** The nprobe best cells per query, with q·cell riding along as the
-    * ADC score's coarse term.
+    * ADC score's coarse term — same heap-ranked shape as
+    * [[ivfPqAssign]] (ties to the smallest cell; qcd rides back out
+    * of the heap element itself).
     */
   private[graft] def ivfPqProbesOf(q: DataFrame, cells: DataFrame,
       nprobe: Int): DataFrame = {
-    val wProbe = Window.partitionBy("q_id").orderBy(desc("qcd"), col("cell"))
+    graft.functions.TopKFunctions.register(q.sparkSession)
     q.crossJoin(cells)
       .select(col("q_id"), col("cell"), dot(col("quv"), col("ccv")).as("qcd"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_id", "cell", "qcd")
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("qcd"), col("cell"), lit(nprobe)).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("cell"), col("p.ord").as("qcd"))
   }
 
   /** The s11 pipeline over an arbitrary (vec_id, uv) unit-vector frame
@@ -1043,35 +1086,35 @@ object Similarity {
       .select(col("q_id"), explode(col("tk")).as("p"))
       .select(col("q_id"), col("p.id").as("vec_id"))
     // stage 2: exact cosine on the candidates only
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.select(col("vec_id"), col("v"), col("nrm"))
+    finalTopK(e.select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim")),
+      topK)
   }
 
   // -- s13: Johnson–Lindenstrauss random-projection kNN --------------------
-  /** Reduced dimensionality for the JL sketch (64 → 48). Parameter
-    * sweep on this corpus (recall@3 vs brute, 10% budget): 16d 0.60,
-    * 24d 0.67, 32d 0.77-0.80, 48d ≥ 0.85 — the isotropic fixture's
-    * tiny cosine gaps need ε ≈ 1/√d below ~0.15; real clustered
-    * corpora rank well at far lower d (the s11 fixture-geometry
-    * argument). 48d keeps the byte story (192 B float32 vs 256 B
-    * full-precision, and stage 1 reads the sketch column only) while
-    * clearing the 0.85 recall bar the other tiers hold (r14).
+  /** Reduced dimensionality for the JL sketch (64 → 56). Parameter
+    * sweep on this corpus (recall@3 vs brute, 10–12% budget): 16d
+    * 0.60, 24d 0.67, 32d 0.77-0.80, 48d 0.883, 56d 0.933–0.950 — the
+    * isotropic fixture's tiny cosine gaps need ε ≈ 1/√d below ~0.13;
+    * real clustered corpora rank well at far lower d (the s11
+    * fixture-geometry argument). 56d keeps the byte story (224 B
+    * float32 vs 256 B full-precision, and stage 1 reads the sketch
+    * column only) while lifting recall to the family norm ≥ 0.9
+    * (VERDICT r14 #4; floor raised 0.8 → 0.85). The planes are a
+    * PREFIX of the same seeded stream at every d, so the sweep points
+    * differ only by the extra rows.
     */
-  val JlDims = 48
+  val JlDims = 56
   /** Candidate budget for the JL scan — tighter than s6's 0.15: a
-    * 32-float sketch preserves RANK better than 64 sign bits, so the
-    * same recall band costs ⅔ the candidates (recall measured in the
-    * bench artifact against brute top-3, floor 0.7).
+    * 56-float sketch preserves RANK better than 128 sign bits, so a
+    * higher recall band (0.95 vs 0.967 at sf0.1) costs ⅘ the
+    * candidates (recall measured in the bench artifact against brute
+    * top-3, floor 0.85).
     */
-  val JlRerankFraction = 0.10
+  val JlRerankFraction = 0.12
 
   /** Fixed Gaussian projection rows (seeded, literal-shared with the
     * oracle like [[sigPlanes]]) — the Johnson–Lindenstrauss transform:
@@ -1125,16 +1168,12 @@ object Similarity {
         .topkBy(col("est"), col("vec_id"), lit(topC)).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("p"))
       .select(col("q_id"), col("p.id").as("vec_id"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.select(col("vec_id"), col("v"), col("nrm"))
+    finalTopK(e.select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim")),
+      topK)
   }
 
   /** Builds and PERSISTS the LSH index: the bucket-assigned corpus as
@@ -1155,12 +1194,68 @@ object Similarity {
   /** [[buildLshIndex]] over an arbitrary (vec_id, label, embedding)
     * frame — the write step ingest pipelines call directly.
     */
-  def buildLshIndexFrom(vecs: DataFrame, indexDir: String): Unit =
+  def buildLshIndexFrom(vecs: DataFrame, indexDir: String): Unit = {
     graft.ops.Partitioning.writePartitioned(
       embOf(vecs).withColumn("sig", lshSig(col("v")))
         .withColumn("sig2", lshSig2(col("v")))
         .withColumn("bucket", col("sig").bitwiseAND(lit((1L << LshPlanes) - 1))),
       s"$indexDir/buckets", "bucket")
+    // a full build writes every row with both signature words — record
+    // that as LAYOUT metadata (the IngestUpsert _graft_buckets
+    // discipline) so the search plans the plain column fast path
+    writeSigLayoutMarker(vecs.sparkSession, s"$indexDir/buckets")
+  }
+
+  /** Signature-layout marker: present ⇔ EVERY row of the layout
+    * carries a non-null `sig2` word. Column presence alone cannot
+    * prove that (an r14 append into a pre-r14 layout leaves mixed
+    * files whose old rows read sig2 = null under mergeSchema), and
+    * the r14 coalesce-backfill guard it forced kept even fully-new
+    * layouts reading the full vector column (ADVICE r15). The marker
+    * is layout METADATA, recorded at build/append time when the
+    * writer KNOWS the invariant holds — the [[IngestUpsert]]
+    * `_graft_buckets` discipline.
+    */
+  private val SigLayoutMarker = "_graft_siglayout"
+  private val SigLayoutV2 = "sig128-v2"
+
+  private def hadoopFs(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def writeSigLayoutMarker(s: SparkSession, bucketsDir: String): Unit = {
+    val fs = hadoopFs(s, bucketsDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$bucketsDir/$SigLayoutMarker"), true)
+    try out.write(SigLayoutV2.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def sigLayoutIsV2(s: SparkSession, bucketsDir: String): Boolean =
+    try {
+      val fs = hadoopFs(s, bucketsDir)
+      val p = new org.apache.hadoop.fs.Path(s"$bucketsDir/$SigLayoutMarker")
+      fs.exists(p) && {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          n > 0 && new String(buf, 0, n, "UTF-8").trim == SigLayoutV2
+        } finally in.close()
+      }
+    } catch { case _: Throwable => false }
+
+  /** True when the buckets dir already holds committed data files —
+    * the append-into-existing-layout case the marker must not
+    * misrepresent (appending v2 rows into a markerless layout leaves
+    * it MIXED, so the marker stays absent there).
+    */
+  private def hasLayoutData(s: SparkSession, bucketsDir: String): Boolean =
+    try {
+      val fs = hadoopFs(s, bucketsDir)
+      val root = new org.apache.hadoop.fs.Path(bucketsDir)
+      fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    } catch { case _: Throwable => false }
 
   /** Appends a batch of NEW embeddings to a [[buildLshIndex]] layout —
     * the incremental-ingest half of the index lifecycle (the ANN
@@ -1177,13 +1272,23 @@ object Similarity {
     * directories keep their exact file set.
     */
   def appendToLshIndex(s: SparkSession, newVecs: DataFrame,
-      indexDir: String): Unit =
+      indexDir: String): Unit = {
+    val bucketsDir = s"$indexDir/buckets"
+    // layout accounting BEFORE the write: an append into an EMPTY dir
+    // creates a fully-v2 layout (mark it); an append into a marked
+    // layout keeps the invariant (batch rows carry sig2); an append
+    // into unmarked existing data creates a MIXED layout — leave it
+    // unmarked so the search keeps the per-row backfill
+    val markAfter = sigLayoutIsV2(s, bucketsDir) ||
+      !hasLayoutData(s, bucketsDir)
     embOf(newVecs)
       .withColumn("sig", lshSig(col("v")))
       .withColumn("sig2", lshSig2(col("v")))
       .withColumn("bucket", col("sig").bitwiseAND(lit((1L << LshPlanes) - 1)))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("bucket").parquet(s"$indexDir/buckets")
+      .partitionBy("bucket").parquet(bucketsDir)
+    if (markAfter) writeSigLayoutMarker(s, bucketsDir)
+  }
 
   /** Signature search against a [[buildLshIndex]] layout — the
     * query-path twin of the build step. Same scan + rerank core as
@@ -1192,22 +1297,33 @@ object Similarity {
     */
   def knnLshFromIndex(s: SparkSession, indexDir: String,
       topK: Int = 3): DataFrame = {
-    // Layout compatibility across the r14 signature widening: a
-    // pre-r14 index has no sig2 column, and an r14 append into such a
-    // layout leaves MIXED files (old rows read sig2 = null under
-    // mergeSchema). Backfill from the stored vector in both cases —
-    // the planes are constants, so the backfilled word is identical
-    // to what a rebuild would store; fully-new layouts read the
-    // column and plan no signature arithmetic. Old rows pay the
-    // 64-dot projection until the next compaction rewrites them.
-    val raw = s.read.option("mergeSchema", "true")
-      .parquet(s"$indexDir/buckets")
-    val e =
-      if (!raw.columns.contains("sig2"))
-        raw.withColumn("sig2", lshSig2(col("v")))
-      else raw.withColumn("sig2",
-        coalesce(col("sig2"), lshSig2(col("v"))))
-    hammingRerank(e, rerankBudget(e), topK)
+    // Layout compatibility across the r14 signature widening, decided
+    // from the [[SigLayoutMarker]] layout metadata (ADVICE r15 —
+    // column PRESENCE cannot prove per-row non-nullness, and the
+    // coalesce guard it forced made even fully-v2 layouts read the
+    // full vector column under the 8192-literal backfill projection):
+    //  - marked v2 (every build/append since the marker, and any
+    //    rebuild): plain col("sig2") — the stage-1 scan reads only
+    //    (vec_id, sig, sig2), ~20 B/vector, no signature arithmetic;
+    //  - unmarked with a sig2 column: MIXED files (an r14 append into
+    //    a pre-r14 layout) — per-row coalesce backfill from the
+    //    stored vector (planes are constants, so the backfilled word
+    //    equals what a rebuild would store);
+    //  - unmarked without the column: pre-r14 layout — full backfill.
+    // Old rows pay the 64-dot projection until a compaction rewrite.
+    if (sigLayoutIsV2(s, s"$indexDir/buckets")) {
+      val e = s.read.parquet(s"$indexDir/buckets")
+      hammingRerank(e, rerankBudget(e), topK)
+    } else {
+      val raw = s.read.option("mergeSchema", "true")
+        .parquet(s"$indexDir/buckets")
+      val e =
+        if (!raw.columns.contains("sig2"))
+          raw.withColumn("sig2", lshSig2(col("v")))
+        else raw.withColumn("sig2",
+          coalesce(col("sig2"), lshSig2(col("v"))))
+      hammingRerank(e, rerankBudget(e), topK)
+    }
   }
 
   // -- s5: int8 embedding quantization ------------------------------------
@@ -1274,15 +1390,11 @@ object Similarity {
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.join(broadcast(q), col("label") === col("q_label"))
+    finalTopK(e.join(broadcast(q), col("label") === col("q_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("qv"), col("dq")) / (col("qn") * col("dqn")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(dot(col("qv"), col("dq")) / (col("qn") * col("dqn")), 6).as("sim")),
+      topK)
   }
 
   // -- s8: semantic dup clusters over the embedding pair graph -------------
@@ -1570,11 +1682,8 @@ object Similarity {
     val subN = sub.count()
     val topC = math.max(FilteredBudgetFloor,
       math.ceil(subN * RerankFraction).toInt)
-    def top3(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select("q_id", "vec_id")
-    }
+    def top3(scored: DataFrame): DataFrame =
+      finalTopK(scored, 3).select("q_id", "vec_id")
     val truth = top3(sub
       .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),
         col("vec_id") =!= col("q_id"))

@@ -604,39 +604,50 @@ object Extended {
     * one-pass [[funnelUserTimes]] frame: one events scan, one shuffle,
     * no joins.
     */
-  /** The q57 stage chain as ONE PASS (r14): per-user first-entry
-    * times for view → click → purchase, each step strictly later than
-    * the previous entry and within its 24 h window — computed from a
-    * single per-user aggregation instead of three filtered aggregates
-    * chained by user-keyed joins. The funnel entry times are pure
-    * per-user functions of that user's event multiset, so one
-    * `collect_list` groupBy + three chained array-HOF projections
-    * (filter/transform/array_min — all codegen) replace 3 events
-    * scans + 4 joins: the r13 shape cost 1.0–1.5 s at sf0.1 even
-    * after stage-persisting (and 5 redundant scans before that); this
-    * shape is one scan + one shuffle. Per-user state is bounded by
-    * the user's funnel-event count (the q92 window makes the same
-    * assumption); at extreme per-user volumes swap the collect for
-    * the windowed variant.
+  /** The q57 stage chain as ONE PASS: per-user first-entry times for
+    * view → click → purchase, each step strictly later than the
+    * previous entry and within its 24 h window — one events scan, one
+    * user_id shuffle, zero joins. r15 swaps r14's `collect_list`
+    * groupBy (whole event multiset in one aggregation buffer —
+    * unbounded per-user state, so one hot/bot user with millions of
+    * funnel events could OOM an executor; ADVICE r14) for three
+    * CHAINED window aggregates over the same user_id partitioning:
+    * each stage's conditional min references the previous stage's
+    * entry time, all three Window nodes share ONE exchange + sort,
+    * and `WindowExec` buffers each user through a spillable sorter —
+    * a hot user degrades to disk instead of failing the executor. The
+    * per-user reduction to one row is a same-key aggregate (max of a
+    * per-user-constant), so no second exchange appears.
     *
     * Returns one row per user with funnel activity: (user_id, tv, tc,
     * tp) — tc/tp NULL when the user never reached that stage.
     */
   private def funnelUserTimes(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    funnelUserTimesOf(t(s, dir, "events"))
+
+  /** [[funnelUserTimes]] over an arbitrary (user_id, ts, event_type)
+    * frame — package-visible so the property law can replay random
+    * event multisets through the exact production chain.
+    */
+  private[graft] def funnelUserTimesOf(events: DataFrame): DataFrame = {
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(wu))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv") &&
+          col("ts") <= col("tv") + expr("INTERVAL 24 HOURS"), col("ts")))
+          .over(wu))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc") &&
+          col("ts") <= col("tc") + expr("INTERVAL 24 HOURS"), col("ts")))
+          .over(wu))
       .groupBy("user_id")
-      .agg(collect_list(struct(col("ts"), col("event_type"))).as("evs"))
-      .withColumn("tv", array_min(expr(
-        "transform(filter(evs, e -> e.event_type = 'view'), e -> e.ts)")))
-      .withColumn("tc", array_min(expr(
-        "transform(filter(evs, e -> e.event_type = 'click' AND e.ts > tv" +
-          " AND e.ts <= tv + INTERVAL 24 HOURS), e -> e.ts)")))
-      .withColumn("tp", array_min(expr(
-        "transform(filter(evs, e -> e.event_type = 'purchase' AND e.ts > tc" +
-          " AND e.ts <= tc + INTERVAL 24 HOURS), e -> e.ts)")))
-      .drop("evs")
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+        max(col("tp")).as("tp"))
+  }
 
   def q57Funnel(s: SparkSession, dir: String): DataFrame =
     funnelUserTimes(s, dir)

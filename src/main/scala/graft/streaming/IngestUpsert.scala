@@ -7,10 +7,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous keyed upsert — the streaming face of
   * [[graft.ops.Maintenance.upsertByKey]]: a change stream is merged
-  * into a keyed parquet table per micro-batch, updates winning on key
-  * collision, so the table is always the latest-state view of the
-  * stream (a CDC apply / materialized upsert sink, the third member
-  * of the ingest trio next to [[IngestDedup]] and [[IngestAnn]]).
+  * into a keyed parquet table per micro-batch, the greatest
+  * `orderCol` version winning on key collision (base row included —
+  * a late batch carrying an older version applies as a no-op rather
+  * than regressing the state), so the table is always the latest-
+  * VERSION view of the stream under any batch delivery order (a CDC
+  * apply / materialized upsert sink, the third member of the ingest
+  * trio next to [[IngestDedup]] and [[IngestAnn]]).
   *
   * Layout: the table is Hive-partitioned by `__bucket` =
   * pmod(hash(keys), buckets). A micro-batch touches only the buckets
@@ -97,13 +100,25 @@ object IngestUpsert {
         .collect().map(_.getInt(0)).toSeq
       // the merge READS the very partitions the write then overwrites:
       // materialize the merged buckets first (eager checkpoint cuts
-      // the lineage back to the input files), then write from blocks
+      // the lineage back to the input files), then write from blocks.
+      // The merge ELECTS by greatest (orderCol, tie columns) across
+      // base ∪ batch — the same rule as the within-batch election —
+      // rather than letting the batch win unconditionally
+      // (upsertByKey's MERGE semantics): a LATE batch whose versions
+      // are older than the stored state then applies as a no-op
+      // instead of regressing it, so the table converges to the
+      // one-shot max-orderCol oracle (q60's SQL) under ANY batch
+      // delivery order, not just in-order CDC (VERDICT r14 #6).
+      // Replay stays idempotent: max is; and fully tied rows are
+      // identical, so the tie-break elects the same content.
       val merged =
         if (bootstrap) latest
-        else graft.ops.Maintenance.upsertByKey(
-          s.read.parquet(tablePath)
-            .filter(col("__bucket").isin(touched: _*)),
-          latest, keys).localCheckpoint(true)
+        else s.read.parquet(tablePath)
+          .filter(col("__bucket").isin(touched: _*))
+          .unionByName(latest)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+          .localCheckpoint(true)
       // writer-scoped dynamic overwrite: no session-global conf toggle
       // for a concurrent query sharing the SparkSession to observe
       // mid-write. Dynamic mode also leaves the root-level

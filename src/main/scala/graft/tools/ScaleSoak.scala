@@ -46,7 +46,11 @@ object ScaleSoak {
     "d9_dedup_apply", "d16_apss_sketch", "q79_entity_resolution",
     "q61_cdc_scd2",
     "s4_knn_ivf_kmeans", "s6_knn_lsh", "s10_knn_pq", "s11_knn_ivfpq",
-    "q57_funnel", "q91_funnel_timing", "q92_transitions")
+    "q57_funnel", "q91_funnel_timing", "q92_transitions",
+    // r15 (VERDICT r14 #5): the decontamination/curation tail that
+    // was sentinel-flagged and clean-substituted in r14 — the whole
+    // flagged family now has a measured scale factor
+    "c9_decontaminate_bloom", "d14_split_leakfree", "d12_dup_spans")
 
   def buildCorpus(s: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
@@ -192,7 +196,20 @@ object ScaleSoak {
             m.group(2).stripPrefix("{").stripSuffix("}").trim)
           .toMap
       } catch { case _: Throwable => Map.empty }
-    val merged = (prevRows -- Seq("queries")) ++ rowJson
+    // Merge hygiene (ADVICE r14): carried-over rows must not
+    // masquerade as current measurements. Rows with no estimator
+    // field predate the symmetric estimator — tag them so their
+    // provenance rides on the row; rows whose query no longer exists
+    // in SparkEntry (renamed/removed) drop on a FULL run (a filtered
+    // probe keeps them — it can't know the full set was renamed).
+    val fullRun = args.length <= 3
+    val prevKept = (prevRows -- Seq("queries"))
+      .filter { case (n, _) =>
+        !fullRun || graft.SparkEntry.queries.contains(n) }
+      .map { case (n, v) =>
+        n -> (if (v.contains("\"estimator\"")) v
+              else v + ""","estimator":"legacy-soak-min"""") }
+    val merged = prevKept ++ rowJson
     val json =
       s"""{"base_sf":"$baseDir","soak_factor":$factor,""" +
         s""""soak_dir":"$outDir","cpus":$cpus,"queries":{""" +

@@ -189,6 +189,72 @@ class LlmSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(fromMixed == full,
       "null-sig2 rows in a mixed layout must backfill, not null-rank")
+    // Layout-marker accounting (ADVICE r15): the full build recorded
+    // the all-rows-carry-sig2 invariant as metadata; the append into
+    // the markerless pre-r14 slice left a MIXED layout, so no marker
+    // may appear there (column presence can't prove non-nullness)
+    def marked(d: String) =
+      new java.io.File(s"$d/buckets/_graft_siglayout").exists
+    assert(marked(s"$base/full"), "full v2 build must write the marker")
+    assert(!marked(mixDir), "mixed layout must stay unmarked")
+    assert(!marked(oldDir), "pre-r14 layout must stay unmarked")
+  }
+
+  test("LSH index layout marker drives the plan: a marked v2 layout's " +
+      "stage-1 scan reads stored signatures only (no per-row backfill " +
+      "arithmetic); unmarked layouts keep the coalesce backfill") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annfast").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Similarity.buildLshIndexFrom(all, s"$base/v2")
+    val fastPlan = Similarity.knnLshFromIndex(spark, s"$base/v2")
+      .queryExecution.executedPlan.toString
+    // the documented ~20 B/vector index-scan posture: the candidate
+    // stage must plan NO signature arithmetic (the 8192-literal
+    // simhash64 projection) and no null-guard coalesce over sig2 —
+    // both forced the scan to read the full 64-dim vector column
+    assert(!fastPlan.contains("simhash64"),
+      s"v2 fast path recomputes signatures:\n$fastPlan")
+    assert(!fastPlan.contains("coalesce(sig2"),
+      s"v2 fast path plans the mixed-layout backfill:\n$fastPlan")
+    // a mixed layout (v2 append into a markerless slice) must keep it
+    val mixDir = s"$base/mixed"
+    graft.ops.Partitioning.writePartitioned(
+      spark.read.parquet(s"$base/v2/buckets").drop("sig2")
+        .filter(col("vec_id") < 40),
+      s"$mixDir/buckets", "bucket")
+    Similarity.appendToLshIndex(spark, all.filter(col("vec_id") >= 40), mixDir)
+    val mixedPlan = Similarity.knnLshFromIndex(spark, mixDir)
+      .queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("simhash64"),
+      s"mixed layout must backfill null sig2 from the vector:\n$mixedPlan")
+    // an append into an EMPTY dir creates a fully-v2 layout: marked
+    val freshDir = s"$base/fresh"
+    Similarity.appendToLshIndex(spark, all, freshDir)
+    assert(new java.io.File(s"$freshDir/buckets/_graft_siglayout").exists,
+      "append-bootstrap must mark the fully-v2 layout")
+    val freshGot = Similarity.knnLshFromIndex(spark, freshDir)
+      .collect().map(_.toSeq).toSet
+    val v2Got = Similarity.knnLshFromIndex(spark, s"$base/v2")
+      .collect().map(_.toSeq).toSet
+    assert(freshGot == v2Got)
+  }
+
+  test("filtered ANN: recall holds at low and high predicate " +
+      "selectivity, and below the budget floor the search is EXACT " +
+      "(the r14 sweep promoted to a spec law — VERDICT r14 #3)") {
+    // selectivity 1/2 (high) and 1/4: the s20 discipline must hold
+    // the sweep's floor; selectivity 1/20 leaves ≤ FilteredBudgetFloor
+    // candidates, so the stage-1 heap keeps EVERY subset vector and
+    // the search degenerates to exact — recall must be 1.0 exactly
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(n / 20 <= Similarity.FilteredBudgetFloor,
+      s"fixture drifted: subset ${n / 20} no longer under the floor")
+    assert(Similarity.filteredRecallAt(spark, sfDir, 20) == 1.0,
+      "below the budget floor the filtered search must be exact")
+    for (m <- Seq(2, 4)) {
+      val r = Similarity.filteredRecallAt(spark, sfDir, m)
+      assert(r >= 0.8, s"filtered recall at selectivity 1/$m: $r < 0.8")
+    }
   }
 
   test("set-similarity join is exact: equals brute-force Jaccard >= t") {

@@ -556,4 +556,53 @@ class StatsReportsSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet == Set(1L))
     assert(got(1L)._2 == 1 && got(2L)._2 == 0 && got(3L)._2 == 0)
   }
+
+  test("property: the one-pass funnel equals the join-chain semantics " +
+      "on random event multisets — ties, duplicate timestamps, >24h " +
+      "gaps, missing stages (VERDICT r14 #8)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // ts on a 25 000 s lattice with a ±20 000 s jitter term: exact
+    // duplicates and click-at-exactly-tv ties are common (strictness
+    // of `>` is exercised), steps of ≥ 4 lattice points clear the
+    // 86 400 s window (the gap case), and the noise type plus missing
+    // stages fall out of the uniform type draw
+    val evGen = Gen.listOfN(120, Gen.zip(
+      Gen.choose(0L, 24L),
+      Gen.zip(Gen.choose(0L, 9L), Gen.oneOf(0L, 20000L))
+        .map { case (s, j) => s * 25000L + j },
+      Gen.oneOf("view", "click", "purchase", "scroll")))
+    val H = 86400L
+    val prop = Prop.forAll(evGen) { rows =>
+      val expect = rows.groupBy(_._1).flatMap { case (u, es) =>
+        def times(t: String) =
+          es.collect { case (_, ts, ty) if ty == t => ts }
+        if (es.forall(_._3 == "scroll")) None
+        else {
+          // the join-chain semantics q57 was first built from: first
+          // view; first click strictly after it within 24 h; first
+          // purchase strictly after that within 24 h
+          val tv = times("view").minOption
+          val tc = tv.flatMap(v =>
+            times("click").filter(t => t > v && t <= v + H).minOption)
+          val tp = tc.flatMap(c =>
+            times("purchase").filter(t => t > c && t <= c + H).minOption)
+          Some(u -> ((tv, tc, tp)))
+        }
+      }
+      val df = rows.toDF("user_id", "sec", "event_type")
+        .select(col("user_id"), col("sec").cast("timestamp").as("ts"),
+          col("event_type"))
+      val got = Extended.funnelUserTimesOf(df).collect().map { r =>
+        def sec(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None
+          else Some(r.getTimestamp(i).toInstant.getEpochSecond)
+        r.getLong(0) -> ((sec(1), sec(2), sec(3)))
+      }.toMap
+      got == expect
+    }
+    // 8 × 120 events over 25 users ≈ 200 independent per-user cases
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -509,6 +509,76 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == want, "replay diverged after same-instant replacement")
   }
 
+  test("late/out-of-order convergence (VERDICT r14 #6): upsert state is " +
+      "batch-order-invariant (a LATE lower-seq batch never regresses " +
+      "it); SCD2 is row-order-invariant within batches and equals the " +
+      "one-shot batch rebuild") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_late").toString
+    // --- upsert: the same change set delivered as three batches in
+    // three different orders (including seq-1 updates arriving AFTER
+    // the seq-3 winner — the late-data case) plus as ONE batch. The
+    // max-orderCol election is associative/commutative over batches,
+    // so every delivery order must converge to the same state.
+    val changes = Seq(
+      Seq((1L, 3L, "a3"), (2L, 1L, "b1")),
+      Seq((1L, 1L, "a1"), (3L, 2L, "c2")), // key 1: late seq-1 change
+      Seq((2L, 2L, "b2"), (3L, 1L, "c1"))) // key 3: late seq-1 change
+    def upsertState(order: Seq[Int], dir: String): Map[Long, (Long, String)] = {
+      order.foreach(i => graft.streaming.IngestUpsert.processBatch(
+        changes(i).toDF("id", "seq", "v"), dir, Seq("id"), "seq", buckets = 4))
+      spark.catalog.refreshByPath(dir)
+      graft.streaming.IngestUpsert.readTable(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+    }
+    val inOrder = upsertState(Seq(0, 1, 2), s"$base/u_inorder")
+    val lateOrder = upsertState(Seq(2, 1, 0), s"$base/u_late")
+    val oneShot = upsertState(Seq.empty, {
+      graft.streaming.IngestUpsert.processBatch(
+        changes.flatten.toDF("id", "seq", "v"),
+        s"$base/u_oneshot", Seq("id"), "seq", buckets = 4)
+      s"$base/u_oneshot"
+    })
+    assert(inOrder == Map(1L -> ((3L, "a3")), 2L -> ((2L, "b2")),
+      3L -> ((2L, "c2"))))
+    assert(lateOrder == inOrder, "late batch order diverged the upsert state")
+    assert(oneShot == inOrder, "batched delivery diverged from one-shot")
+    // --- SCD2: per-key timestamps stay non-decreasing ACROSS batches
+    // (the documented CDC contract — older history goes through the
+    // batch rebuild), but WITHIN a batch rows arrive in arbitrary
+    // order and key batching is arbitrary. Shuffled row order and a
+    // different batch split must both converge to the one-shot
+    // Maintenance.scdType2 rebuild of the full log.
+    val log = Seq((1L, 10L, "a1"), (2L, 10L, "b1"), (1L, 20L, "a2"),
+      (1L, 30L, "a3"), (2L, 40L, "b2"), (1L, 50L, "a4"))
+    def scd2Rows(dir: String, splits: Seq[Seq[(Long, Long, String)]])
+        : Set[(Long, Long, Option[Long], Int, String)] = {
+      splits.foreach(b => graft.streaming.IngestScd2.processBatch(
+        b.toDF("id", "t", "v"), dir, Seq("id"), "t", buckets = 4))
+      spark.catalog.refreshByPath(dir)
+      graft.streaming.IngestScd2.readTable(spark, dir)
+        .select("id", "valid_from", "valid_to", "is_current", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getInt(3), r.getString(4))).toSet
+    }
+    // split A: chronological pairs; split B: different cut points with
+    // each batch's rows SHUFFLED (reverse order within the batch)
+    val a = scd2Rows(s"$base/s_a",
+      Seq(log.take(2), log.slice(2, 4), log.drop(4)))
+    val b = scd2Rows(s"$base/s_b",
+      Seq(log.take(3).reverse, log.drop(3).reverse))
+    val rebuild = graft.ops.Maintenance
+      .scdType2(log.toDF("id", "t", "v"), Seq("id"), "t", Seq("v"))
+      .select("id", "valid_from", "valid_to", "is_current", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getInt(3), r.getString(4))).toSet
+    assert(a == rebuild, s"split A diverged from the batch rebuild:\n$a\n$rebuild")
+    assert(b == a, s"shuffled/re-split delivery diverged:\n$b\n$a")
+  }
+
   test("ingest replay after a full commit changes nothing; compaction dedupes the index") {
     import graft.streaming.IngestDedup
     val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
