@@ -392,7 +392,15 @@ object Bench {
     // same child). A per-query child is the actual reference
     // environment: JIT-cold first run falls out of the 3-run median,
     // nothing else has ever run.
-    def freshJvmRun(name: String): Map[String, Double] =
+    // The child self-reports its own quiet-box evidence
+    // (sentinel_sec in its summary line); a child that ran while the
+    // parent's heap/page cache was still being reclaimed — or under
+    // transient external load — publishes an inflated number that
+    // reads as a plan regression (r15: a d9 child measured 9.6 s in
+    // the settle window vs 3.7 s standalone moments later). Gate the
+    // child on its OWN sentinel against the parent's quiet-box base
+    // and retry once, keeping the attempt with the cleaner sentinel.
+    def freshJvmAttempt(name: String): (Map[String, Double], Double) =
       try {
         val javaBin = java.nio.file.Paths
           .get(System.getProperty("java.home"), "bin", "java").toString
@@ -434,16 +442,32 @@ object Bench {
         while ({ line = outReader.readLine(); line != null })
           if (line.trim.nonEmpty) last = line
         val finished = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-        if (!finished) { proc.destroyForcibly(); Map.empty }
-        else if (last == null) Map.empty
+        if (!finished) { proc.destroyForcibly(); (Map.empty, Double.MaxValue) }
+        else if (last == null) (Map.empty, Double.MaxValue)
         else {
           val qmap = "\"queries\":\\{([^}]*)\\}".r
             .findFirstMatchIn(last).map(_.group(1)).getOrElse("")
-          "\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qmap)
+          val childSentinel = "\"sentinel_sec\":([0-9.]+)".r
+            .findFirstMatchIn(last).map(_.group(1).toDouble)
+            .getOrElse(Double.MaxValue)
+          ("\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qmap)
             .map(m => m.group(1) -> m.group(2).toDouble)
-            .toMap.filter(kv => kv._1 == name)
+            .toMap.filter(kv => kv._1 == name), childSentinel)
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => (Map.empty, Double.MaxValue) }
+    def freshJvmRun(name: String): Map[String, Double] = {
+      val first = freshJvmAttempt(name)
+      // accept a child whose sentinel matched the parent's quiet-box
+      // base (same probe, same box; the 2× band absorbs fresh-JVM
+      // JIT variance on the probe itself); otherwise settle and try
+      // once more, shipping whichever attempt self-measured cleaner
+      if (first._2 <= 2 * math.max(sentinelBase, 0.25)) first._1
+      else {
+        System.gc(); Thread.sleep(2000)
+        val second = freshJvmAttempt(name)
+        if (second._2 < first._2) second._1 else first._1
+      }
+    }
     // resultsFresh is DEFERRED until after the recall block: the
     // children deserve a quiet box, so the parent session is torn down
     // first (see below).
