@@ -70,6 +70,11 @@ object Indexes {
     IndexFamily("pq", "parquet-layout",
       "product-quantization codebooks + codes",
       (s, in, d) => graft.llm.Similarity.buildPqIndex(s, in, d)),
+    IndexFamily("ivfpq", "parquet-layout",
+      "coarse KMeans cells + residual-PQ codes per cell (inverted " +
+        "lists) + centroids + codebooks",
+      (s, in, d) => graft.llm.Similarity.buildIvfPqIndex(s, in, d),
+      Some((s, b, d) => graft.llm.Similarity.appendToIvfPqIndex(s, b, d))),
     IndexFamily("lsh", "parquet-layout",
       "hyperplane LSH buckets + plane table",
       (s, in, d) => graft.llm.Similarity.buildLshIndex(s, in, d),

@@ -952,6 +952,178 @@ object Similarity {
     rerankExact(cands, unit, q, topK)
   }
 
+  // -- persisted IVFPQ index: coarse KMeans cells + residual PQ codes ------
+  /** Builds and PERSISTS the composed IVFPQ index — the FAISS
+    * `IndexIVFPQ` layout, completing the index family (IVF stores fp
+    * vectors per cell; PQ stores codes flat; this stores CODES PER
+    * CELL): a `cells/cell=N/…` Hive-partitioned table of
+    * (vec_id, codes) — the inverted lists; a probe of p cells
+    * lists/reads only those directories and scans ~12 B/vector — plus
+    * the k-row centroid table and the residual codebooks.
+    *
+    * Build = the two fits the production posture runs once on a
+    * sample: a spherical KMeans coarse quantizer (the
+    * [[buildIvfIndex]] fit), then per-subspace KMeans codebooks over
+    * the coarse RESIDUALS uv − c(cell) (residual PQ — the quantizer
+    * encodes what the cell didn't explain, Jégou et al. TPAMI 2011
+    * §IV). Residuals are computed once and feed both the codebook
+    * fits and the single `pq_encode` projection that writes every
+    * vector's codes. The in-query s11 ([[knnIvfPq]]) shows the same
+    * pipeline with deterministic data-sampled quantizers (oracle-
+    * replayable); this is its fitted, persisted twin.
+    */
+  def buildIvfPqIndex(s: SparkSession, dir: String, indexDir: String,
+      k: Int = 16, m: Int = PqM, pqK: Int = PqK): Unit = {
+    import s.implicits._
+    val dsub = Dims / m
+    val unit = unitVecs(s, dir)
+    val e = unit.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("uv")))
+    val model = fitKmeans(e, k)
+    val cents = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+    val centDf = broadcast(cents.toDF("cell", "ccv"))
+    val rv = model.transform(e)
+      .select(col("vec_id"), col("uv"), col("prediction").as("cell"))
+      .join(centDf, "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("uv"), col("ccv"), (a, b) => a - b).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = (0 until m).flatMap { sub =>
+        val sv = rv.select(org.apache.spark.ml.functions.array_to_vector(
+          slice(col("rv"), sub * dsub + 1, dsub)).as("features"))
+        fitKmeans(sv, pqK).clusterCenters.zipWithIndex
+          .map { case (c, i) => (sub, i, c.toArray.toSeq) }
+      }
+      val flat = new Array[Double](m * pqK * dsub)
+      books.foreach { case (sub, code, cv) =>
+        cv.indices.foreach(j => flat((sub * pqK + code) * dsub + j) = cv(j))
+      }
+      graft.ops.Partitioning.writePartitioned(
+        rv.select(col("vec_id"), col("cell"),
+          graft.functions.VectorFunctions.pqEncode(col("rv"), flat, m)
+            .as("codes")),
+        s"$indexDir/cells", "cell")
+      cents.toDF("cell", "cv")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/centroids")
+      books.toDF("sub", "code", "cv")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/codebooks")
+    } finally rv.unpersist()
+  }
+
+  /** Appends NEW embeddings to a [[buildIvfPqIndex]] layout without
+    * refitting — the FAISS `add` posture, composing the two stored
+    * quantizers as plan literals: the k centroids fold into one
+    * `least(struct(dist, cell))` assignment projection (the
+    * [[appendToIvfIndex]] parity argument — min L2, then min cell,
+    * exactly `KMeans.transform`'s rule), the chosen centroid re-enters
+    * as a k-branch CASE of 64-double literals for the residual, and
+    * the stored codebooks drive one `pq_encode` kernel call — a single
+    * scan-side projection per batch, no fit, no join, no shuffle;
+    * dynamic partitioning lands files only in the touched cell
+    * directories, so ingest cost is O(batch). Centroid/codebook drift
+    * under corpus growth is answered by periodic re-fit + rewrite
+    * (a [[buildIvfPqIndex]] rerun), the [[appendToIvfIndex]] answer.
+    */
+  def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame,
+      indexDir: String): Unit = {
+    val dsub = Dims / PqM
+    val cents = s.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val books = s.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val flat = new Array[Double](PqM * PqK * dsub)
+    books.foreach { case (sub, code, cv) =>
+      cv.indices.foreach(j => flat((sub * PqK + code) * dsub + j) = cv(j))
+    }
+    // ||u − c||² = 1 − 2·u·c + c·c over unit u; constant 1 kept for
+    // readability (cancels in argmin)
+    val dists = cents.map { case (cell, cv) =>
+      val cc = cv.map(x => x * x).sum
+      struct(
+        (lit(1.0) - lit(2.0) * dot(col("uv"), typedLit(cv)) + lit(cc))
+          .as("d"),
+        lit(cell).as("c"))
+    }
+    val ccvOf = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, typedLit(cents.head._2))) {
+      case (acc, (cell, cv)) => acc.when(col("cell") === cell, typedLit(cv))
+    }
+    embOf(newVecs).select(col("vec_id"),
+        graft.functions.VectorFunctions.vecDiv(col("v"), col("nrm")).as("uv"))
+      .withColumn("cell", least(dists: _*).getField("c"))
+      .withColumn("rv", zip_with(col("uv"), ccvOf, (a, b) => a - b))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorFunctions.pqEncode(col("rv"), flat, PqM)
+          .as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** IVFPQ search against a [[buildIvfPqIndex]] layout: rank the
+    * stored centroids per query by the ASSIGNMENT metric (min L2 —
+    * probe ranking must agree with how vectors were routed, or a
+    * query's own cell can rank behind a foreign one; KMeans centroids
+    * are not unit-norm, so max-dot and min-L2 genuinely differ here,
+    * unlike s11's unit cell vectors), scan only the probed cell
+    * directories' code rows with the `pq_adc` kernel (coarse term
+    * q·c + residual table sum, the s11 ADC decomposition), keep the
+    * ADC top `rerank` through the bounded heap, and rank those few
+    * candidates by exact cosine. Every ranking is `topk_by` — no
+    * window anywhere — and the corpus-side scan reads only
+    * (vec_id, codes) inside the probed partitions.
+    */
+  def knnIvfPqFromIndex(s: SparkSession, dir: String, indexDir: String,
+      nprobe: Int = 4, topK: Int = 5,
+      rerank: Int = IvfPqRerank): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    graft.functions.VectorFunctions.register(s)
+    val unit = unitVecs(s, dir)
+    val q = unit.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("uv").as("quv"))
+    val cells = broadcast(s.read.parquet(s"$indexDir/centroids")
+      .select(col("cell").cast(LongType).as("cell"), col("cv").as("ccv")))
+    // min ||q − c||² == max (2·q·c − c·c) for unit q — heap on that
+    // ord, ties to the smallest cell; qcd (the ADC coarse term) is
+    // recomputed after the cut from the re-joined centroid (the heap
+    // carries (ord, id) only, and the k-row re-join is free)
+    val probes = q.crossJoin(cells)
+      .select(col("q_id"), col("quv"), col("cell"),
+        (lit(2.0) * dot(col("quv"), col("ccv"))
+          - dot(col("ccv"), col("ccv"))).as("nd"))
+      .groupBy("q_id")
+      .agg(first(col("quv")).as("quv"),
+        graft.functions.TopKFunctions
+          .topkBy(col("nd"), col("cell"), lit(nprobe)).as("tk"))
+      .select(col("q_id"), col("quv"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("cell"), col("quv"))
+      .join(cells, "cell")
+      .select(col("q_id"), col("cell"),
+        dot(col("quv"), col("ccv")).as("qcd"))
+    val cb = s.read.parquet(s"$indexDir/codebooks")
+    val codes = s.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("codes"))
+    // single assignment at build → each (q, v) surfaces from exactly
+    // one probed cell, no best-copy dedup needed (contrast s11's
+    // multi-assignment)
+    val cands = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(pqDistTable(q, cb)), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("qcd") + graft.functions.VectorFunctions
+          .pqAdc(col("codes"), col("dt")), 6).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("sim"), col("vec_id"), lit(rerank)).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"))
+    rerankExact(cands, unit, q, topK)
+  }
+
   // -- s6: SimHash-signature ANN (sign random projection + rerank) --------
   /** Signature bits PER WORD (the full r14 signature is two 64-bit
     * longs, `sig` + `sig2`); the low [[LshPlanes]] bits of word 0

@@ -14,9 +14,9 @@ class IndexFacadeSpec extends SparkSpec {
   test("registry covers every persisted index/model family") {
     assert(Indexes.all.map(_.name).toSet == Set(
       "fp", "shingle", "band", "cluster", "apss", "bm25", "phash",
-      "ivf", "pq", "lsh", "bpe", "lm", "dsir"))
+      "ivf", "pq", "ivfpq", "lsh", "bpe", "lm", "dsir"))
     assert(Indexes.all.filter(_.append.isDefined).map(_.name).toSet ==
-      Set("bm25", "phash", "ivf", "lsh", "shingle", "band"),
+      Set("bm25", "phash", "ivf", "ivfpq", "lsh", "shingle", "band"),
       "append-capable set drifted — register (or justify) the change here")
     // names unique, kinds constrained
     assert(Indexes.all.map(_.name).distinct.size == Indexes.all.size)

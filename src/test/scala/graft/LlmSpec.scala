@@ -239,6 +239,61 @@ class LlmSpec extends SparkSpec {
     assert(freshGot == v2Got)
   }
 
+  test("IVFPQ index: all-cell probe + corpus-sized rerank is exact; " +
+      "append composes the stored quantizers identically to the build; " +
+      "every ranking heap-aggregates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.buildIvfPqIndex(spark, sfDir, s"$base/a", k = 8)
+    // exactness escape hatch: probing every cell feeds the whole
+    // corpus to ADC, and a corpus-sized rerank keeps every candidate
+    // for exact scoring — the composed index must then equal brute
+    val brute = Similarity.knnBrute(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allCell = Similarity
+      .knnIvfPqFromIndex(spark, sfDir, s"$base/a", nprobe = 8, rerank = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allCell == brute,
+      "all-cell IVFPQ probe with full rerank must equal exact brute")
+    // default probe budget: a full result set (topK rows per query)
+    val dflt = Similarity.knnIvfPqFromIndex(spark, sfDir, s"$base/a")
+    assert(dflt.count() == 100, "5 rows per each of the 20 queries")
+    val plan = dflt.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"IVFPQ search plans a window:\n$plan")
+    assert(plan.contains("partial_topk_by"), plan)
+    assert(plan.contains("pq_adc"), plan)
+    // append parity: rebuild index B = A's quantizers + A's cells
+    // restricted to vec_id < 40, then append the rest THROUGH THE
+    // LITERAL-FOLDED projection — cells/codes must equal A's exactly
+    // (pins least(struct) == KMeans.transform and the CASE-residual +
+    // pq_encode == the build's join-residual encode), so search too
+    def cp(sub: String) = {
+      val from = new org.apache.hadoop.fs.Path(s"$base/a/$sub")
+      val to = new org.apache.hadoop.fs.Path(s"$base/b/$sub")
+      org.apache.hadoop.fs.FileUtil.copy(
+        from.getFileSystem(spark.sparkContext.hadoopConfiguration), from,
+        to.getFileSystem(spark.sparkContext.hadoopConfiguration), to,
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    cp("centroids"); cp("codebooks")
+    graft.ops.Partitioning.writePartitioned(
+      spark.read.parquet(s"$base/a/cells").filter(col("vec_id") < 40),
+      s"$base/b/cells", "cell")
+    graft.index.Indexes.append(spark, "ivfpq",
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") >= 40),
+      s"$base/b")
+    def cells(d: String) = spark.read.parquet(s"$d/cells")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Int]]("codes").toList,
+        r.getAs[Number]("cell").intValue)).toSet
+    assert(cells(s"$base/b") == cells(s"$base/a"),
+      "append must route/encode exactly like the build's own transform")
+    val viaB = Similarity
+      .knnIvfPqFromIndex(spark, sfDir, s"$base/b", nprobe = 8, rerank = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaB == brute)
+  }
+
   test("filtered ANN: recall holds at low and high predicate " +
       "selectivity, and below the budget floor the search is EXACT " +
       "(the r14 sweep promoted to a spec law — VERDICT r14 #3)") {
