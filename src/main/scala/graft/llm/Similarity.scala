@@ -1731,12 +1731,23 @@ object Similarity {
     *
     * Scale shape: the corpus-sized work is the candidate stage — one
     * scored pass + TakeOrdered top-C (any ANN tier can stand in for
-    * it). Everything after runs on C rows: the C² pair-sim matrix and
-    * [[MmrK]] chained argmax steps, localCheckpointed once so the
-    * corpus scan isn't replayed per step. Sims round to 6 dp before
-    * the λ-combination and ties break on vec_id, so every pick is
-    * deterministic and SQL-replayable (the oracle unrolls the greedy
-    * loop as CTEs, the q54 fixed-iteration discipline).
+    * it). Everything after is DRIVER-TIER (the CC union-find / BPE
+    * argmax discipline): the top-C rows collect — C = [[MmrCandidates]]
+    * is a compile-time constant, so the collect is bounded by
+    * construction, never corpus-sized — and the C² pair-sim matrix plus
+    * the [[MmrK]] chained argmax steps run as plain Scala over those C
+    * rows. The distributed form this replaces spawned ~2·K Spark jobs
+    * (per-step anti-join/argmax + checkpoint) over ≤ C-row frames —
+    * pure scheduling floor, measured 1.37 s fresh-JVM at sf0.1 vs
+    * 0.5 s for the candidate scan alone (r15). Arithmetic parity with
+    * the old plan is exact: pair cosines reuse the engine's collected
+    * `nrm` values and [[graft.functions.VectorOps.dot]]'s left-to-right
+    * summation, and rounding is scala BigDecimal HALF_UP — the same
+    * semantics Spark's `round` applies (TopKSpec's driver-replay law
+    * pinned this equality before the rewrite). Sims round to 6 dp
+    * before the λ-combination and ties break on vec_id, so every pick
+    * is deterministic and SQL-replayable (the oracle unrolls the
+    * greedy loop as CTEs, the q54 fixed-iteration discipline).
     */
   def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -1748,39 +1759,51 @@ object Similarity {
         round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6)
           .as("qsim"))
       .orderBy(desc("qsim"), col("vec_id")).limit(MmrCandidates)
-      .localCheckpoint()
-    val pairs = cands.select(col("vec_id").as("a"), col("v").as("av"),
-        col("nrm").as("an"))
-      .join(cands.select(col("vec_id").as("b"), col("v").as("bv"),
-        col("nrm").as("bn")), col("a") =!= col("b"))
-      .select(col("a"), col("b"),
-        round(pairCos(col("av"), col("an"), col("bv"), col("bn")), 6)
-          .as("ps"))
-    val base = cands.select(col("vec_id"), col("qsim"))
-    var selected = base
-      .select(col("vec_id"), col("qsim"),
-        round(col("qsim") * MmrLambda, 6).as("mmr"),
-        lit(1L).as("step"))
-      .orderBy(desc("mmr"), col("vec_id")).limit(1)
-    for (i <- 2 to MmrK) {
-      val next = base
-        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .join(pairs, col("vec_id") === col("b"))
-        .join(selected.select(col("vec_id").as("a")), "a")
-        .groupBy(col("vec_id"), col("qsim"))
-        .agg(max(col("ps")).as("ms"))
-        .select(col("vec_id"), col("qsim"),
-          round(col("qsim") * MmrLambda - col("ms") * MmrLambdaC, 6)
-            .as("mmr"),
-          lit(i.toLong).as("step"))
-        .orderBy(desc("mmr"), col("vec_id")).limit(1)
-      // each step references the previous selection three times
-      // (anti-join, pair filter, union) — without truncation the plan
-      // triples per iteration (the iterative-plan blowup the CC loop
-      // documents); the checkpoint is ≤ MmrK rows
-      selected = selected.unionAll(next).localCheckpoint(true)
+      .collect()
+    val ids = cands.map(_.getLong(0))
+    val vs = cands.map(_.getSeq[Double](1).toArray)
+    val ns = cands.map(_.getDouble(2))
+    val qs = cands.map(_.getDouble(3))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pair cosine, identical to the engine expression it replaces:
+    // vec_dot's sequential fold over the same doubles, divided by the
+    // COLLECTED norms (not recomputed), rounded like Spark's round()
+    def ps(i: Int, j: Int): Double = {
+      val (a, b) = (vs(i), vs(j))
+      var d = 0.0
+      var k = 0
+      while (k < math.min(a.length, b.length)) { d += a(k) * b(k); k += 1 }
+      r6(d / (ns(i) * ns(j)))
     }
-    selected.select(col("step"), col("vec_id"), col("qsim"), col("mmr"))
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)] // (step, id, qsim, mmr)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (step <- 1 to MmrK) {
+      var best = -1
+      var bestMmr = 0.0
+      ids.indices.foreach { i =>
+        if (!chosen.contains(i)) {
+          val mmr =
+            if (chosen.isEmpty) r6(qs(i) * MmrLambda)
+            else {
+              val ms = chosen.map(j => ps(i, j)).max
+              r6(qs(i) * MmrLambda - ms * MmrLambdaC)
+            }
+          // argmax on (mmr desc, vec_id asc) — the old ORDER BY
+          if (best < 0 || mmr > bestMmr ||
+            (mmr == bestMmr && ids(i) < ids(best))) {
+            best = i; bestMmr = mmr
+          }
+        }
+      }
+      if (best >= 0) {
+        picked += ((step.toLong, ids(best), qs(best), bestMmr))
+        chosen += best
+      }
+    }
+    import s.implicits._
+    picked.toSeq.toDF("step", "vec_id", "qsim", "mmr")
   }
 
   // -- s18: in-engine ANN recall evaluation ----------------------------------
