@@ -879,8 +879,87 @@ object TextAnalysis {
       k: Int = BpeMergeCount): Seq[BpeMerge] =
     trainBpeFrom(bpeWordTable(s, dir), k)
 
-  def trainBpeFrom(wordsIn: DataFrame, k: Int): Seq[BpeMerge] = {
+  /** Vocab-size cutover between the driver trainer and the distributed
+    * merge loop — the [[graft.llm.Dedup.CcDriverMaxEdges]] discipline
+    * applied to BPE: a distinct-word table under 2²⁰ rows is a few tens
+    * of MB of (word, count) pairs — broadcast-scale driver state — and
+    * training on it is a tight in-memory loop instead of 2·K Spark jobs
+    * whose per-job scheduling floor dominates at every realistic K
+    * (r15: the K=10 fixture loop spent ~1.5 s on ~21 jobs over a
+    * 31-row table). Real vocabularies are low millions of rows, so
+    * even 100 TB corpora usually land under the cutover once the
+    * corpus has collapsed to its distinct words; the distributed loop
+    * is the correctness backstop, spec-pinned merge-identical.
+    */
+  val BpeDriverMaxVocab: Long = 1L << 20
+
+  def trainBpeFrom(wordsIn: DataFrame, k: Int,
+      driverMaxVocab: Long = BpeDriverMaxVocab): Seq[BpeMerge] = {
     var words = wordsIn.localCheckpoint(true)
+    if (words.count() <= driverMaxVocab) {
+      // DRIVER TIER: replicate the distributed loop's exact semantics
+      // over the collected (w, cnt) rows —
+      //  * pair counts: adjacent symbols of split(trim(w), " "),
+      //    weighted by cnt (bpePairCounts);
+      //  * argmax: greatest n, ties by (a, b) ascending in UTF-8 byte
+      //    order (Spark string ORDER BY is binary over UTF-8 — Java
+      //    String.compareTo is UTF-16 and diverges on supplementary
+      //    characters, so compare encoded bytes);
+      //  * rewrite: literal " a b " → " ab " applied twice —
+      //    String.replace is the same leftmost non-overlapping
+      //    all-occurrence replace as Spark's replace().
+      val rows = words.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      Dedup.releaseCheckpoint(words)
+      def utf8Lt(x: String, y: String): Boolean = {
+        val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n) {
+          val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        xb.length < yb.length
+      }
+      val ws = rows.map(_._1).toArray
+      val cnts = rows.map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+      var step = 1
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        var r = 0
+        while (r < ws.length) {
+          val t = ws(r).trim.split(" ")
+          var i = 0
+          while (i < t.length - 1) {
+            val key = (t(i), t(i + 1))
+            counts.update(key, counts.getOrElse(key, 0L) + cnts(r))
+            i += 1
+          }
+          r += 1
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((a, b), n) = counts.reduceLeft { (x, y) =>
+            if (y._2 > x._2 ||
+              (y._2 == x._2 && (utf8Lt(y._1._1, x._1._1) ||
+                (y._1._1 == x._1._1 && utf8Lt(y._1._2, x._1._2))))) y
+            else x
+          }
+          out += BpeMerge(step, a, b, a + b, n)
+          val (pat, rep) = (s" $a $b ", s" $a$b ")
+          r = 0
+          while (r < ws.length) {
+            ws(r) = ws(r).replace(pat, rep).replace(pat, rep)
+            r += 1
+          }
+          step += 1
+        }
+      }
+      return out.toSeq
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var step = 1
     var exhausted = false

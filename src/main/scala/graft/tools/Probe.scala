@@ -51,7 +51,22 @@ object Probe {
         g.groupBy("m").agg(count(lit(1)).as("n_groups"),
           (count(lit(1)) * col("m") * (col("m") - 1) / 2).as("intra_pairs"))
           .orderBy(desc("m"))
-      }))
+      }),
+      // d8 edge-generation split: the three near-dup detectors feeding
+      // dedupEdgesOf, individually timeable (r15 optimization round)
+      "d8_edges_minhash" -> ((s, d) =>
+        graft.llm.Dedup.minhashCandidatesFrom(
+          graft.llm.Dedup.shingleSets(s, d))),
+      "d8_edges_simhash" -> ((s, d) =>
+        graft.llm.Dedup.simhashPairs(s, d)),
+      "d8_edges_chargram" -> ((s, d) =>
+        graft.llm.Dedup.candidatesFromSigs(
+          graft.llm.Dedup.signaturesFromHashed(
+            graft.llm.Dedup.charShingleHashes(s, d),
+            graft.llm.Dedup.CharSampleMod))),
+      "d8_edges_all" -> ((s, d) =>
+        graft.llm.Dedup.dedupEdgesOf(
+          graft.core.Tables.load(s, d, "documents"))))
     val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()

@@ -1261,6 +1261,13 @@ class LlmSpec extends SparkSpec {
     // determinism: a refit reproduces the table exactly
     assert(TextAnalysis.trainBpeFrom(
       TextAnalysis.bpeWordTableOf(docs.repartition(3)), k = 3) == merges)
+    // tier equality (the CC-cutover discipline): the driver trainer —
+    // the path the fixture takes — and the distributed merge loop,
+    // forced via a cutover of -1, learn the identical merge table,
+    // including the two lexicographic tie-breaks above
+    assert(TextAnalysis.trainBpeFrom(
+      TextAnalysis.bpeWordTableOf(docs), k = 3,
+      driverMaxVocab = -1L) == merges)
     // exhaustion: a corpus with fewer mergeable pairs than k stops
     // early instead of looping
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
