@@ -884,10 +884,67 @@ object Extended {
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // cutover probe skipped (-1): the trade graph is 1.2×10⁶ directed
+    // rows at sf0.1 — already past GraphDriverMaxEdges and growing
+    // with SF — so the probe's count job would be a pure tax on the
+    // distributed path (measured +0.5 s/run, r15)
+    pageRankOf(edges, iters = 3, driverMaxEdges = -1L)
+  }
+
+  /** The q54 core over arbitrary symmetric (src, dst) edges — `iters`
+    * power-method rounds at damping 0.85; spec entry point for tier
+    * fixtures.
+    */
+  def pageRankOf(edges: DataFrame, iters: Int,
+      driverMaxEdges: Long = GraphDriverMaxEdges): DataFrame = {
+    // DRIVER TIER (q66/CC cutover discipline): power-method rounds
+    // over a broadcast-scale edge list are per-round join scheduling,
+    // not arithmetic — and unlike the integer graph cores, the
+    // distributed form's nested iteration plan (no per-round
+    // checkpoint) carries ~12 exchanges at 3 rounds. Double-sum order
+    // differs from the shuffle's partial-sum order by ≤ ~1e-13 after 3
+    // rounds — dead against the 6-dp output grid, the same argument
+    // the cross-engine oracle already rests on. Distributed rounds
+    // remain the at-scale path, spec-pinned rank-identical.
+    // A non-positive cutover skips the probe's count job entirely —
+    // for callers that KNOW their graph exceeds it (q54: measured
+    // +0.5 s/run for the probe alone on its 1.2M-row checkpoint).
+    val nEdges = if (driverMaxEdges > 0) edges.count() else -1L
+    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      val es = edges.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      graft.llm.Dedup.releaseCheckpoint(edges)
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (u, _) => deg.merge(u, 1L, _ + _) }
+      var pr = new java.util.HashMap[Long, Double]()
+      deg.forEach((n, _) => pr.put(n, 1.0))
+      var it = 0
+      while (it < iters) {
+        val inSum = new java.util.HashMap[Long, Double]()
+        es.foreach { case (src, dst) =>
+          inSum.merge(dst, pr.get(src) / deg.get(src), _ + _)
+        }
+        val next = new java.util.HashMap[Long, Double]()
+        // getOrDefault, not get: generic get() on a primitive-keyed
+        // map unboxes a missing key's null to 0.0 silently in Scala —
+        // coincidentally correct here, but say what we mean
+        deg.forEach((n, _) =>
+          next.put(n, 0.15 + 0.85 * inSum.getOrDefault(n, 0.0)))
+        pr = next
+        it += 1
+      }
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      return pr.asScala.toSeq.map { case (n, p) => (n, r6(p)) }
+        .toDF("id", "pr")
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("pr"))
-    (1 to 3).foreach { _ =>
+    (1 to iters).foreach { _ =>
       val contribs = edges.join(deg, "src")
         .join(ranks, col("src") === col("id"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
@@ -943,12 +1000,81 @@ object Extended {
     * wedge-close core of q63, factored out so specs can drive it with
     * arbitrary graphs against a brute-force oracle.
     */
-  def trianglesOf(edgesIn: DataFrame): DataFrame = {
+  /** Edge-row cutover for the graph family's driver tiers (q54, q63,
+    * q68, q69, q71). MEASURED, not copied from the CC cutover: the
+    * driver tier's cost is the edge collect + LocalRelation result
+    * (scales with |E|) against the distributed loop's per-round join
+    * scheduling (flat). At sf0.1/local[32], 1.4×10⁵ directed edge rows
+    * collect fast enough that the driver tier wins ≥ 1.3× (q68/q69/
+    * q71), while 1.2×10⁶ rows lose 2× (q54's trade graph: 1.72 s
+    * distributed vs 3.76 s collected — r15 measurement). 2¹⁸ sits at
+    * the geometric midpoint, on the winning side's shoulder; above it
+    * the relational loops are already the right shape.
+    */
+  val GraphDriverMaxEdges: Long = 1L << 18
+
+  def trianglesOf(edgesIn: DataFrame,
+      driverMaxEdges: Long = GraphDriverMaxEdges): DataFrame = {
     // materialized ONCE: the edge pipeline (for q63 a lineitem
     // self-join + support aggregate) is read by the degree table, the
     // orientation join, and the final wedge-close verify — without
     // this it executes four times
     val edges = edgesIn.localCheckpoint(true)
+    // DRIVER TIER (the q66/CC cutover discipline): a support-pruned
+    // co-purchase graph under the broadcast-scale budget pays more in
+    // the deg/orientation/wedge joins' per-job scheduling than in
+    // arithmetic (r15: 3,573 edges at sf0.1 behind ~1 s of tiny-data
+    // jobs). Same orientation algorithm, exact integer counts; the
+    // distributed wedge join below stays the at-scale path, spec-pinned
+    // count-identical.
+    val nEdges = edges.count()
+    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      val es = edges.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      graft.llm.Dedup.releaseCheckpoint(edges)
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (u, v) =>
+        deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+      }
+      // orient from the (degree, id)-smaller endpoint; adjacency holds
+      // oriented out-neighbors; wedges close against the canonical set
+      def smallerFirst(u: Long, v: Long): (Long, Long) = {
+        val (du, dv) = (deg.get(u), deg.get(v))
+        if (du < dv || (du == dv && u < v)) (u, v) else (v, u)
+      }
+      val eset = new java.util.HashSet[(Long, Long)](es.length * 2)
+      es.foreach(e => eset.add(e))
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (u, v) =>
+        val (s0, t0) = smallerFirst(u, v)
+        adj.computeIfAbsent(s0, _ =>
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += t0
+      }
+      val tri = new java.util.HashMap[Long, Long]()
+      adj.forEach { (apex, ts) =>
+        val a = ts.toArray
+        var i = 0
+        while (i < a.length) {
+          var j = i + 1
+          while (j < a.length) {
+            val (lo, hi) =
+              if (a(i) < a(j)) (a(i), a(j)) else (a(j), a(i))
+            if (eset.contains((lo, hi))) {
+              tri.merge(apex, 1L, _ + _)
+              tri.merge(lo, 1L, _ + _)
+              tri.merge(hi, 1L, _ + _)
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      return tri.asScala.toSeq.map { case (n, c) => (n, c) }
+        .toDF("node", "n_tri")
+    }
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -1197,8 +1323,44 @@ object Extended {
   /** The q68 core over arbitrary directed (src, dst) edges and a
     * (node) seed frame — spec entry point for brute-force fixtures.
     */
-  def bfsLevelsOf(edges: DataFrame, seeds: DataFrame,
-      depth: Int): DataFrame = {
+  def bfsLevelsOf(edges: DataFrame, seeds: DataFrame, depth: Int,
+      driverMaxEdges: Long = GraphDriverMaxEdges): DataFrame = {
+    // DRIVER TIER (q66/CC cutover discipline): the per-round
+    // frontier-join/anti-join jobs are scheduling floor on a
+    // broadcast-scale graph; the BFS itself is exact integer work.
+    // Distributed rounds below remain the at-scale path.
+    val eCp = edges.localCheckpoint(true)
+    val nEdges = eCp.count()
+    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+      val spark = eCp.sparkSession
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      eCp.select(col("src"), col("dst")).collect().foreach { r =>
+        adj.computeIfAbsent(r.getLong(0), _ =>
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      graft.llm.Dedup.releaseCheckpoint(eCp)
+      val lvl = new java.util.HashMap[Long, Long]()
+      var frontier = seeds.select(col("node")).collect()
+        .map(_.getLong(0)).distinct.toSeq
+      frontier.foreach(n => lvl.put(n, 0L))
+      var i = 1
+      while (i <= depth && frontier.nonEmpty) {
+        val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+        frontier.foreach { n =>
+          val ts = adj.get(n)
+          if (ts != null) ts.foreach { t =>
+            if (!lvl.containsKey(t)) next += t
+          }
+        }
+        next.foreach(n => lvl.put(n, i.toLong))
+        frontier = next.toSeq
+        i += 1
+      }
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      return lvl.asScala.toSeq.map { case (n, l) => (n, l) }
+        .toDF("node", "lvl")
+    }
     var visited = seeds.select(col("node"))
       .withColumn("lvl", lit(0L))
       .localCheckpoint(true)
@@ -1250,7 +1412,42 @@ object Extended {
     * edges and a (node) seed frame — `rounds` Bellman–Ford passes;
     * spec entry point for brute-force fixtures.
     */
-  def ssspOf(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def ssspOf(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      driverMaxEdges: Long = GraphDriverMaxEdges): DataFrame = {
+    // DRIVER TIER (q66/CC cutover discipline): synchronous Bellman–Ford
+    // over exact longs — dist after round i is the min cost over paths
+    // of ≤ i edges, identical to the relational rounds below, which
+    // stay the at-scale path.
+    val eCp = edges.localCheckpoint(true)
+    val nEdges = eCp.count()
+    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+      val spark = eCp.sparkSession
+      val es = eCp.select(col("src"), col("dst"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      graft.llm.Dedup.releaseCheckpoint(eCp)
+      var dist = new java.util.HashMap[Long, Long]()
+      seeds.select(col("node")).collect()
+        .foreach(r => dist.put(r.getLong(0), 0L))
+      var i = 0
+      while (i < rounds) {
+        val next = new java.util.HashMap[Long, Long](dist)
+        es.foreach { case (src, dst, w) =>
+          // explicit containsKey: generic get() on a primitive-keyed
+          // map unboxes a missing key's null to 0 silently in Scala
+          if (dist.containsKey(src)) {
+            val cand = dist.get(src) + w
+            if (!next.containsKey(dst) || cand < next.get(dst))
+              next.put(dst, cand)
+          }
+        }
+        dist = next
+        i += 1
+      }
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      return dist.asScala.toSeq.map { case (n, d) => (n, d) }
+        .toDF("node", "dist")
+    }
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {

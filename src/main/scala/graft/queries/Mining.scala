@@ -114,7 +114,56 @@ object Mining {
   /** The q71 core over arbitrary symmetric (src, dst) edges — spec
     * entry point for hand-built fixtures.
     */
-  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagate(edges: DataFrame, rounds: Int,
+      driverMaxEdges: Long = graft.queries.Extended.GraphDriverMaxEdges)
+      : DataFrame = {
+    // DRIVER TIER (q66/CC cutover discipline): synchronous rounds over
+    // exact longs — per round, node x's new label is the most frequent
+    // label among its in-neighbors (edges src→x), ties to the SMALLEST
+    // label, exactly the window argmax below; nodes receiving no votes
+    // drop out (the inner join's semantics). Distributed rounds stay
+    // the at-scale path, spec-pinned label-identical.
+    val eCp = edges.localCheckpoint(true)
+    val nEdges = eCp.count()
+    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+      val spark = eCp.sparkSession
+      val es = eCp.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      graft.llm.Dedup.releaseCheckpoint(eCp)
+      var lbl = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s0, _) => lbl.putIfAbsent(s0, s0) }
+      var round = 0
+      while (round < rounds) {
+        // votes: (receiver node, label) -> count, from every edge whose
+        // src currently holds a label
+        // explicit containsKey everywhere: generic get() on a
+        // primitive-keyed map unboxes a missing key's null to 0
+        // silently in Scala
+        val votes = new java.util.HashMap[(Long, Long), Long]()
+        es.foreach { case (s0, d0) =>
+          if (lbl.containsKey(s0))
+            votes.merge((d0, lbl.get(s0)), 1L, _ + _)
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        votes.forEach { (k, c) =>
+          val (node, l) = k
+          if (!next.containsKey(node)) next.put(node, l)
+          else {
+            // keep the (count desc, label asc) winner; votes map gives
+            // no ordering, so compare against the stored winner's count
+            val cur = next.get(node)
+            val curC = votes.get((node, cur))
+            if (c > curC || (c == curC && l < cur)) next.put(node, l)
+          }
+        }
+        lbl = next
+        round += 1
+      }
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      return lbl.asScala.toSeq.map { case (n, l) => (n, l) }
+        .toDF("node", "lbl")
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)

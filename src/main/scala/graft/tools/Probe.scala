@@ -66,7 +66,46 @@ object Probe {
             graft.llm.Dedup.CharSampleMod))),
       "d8_edges_all" -> ((s, d) =>
         graft.llm.Dedup.dedupEdgesOf(
-          graft.core.Tables.load(s, d, "documents"))))
+          graft.core.Tables.load(s, d, "documents"))),
+      // graph-family edge-construction split (r15): how much of each
+      // iterative graph query is the relational edge build
+      "q54_edges" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val t = (n: String) => graft.core.Tables.load(s, d, n)
+        t("lineitem").join(t("orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("src"),
+            col("o_custkey").as("dst")).distinct()
+      }),
+      "q71_edges" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val t = (n: String) => graft.core.Tables.load(s, d, n)
+        t("lineitem").filter(col("l_quantity") >= 45)
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000L).as("src"),
+            col("o_custkey").as("dst")).distinct()
+      }),
+      // c8 stage-boundary timing: prints per-stage wall time through
+      // the same eager-checkpoint boundary curateFull uses
+      "c8_stages" -> ((s, d) => {
+        var prev: Option[org.apache.spark.sql.DataFrame] = None
+        var last = System.nanoTime()
+        val out = graft.llm.Curation.curateFullStaged(s, d, 2000L,
+          (name, df) => {
+            val cp = df.localCheckpoint(true)
+            prev.foreach(graft.llm.Dedup.releaseCheckpoint)
+            prev = Some(cp)
+            val now = System.nanoTime()
+            System.err.println(
+              f"[c8stage] $name: ${(now - last) / 1e9}%.2f s")
+            last = now
+            cp
+          })
+        val n = out.count()
+        System.err.println(
+          f"[c8stage] e_pack: ${(System.nanoTime() - last) / 1e9}%.2f s ($n rows)")
+        out
+      }))
     val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()

@@ -428,6 +428,13 @@ class LanguageModelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == brute.toMap, s"got $got want $brute")
     assert(brute.values.sum >= 3, "fixture degenerate: too few triangles")
+    // tier equality (CC-cutover discipline): the distributed wedge
+    // join, forced via a -1 cutover, counts identically to the driver
+    // tier the fixture takes above
+    val dist = graft.queries.Extended.trianglesOf(edges.toDF("u", "v"),
+        driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got)
   }
 
   test("q66 core: fixed-round peel equals brute-force k-core fixpoint " +
@@ -485,6 +492,13 @@ class LanguageModelSpec extends SparkSpec {
     assert(got == lvl, s"got ${got.size} want ${lvl.size}")
     assert(lvl.values.exists(_ == 4L) || lvl.values.exists(_ == 3L),
       "fixture degenerate: BFS saturates too early")
+    // tier equality: distributed rounds (forced via -1 cutover) equal
+    // the driver BFS the fixture takes above
+    val dist = graft.queries.Extended.bfsLevelsOf(
+        edges.toDF("src", "dst"), seeds.toDF("node"), 4,
+        driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got)
   }
 
   test("q69 core: bounded-round Bellman-Ford equals brute-force min-cost " +
@@ -512,6 +526,13 @@ class LanguageModelSpec extends SparkSpec {
         edges.toDF("src", "dst", "w"), seeds.toDF("node"), 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == dist, s"got ${got.size} want ${dist.size}")
+    // tier equality: distributed Bellman-Ford rounds (forced via -1
+    // cutover) equal the driver tier the fixture takes above
+    val distTier = graft.queries.Extended.ssspOf(
+        edges.toDF("src", "dst", "w"), seeds.toDF("node"), 4,
+        driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distTier == got)
     // non-degenerate: some node must be strictly cheaper via a longer
     // path than its first-reached distance (weights actually matter)
     var hop1 = seeds.map(_ -> 0L).toMap
@@ -521,6 +542,29 @@ class LanguageModelSpec extends SparkSpec {
       .map { case (k, ds) => k -> ds.map(_._2).min }
     assert(dist.exists { case (nd, d) => hop1.get(nd).exists(_ > d) },
       "fixture degenerate: no multi-edge path ever improved a distance")
+  }
+
+  test("q54 core: driver-tier PageRank equals the distributed rounds " +
+      "on a seeded symmetric graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(54L)
+    val n = 50
+    val half = (for {
+      u <- 0 until n; v <- (u + 1) until n
+      if rnd.nextDouble() < 0.08
+    } yield (u.toLong, v.toLong)).toSeq
+    val edges = (half ++ half.map(e => (e._2, e._1))).toDF("src", "dst")
+    def rows(cut: Long) = graft.queries.Extended
+      .pageRankOf(edges, iters = 3, driverMaxEdges = cut)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val driver = rows(Long.MaxValue)
+    val dist = rows(-1L)
+    // identical node set; ranks equal on the shared 6-dp grid (the
+    // only admissible divergence is summation-order noise ~1e-13,
+    // which the 6-dp round kills)
+    assert(driver == dist, s"driver ${driver.size} vs dist ${dist.size}")
+    assert(driver.values.exists(p => math.abs(p - 0.15) > 1e-6),
+      "fixture degenerate: every rank at the teleport floor")
   }
 
   test("q67: histogram quantile estimate is within one bin width of the " +

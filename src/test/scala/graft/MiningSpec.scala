@@ -22,6 +22,11 @@ class MiningSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // tier equality (CC-cutover discipline): the distributed rounds,
+    // forced via a -1 cutover, label identically to the driver tier
+    val dist = Mining.labelPropagate(edges, 3, driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got)
   }
 
   test("labelPropagate tie rule picks the smallest label deterministically") {
