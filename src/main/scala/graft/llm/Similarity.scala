@@ -92,18 +92,21 @@ object Similarity {
     * Ties broken by neighbor id so ranks are deterministic.
     */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    // ranked through the SAME bounded heap as every other tier
+    // (VERDICT r15 #6): the q_id rank window this replaces shuffled
+    // the full n·|Q| scored stream to |Q| partitions — skew by
+    // construction at corpus scale; `finalTopK` partial-aggregates to
+    // ≤ k rows per (task, query) before the exchange. Order and tie
+    // rule are pinned identical (sim desc, vec_id asc), so every
+    // oracle row is unchanged.
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-    e.crossJoin(broadcast(q))
+    finalTopK(e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("q_id"), col("vec_id"), col("sim"),
-        col("rk").cast(LongType).as("rk"))
+        round(pairCos(col("qv"), col("qn"), col("v"), col("nrm")), 6).as("sim")),
+      5)
   }
 
   // -- s19/s20: metadata-FILTERED search -----------------------------------
@@ -1613,9 +1616,19 @@ object Similarity {
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKFunctions.register(s)
     val k = RrfDepth
-    val wT = Window.orderBy(desc("score"), col("doc_id"))
+    // rank the ≤ k BM25 rows through the same bounded heap as the
+    // vector side (VERDICT r15 #6): the global row_number window this
+    // replaces was correct (input bounded to RrfDepth rows by t11's
+    // own top-k cut) but planned a single-partition WindowExec —
+    // the source of the "No Partition Defined for Window" warnings —
+    // where the heap is one tiny aggregate; (score desc, doc_id asc)
+    // order and ties are identical
     val txt = graft.llm.TextAnalysis.bm25(s, dir, k)
-      .select(col("doc_id"), row_number().over(wT).cast(LongType).as("rt"))
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("score"), col("doc_id"), lit(k)).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col.id").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rt"))
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qn"))
@@ -1672,14 +1685,23 @@ object Similarity {
           .as("sim"))
     val posCeil = scored.filter(col("label") === col("q_label"))
       .groupBy("q_id").agg(max(col("sim")).as("max_pos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+    // bounded heap instead of the q_id rank window (VERDICT r15 #2/#6):
+    // the banded negative stream partial-aggregates to ≤ k rows per
+    // (task, query) before any exchange; (sim desc, vec_id asc) order
+    // and ties are pinned identical to the row_number form, max_pos is
+    // constant per q_id (first() is deterministic)
+    graft.functions.TopKFunctions.register(s)
     scored.filter(col("label") =!= col("q_label"))
       .join(broadcast(posCeil), "q_id")
       .filter(col("sim") < col("max_pos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= HardNegK)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("max_pos"),
-        col("rk").cast(LongType).as("rk"))
+      .groupBy("q_id")
+      .agg(first(col("max_pos")).as("max_pos"),
+        graft.functions.TopKFunctions
+          .topkBy(col("sim"), col("vec_id"), lit(HardNegK)).as("tk"))
+      .select(col("q_id"), col("max_pos"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.ord").as("sim"), col("max_pos"),
+        (col("pos") + 1).cast(LongType).as("rk"))
   }
 
   // -- s16: SemDeDup-style embedding-dedup resolution ----------------------

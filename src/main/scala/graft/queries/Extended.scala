@@ -914,7 +914,8 @@ object Extended {
       val spark = edges.sparkSession
       val es = edges.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      graft.llm.Dedup.releaseCheckpoint(edges)
+      // NOT released: `edges` is caller-owned (ADVICE r15 — released
+      // checkpoint blocks are unrecoverable, so only the creator frees)
       val deg = new java.util.HashMap[Long, Long]()
       es.foreach { case (u, _) => deg.merge(u, 1L, _ + _) }
       var pr = new java.util.HashMap[Long, Double]()
@@ -1329,16 +1330,18 @@ object Extended {
     // frontier-join/anti-join jobs are scheduling floor on a
     // broadcast-scale graph; the BFS itself is exact integer work.
     // Distributed rounds below remain the at-scale path.
-    val eCp = edges.localCheckpoint(true)
-    val nEdges = eCp.count()
+    // Probe with a count only (pageRankOf's pattern, ADVICE r15): the
+    // caller owns `edges` (q68 passes an eager checkpoint) — a second
+    // localCheckpoint here paid a full materialization the distributed
+    // branch never read and leaked its blocks until driver GC.
+    val nEdges = if (driverMaxEdges > 0) edges.count() else -1L
     if (nEdges > 0 && nEdges <= driverMaxEdges) {
-      val spark = eCp.sparkSession
+      val spark = edges.sparkSession
       val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      eCp.select(col("src"), col("dst")).collect().foreach { r =>
+      edges.select(col("src"), col("dst")).collect().foreach { r =>
         adj.computeIfAbsent(r.getLong(0), _ =>
           scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
       }
-      graft.llm.Dedup.releaseCheckpoint(eCp)
       val lvl = new java.util.HashMap[Long, Long]()
       var frontier = seeds.select(col("node")).collect()
         .map(_.getLong(0)).distinct.toSeq
@@ -1361,7 +1364,10 @@ object Extended {
       return lvl.asScala.toSeq.map { case (n, l) => (n, l) }
         .toDF("node", "lvl")
     }
-    var visited = seeds.select(col("node"))
+    // .distinct() matches the driver tier's seed dedup (ADVICE r15:
+    // duplicate-seed input produced different row multisets per tier);
+    // the seed set is frontier-sized, so the dedup exchange is tiny
+    var visited = seeds.select(col("node")).distinct()
       .withColumn("lvl", lit(0L))
       .localCheckpoint(true)
     for (i <- 1 to depth) {
@@ -1418,13 +1424,13 @@ object Extended {
     // over exact longs — dist after round i is the min cost over paths
     // of ≤ i edges, identical to the relational rounds below, which
     // stay the at-scale path.
-    val eCp = edges.localCheckpoint(true)
-    val nEdges = eCp.count()
+    // probe with a count only on the caller-owned frame (ADVICE r15 —
+    // the extra eager checkpoint was dead weight on the at-scale path)
+    val nEdges = if (driverMaxEdges > 0) edges.count() else -1L
     if (nEdges > 0 && nEdges <= driverMaxEdges) {
-      val spark = eCp.sparkSession
-      val es = eCp.select(col("src"), col("dst"), col("w")).collect()
+      val spark = edges.sparkSession
+      val es = edges.select(col("src"), col("dst"), col("w")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      graft.llm.Dedup.releaseCheckpoint(eCp)
       var dist = new java.util.HashMap[Long, Long]()
       seeds.select(col("node")).collect()
         .foreach(r => dist.put(r.getLong(0), 0L))

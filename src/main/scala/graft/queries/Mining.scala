@@ -123,13 +123,13 @@ object Mining {
     // label, exactly the window argmax below; nodes receiving no votes
     // drop out (the inner join's semantics). Distributed rounds stay
     // the at-scale path, spec-pinned label-identical.
-    val eCp = edges.localCheckpoint(true)
-    val nEdges = eCp.count()
+    // probe with a count only on the caller-owned frame (ADVICE r15 —
+    // the extra eager checkpoint was dead weight on the at-scale path)
+    val nEdges = if (driverMaxEdges > 0) edges.count() else -1L
     if (nEdges > 0 && nEdges <= driverMaxEdges) {
-      val spark = eCp.sparkSession
-      val es = eCp.select(col("src"), col("dst")).collect()
+      val spark = edges.sparkSession
+      val es = edges.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      graft.llm.Dedup.releaseCheckpoint(eCp)
       var lbl = new java.util.HashMap[Long, Long]()
       es.foreach { case (s0, _) => lbl.putIfAbsent(s0, s0) }
       var round = 0

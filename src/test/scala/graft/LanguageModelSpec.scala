@@ -559,10 +559,16 @@ class LanguageModelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val driver = rows(Long.MaxValue)
     val dist = rows(-1L)
-    // identical node set; ranks equal on the shared 6-dp grid (the
-    // only admissible divergence is summation-order noise ~1e-13,
-    // which the 6-dp round kills)
-    assert(driver == dist, s"driver ${driver.size} vs dist ${dist.size}")
+    // identical node set; ranks equal within 1e-6 per node (ADVICE
+    // r15: exact equality on the rounded 6-dp grid is flaky — a rank
+    // landing within ~1e-13 of a 5e-7 boundary can round differently
+    // under a partitioning change; the tolerance compares the same
+    // quantity without that cliff)
+    assert(driver.keySet == dist.keySet,
+      s"driver ${driver.size} vs dist ${dist.size}")
+    driver.foreach { case (nd, p) =>
+      assert(math.abs(p - dist(nd)) <= 1e-6, s"node $nd: $p vs ${dist(nd)}")
+    }
     assert(driver.values.exists(p => math.abs(p - 0.15) > 1e-6),
       "fixture degenerate: every rank at the teleport floor")
   }

@@ -362,4 +362,24 @@ class PlanSpec extends SparkSpec {
         s"$name heap must partial-aggregate map-side:\n$p")
     }
   }
+
+  test("s1/s14/s15: brute ranking, RRF fusion, and the hard-negative " +
+      "cut all rank through the bounded heap — no rank Window anywhere " +
+      "(VERDICT r15 #6)") {
+    // s1 was the last corpus-scale rank window in the ANN family (its
+    // heap twin s9 proved the cheap shape); s14's global row_number
+    // over the bounded BM25 list planned a single-partition WindowExec
+    // (the "No Partition Defined" warning source); s15's q_id window
+    // shuffled the banded negative stream. All three now rank through
+    // topk_by with pinned-identical order/tie rules.
+    for ((name, df) <- Seq(
+        "s1" -> Similarity.knnBrute(spark, sfDir),
+        "s14" -> Similarity.hybridRrf(spark, sfDir),
+        "s15" -> Similarity.hardNegatives(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"$name plans a rank window:\n$p")
+      assert(p.contains("partial_topk_by"),
+        s"$name heap must partial-aggregate map-side:\n$p")
+    }
+  }
 }
