@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SetFunctions.injection)
     ext.injectFunction(TopKFunctions.injection)
     ext.injectFunction(BloomFunctions.injection)
+    ext.injectFunction(BarrierFunctions.injection)
   }
 }

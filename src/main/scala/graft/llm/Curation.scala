@@ -81,7 +81,15 @@ object Curation {
 
   def curateOf(docs: DataFrame): DataFrame = {
     graft.functions.SetFunctions.register(docs.sparkSession)
-    val tk = TextAnalysis.tokens(col("text"))
+    graft.functions.BarrierFunctions.register(docs.sparkSession)
+    // eval_once on the tokenized column: without the barrier,
+    // predicate pushdown substitutes the keep condition's quality /
+    // n_tokens / pred_lang aliases and re-derives the ENTIRE
+    // tokenize+score chain from raw text in a second Filter copy —
+    // twice the CPU of the scan stage (guide §4.4). With it the chain
+    // evaluates once.
+    val tk = graft.functions.BarrierFunctions
+      .evalOnce(TextAnalysis.tokens(col("text")))
 
     val scored = docs
       .select(col("doc_id"), col("lang"), tk.as("t"), curateFpCol.as("fp"))
@@ -606,9 +614,14 @@ object Curation {
     // the winner election, so it must be applied AFTER rk = 1 — the
     // same set the old two-semi-join form produced, now with one scan
     // and one join fewer; the c8/c19 oracles hash-pin the equality).
+    graft.functions.BarrierFunctions.register(s)
+    // eval_once barrier on the tokenized column — same §4.4 fix as
+    // curateOf: keeps the keep-condition filter from re-deriving the
+    // whole score chain from raw text in a duplicated Filter copy
     val signals = docs
       .select(col("doc_id"), col("lang"), col("text"),
-        TextAnalysis.tokens(col("text")).as("t"),
+        graft.functions.BarrierFunctions
+          .evalOnce(TextAnalysis.tokens(col("text"))).as("t"),
         split(col("text"), "\n").as("lines"), curateFpCol.as("fp"))
       .select((Seq(col("doc_id"), col("lang"), col("fp")) ++
         TextAnalysis.ruleMetricCols() ++ curateScoreCols()): _*)

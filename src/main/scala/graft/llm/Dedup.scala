@@ -76,7 +76,7 @@ object Dedup {
     * pins both directions: the exchange appears for a 1-split input
     * and is ABSENT for an already-parallel one.
     */
-  private[llm] def spreadIfNarrow(df: DataFrame): DataFrame = {
+  private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
@@ -197,15 +197,22 @@ object Dedup {
     * the `pos == 0` anchor row, i.e. star edges (min doc_id, other) —
     * O(B) output per oversized bucket instead of O(B²).
     */
-  private def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame =
-    buckets
+  /** `dedupe = false` skips the final distinct: a consumer that
+    * re-dedups anyway (the CC edge union canonicalizes + distincts,
+    * and union-find is duplicate-insensitive) should not pay an extra
+    * exchange + two aggregate phases per detector (guide §2.4).
+    */
+  private def bucketPairs(buckets: DataFrame, maxBucket: Int,
+      dedupe: Boolean = true): DataFrame = {
+    val pairs = buckets
       .filter(size(col("ds")) > 1)
       .select(col("ds"), posexplode(col("ds")))
       .filter(size(col("ds")) <= maxBucket || col("pos") === 0)
       .select(col("pos"), col("col").as("doc_a"),
         explode(slice(col("ds"), col("pos") + 2, size(col("ds")))).as("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    if (dedupe) pairs.distinct() else pairs
+  }
 
   // -- d2: MinHash LSH candidates -----------------------------------------
   /** Candidate near-dup pairs: docs sharing any (band, signature)
@@ -216,16 +223,18 @@ object Dedup {
     * doc_id instead of all-pairs enumerated — see [[MaxBucket]].
     */
   def minhashCandidatesFrom(shingles: DataFrame,
-      maxBucket: Int = MaxBucket, sampleMod: Int = 1): DataFrame =
-    candidatesFromSigs(signaturesFrom(shingles, sampleMod), maxBucket)
+      maxBucket: Int = MaxBucket, sampleMod: Int = 1,
+      dedupe: Boolean = true): DataFrame =
+    candidatesFromSigs(signaturesFrom(shingles, sampleMod), maxBucket,
+      dedupe)
 
   def candidatesFromSigs(sigs: DataFrame,
-      maxBucket: Int = MaxBucket): DataFrame =
+      maxBucket: Int = MaxBucket, dedupe: Boolean = true): DataFrame =
     bucketPairs(
       bandsFrom(sigs)
         .groupBy("band_idx", "band_key")
         .agg(array_sort(collect_list(col("doc_id"))).as("ds")),
-      maxBucket)
+      maxBucket, dedupe)
 
   def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     minhashCandidatesFrom(shingleSets(s, dir))
@@ -504,7 +513,7 @@ object Dedup {
     * (bit_count of xor) keeps true matches.
     */
   def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket, dedupe: Boolean = true): DataFrame = {
     val sh = simhashOf(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
@@ -523,7 +532,8 @@ object Dedup {
       .select(col("doc_a"), col("o.doc_id").as("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("o.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      // dedupe = false for CC consumers — see [[bucketPairs]]
+      .transform(df => if (dedupe) df.distinct() else df)
   }
 
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3,
@@ -911,6 +921,49 @@ object Dedup {
     // the full candidate-generation lineage — for the dedup graph
     // that's two complete LSH passes over the corpus
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    // DRIVER TIER, gated on the RAW edge count (r16): raw >= canonical,
+    // so the broadcast-scale byte budget still bounds the collect, and
+    // deciding on the count the checkpoint already paid for lets the
+    // driver path skip THREE whole jobs the old flow ran first — the
+    // node-list checkpoint, the canonical-distinct snap (an exchange +
+    // distinct + persist over the pair stream), and the second collect.
+    // Union-find is duplicate- and self-loop-insensitive (a repeated
+    // union is a no-op), so the raw pairs ARE the canonical input; the
+    // node set falls out of the same single collect. Path-compressed,
+    // min-rooted: the exact labels large-star/small-star converges to.
+    val rawN = e.count()
+    if (rawN > 0 && rawN <= driverMaxEdges) {
+      val spark = e.sparkSession
+      val pairs = e.collect()
+      releaseCheckpoint(e)
+      val parent = new java.util.HashMap[Long, Long](pairs.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
+        r
+      }
+      // insertion-ordered node set: output order stays deterministic
+      val nodeSet = new java.util.LinkedHashSet[Long](pairs.length * 2)
+      pairs.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodeSet.add(a); nodeSet.add(b)
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodeSet.size)
+      nodeSet.forEach(id => out += ((id, find(id))))
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] tier=driver rawEdges=$rawN " +
+          s"sec=${(System.nanoTime() - ccT0) / 1e9}")
+      import spark.implicits._
+      return out.toSeq.toDF("doc_id", "cluster_id")
+    }
     // checkpoint the node list too: it survives to the final labeling
     // join, and re-derives with fresh attribute ids (same-attribute
     // unions trip Catalyst's constraint rewriting)
@@ -946,43 +999,6 @@ object Dedup {
       .select(greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
       .distinct())
-    // DRIVER TIER: a candidate graph whose canonical edge set fits the
-    // broadcast-scale budget resolves in one collect + union-find —
-    // microseconds of CPU against seconds of per-round scheduling for
-    // the distributed loop below. Path-compressed, min-rooted: the
-    // exact labels large-star/small-star converges to.
-    if (E.n > 0 && E.n <= driverMaxEdges) {
-      val spark = e.sparkSession
-      val pairs = E.df.select(col("hi"), col("lo")).collect()
-      val parent = new java.util.HashMap[Long, Long](pairs.length * 2)
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x
-        while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
-        r
-      }
-      pairs.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      // label every node from the UNFILTERED node list: a node whose
-      // only edges were self-loops has no canonical pair but still
-      // labels itself
-      val ids = nodes.collect().map(_.getLong(0))
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.length)
-      ids.foreach(id => out += ((id, find(id))))
-      releaseCheckpoint(e)
-      releaseCheckpoint(nodes)
-      release(E)
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] tier=driver edges=${E.n} " +
-          s"sec=${(System.nanoTime() - ccT0) / 1e9}")
-      import spark.implicits._
-      return out.toSeq.toDF("doc_id", "cluster_id")
-    }
     var converged = E.n == 0L
     val ccT1 = System.nanoTime()
     var iter = 0
@@ -1069,10 +1085,17 @@ object Dedup {
     * frame — the composed pipeline's dedup input.
     */
   def dedupEdgesOf(docs: DataFrame): DataFrame =
-    minhashCandidatesFrom(shingleSetsOf(docs))
-      .union(simhashPairsOf(docs).select(col("doc_a"), col("doc_b")))
+    // dedupe = false on all three detectors: the only consumers are
+    // connected components (union-find / the canonical-distinct snap —
+    // both duplicate-insensitive), so the three per-detector distinct
+    // exchanges were pure overhead (guide §2.4 "a distinct on data
+    // that is already unique" — here, on data about to be re-deduped)
+    minhashCandidatesFrom(shingleSetsOf(docs), dedupe = false)
+      .union(simhashPairsOf(docs, dedupe = false)
+        .select(col("doc_a"), col("doc_b")))
       .union(candidatesFromSigs(
-        signaturesFromHashed(charShingleHashesOf(docs), CharSampleMod)))
+        signaturesFromHashed(charShingleHashesOf(docs), CharSampleMod),
+        dedupe = false))
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     connectedComponents(dedupEdgesOf(Tables.load(s, dir, "documents")))

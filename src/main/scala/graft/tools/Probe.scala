@@ -31,6 +31,17 @@ object Probe {
                 org.apache.spark.sql.functions.col("text"))), "\\s+").as("t")))
     }
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      // c1 stage split (r16): the scored projection alone vs +filter
+      "c1_scored" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.SetFunctions.register(s)
+        graft.llm.Dedup.spreadIfNarrow(
+            graft.core.Tables.load(s, d, "documents"))
+          .select(col("doc_id"), col("lang"),
+            split(trim(col("text")), "\\s+").as("t"),
+            md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+              .as("fp"))
+      }),
       "d16_state" -> (state _),
       "d16_candidates" -> ((s, d) =>
         graft.llm.Dedup.apssSketchCandidates(state(s, d))),
@@ -107,12 +118,18 @@ object Probe {
         out
       }))
     val fn = extra.getOrElse(name, graft.SparkEntry.queries(name))
+    // PROBE_NOOP=1: time through the noop sink (guide §1.4 — computes
+    // every column of every row, so projection-only subplans are not
+    // pruned away like count() would)
+    val noop = sys.env.get("PROBE_NOOP").contains("1")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      val n = df.count()
+      val n = if (noop) {
+        df.write.format("noop").mode("overwrite").save(); -1L
+      } else df.count()
       println(f"[probe] $name run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      if (n <= 20) df.show(20, false)
+      if (n >= 0 && n <= 20) df.show(20, false)
     }
     spark.stop()
   }
