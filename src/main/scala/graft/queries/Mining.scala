@@ -46,22 +46,31 @@ object Mining {
     * float boundary ever decides membership.
     */
   def q70AssocRules(s: SparkSession, dir: String): DataFrame = {
-    // materialized once: the distinct over lineitem otherwise executes
-    // four times (item supports + both pair-join sides + order count)
+    // Per-basket enumeration instead of a self-join (r16, guide §2.4 —
+    // the copurchaseEdges rewrite): ONE exchange keyed by order
+    // collapses each order to its distinct sorted item set, and pairs
+    // enumerate IN-ROW from the sorted array (a < b by sort order,
+    // fanout Σ k_i² with k_i ≤ 7 in TPC-H shape). The old form paid
+    // the (oid, item) distinct exchange plus two oid join exchanges.
+    // Materialized once: item supports, the pair stream, and the order
+    // count all read the basket table.
     val baskets = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct()
+      .groupBy("oid").agg(sort_array(collect_set(col("item"))).as("items"))
       .localCheckpoint(true)
     // the order count stays IN the plan as a broadcast 1-row aggregate
     // (the q75/t23 pattern) instead of a driver action + literal
-    val nOrders = baskets.agg(
-      countDistinct(col("oid")).cast(LongType).as("n_orders"))
-    val itemSupp = baskets.groupBy("item").agg(count(lit(1)).as("s_item"))
-    val pairs = baskets.as("x")
-      .join(baskets.as("y"), col("x.oid") === col("y.oid")
-        && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
-      .agg(count(lit(1)).as("s_ab"))
+    val nOrders = baskets.agg(count(lit(1)).cast(LongType).as("n_orders"))
+    val itemSupp = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("s_item"))
+    val pairs = baskets
+      .filter(size(col("items")) > 1)
+      .select(col("items"), posexplode(col("items")))
+      .select(col("col").as("a"),
+        explode(slice(col("items"), col("pos") + 2, size(col("items"))))
+          .as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
       .filter(col("s_ab") >= MinSupport)
     // both rule directions from one undirected pair row
     val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("s_ab"))

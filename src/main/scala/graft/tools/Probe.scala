@@ -80,6 +80,16 @@ object Probe {
           graft.core.Tables.load(s, d, "documents"))),
       // graph-family edge-construction split (r15): how much of each
       // iterative graph query is the relational edge build
+      // q63 tier adjudication (r16, VERDICT r15 #1/#2): same query,
+      // forced driver tier vs forced distributed wedge join
+      "q63_driver" -> ((s, d) => graft.queries.Extended.trianglesOf(
+        graft.queries.Extended.copurchaseEdges(s, d),
+        driverMaxEdges = Long.MaxValue)),
+      "q63_dist" -> ((s, d) => graft.queries.Extended.trianglesOf(
+        graft.queries.Extended.copurchaseEdges(s, d),
+        driverMaxEdges = -1L)),
+      "q63_edges" -> ((s, d) =>
+        graft.queries.Extended.copurchaseEdges(s, d)),
       "q54_edges" -> ((s, d) => {
         import org.apache.spark.sql.functions._
         val t = (n: String) => graft.core.Tables.load(s, d, n)
