@@ -676,6 +676,11 @@ object Dedup {
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
     // consistent global order: rarest first, hash as tiebreak
     val rankW = Window.partitionBy("doc_id").orderBy(col("f"), col("tok"))
+    // NOT materialized (r16, measured): the self-join below reads the
+    // prefix pipeline twice, but the duplicate subtrees run
+    // CONCURRENTLY on idle cores at this scale, while an eager
+    // checkpoint serializes the stages — fresh-JVM median 3.00 s
+    // lazy vs 3.57 s checkpointed at sf0.1/local[32]
     val prefix = toks.join(freq, "tok")
       .withColumn("pos", row_number().over(rankW))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -1560,8 +1565,16 @@ object Dedup {
     * [[apssFromIndex]].
     */
   private[graft] def apssSparseOf(docs: DataFrame): DataFrame = {
+    // persisted (r16): the state frame feeds the candidate self-join
+    // (both sides), the pruning stats, both verify weight joins, and
+    // both norm joins — SIX plan references that each re-derived the
+    // whole tokenize/tf/df/window pipeline. Eager-checkpoint the
+    // O(pairs) result so the corpus-sized cache releases on return
+    // (the jaccardVerify hygiene).
     val state = apssState(docs)
-    apssVerify(state, apssCandidates(state))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try apssVerify(state, apssCandidates(state)).localCheckpoint(true)
+    finally state.unpersist()
   }
 
   /** The dense plan: docs as dense unit vectors over the ranked
@@ -1584,6 +1597,11 @@ object Dedup {
       .select(col("doc_id"), col("rk"),
         (col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
           .as("w"))
+    // materialized ONCE (r16): the pair join reads this frame on BOTH
+    // sides (stream + broadcast build), and without the checkpoint the
+    // whole tf/df/vector pipeline executed twice — the plan carried
+    // two complete copies of the upstream subtree. n·vocab doubles:
+    // bounded by the dense-regime caps, trivially checkpoint-sized.
     val vecs = wts.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("rk"), col("w")))).as("m"),
         sqrt(sum(col("w") * col("w"))).as("nm"))
@@ -1591,6 +1609,7 @@ object Dedup {
         transform(sequence(lit(0), lit(vocab - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0)) / col("nm"))
           .as("v"))
+      .localCheckpoint(true)
     val dot = graft.functions.VectorFunctions.vecDot(col("va"), col("vb"))
     // the left rows are few but each drives |docs| dot evaluations —
     // pin an explicit partition count so AQE's small-shuffle coalesce
@@ -1847,6 +1866,8 @@ object Dedup {
       cand: DataFrame): DataFrame = {
     val ranked = state.groupBy("th").agg(count(lit(1)).as("df"))
       .withColumn("rk", row_number().over(Window.orderBy("th")) - 1)
+    // materialized ONCE (r16): both candidate-keyed broadcast joins
+    // below read this frame — same double-evaluation fix as apssDenseOf
     val vecs = state
       .join(broadcast(ranked.select(col("th"), col("rk"))), "th")
       .groupBy("doc_id")
@@ -1855,6 +1876,7 @@ object Dedup {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(vocab - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
+      .localCheckpoint(true)
     val dot = graft.functions.VectorFunctions.vecDot(col("va"), col("vb"))
     cand
       .join(broadcast(vecs.select(col("doc_id").as("da"), col("v").as("va"))),
@@ -1866,10 +1888,36 @@ object Dedup {
       .filter(col("cos_sim") >= ApssThreshold)
   }
 
+  /** The subset of [[apssState]] d16 actually consumes: per-(doc,
+    * term) weight/unit-weight/norm — NO indexed-prefix window, no
+    * l1u/mxu pruning stats (those exist for d15's positional/size
+    * bounds; the sketch admission replaces them here). Same tf/df/
+    * weight arithmetic, so the verify's cosines are bit-identical.
+    * Dropping the window removes a per-doc sort pass from d16 (r16).
+    */
+  private def apssStateLight(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast(LongType).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.hash60(col("term")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val wts = tf.join(dfq, "th").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("th"),
+        (col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("w"))
+    val docStats = wts.groupBy("doc_id").agg(
+      sqrt(sum(col("w") * col("w"))).as("nm"))
+    wts.join(docStats, "doc_id")
+      .select(col("doc_id"), col("th"), col("w"),
+        (col("w") / col("nm")).as("u"), col("nm"))
+  }
+
   private[graft] def apssApproxOf(docs: DataFrame): DataFrame = {
     // the state feeds the sketch aggregation AND both verify sides —
     // materialize it once ((doc, term) fixed-width rows)
-    val state = apssState(docs).localCheckpoint(true)
+    val state = apssStateLight(docs).localCheckpoint(true)
     val cand = apssSketchCandidates(state)
     // same regime probe as d15: a bounded dictionary admits the dense
     // verify (one K-dot per candidate, no posting join) — on a

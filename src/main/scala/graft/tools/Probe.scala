@@ -80,6 +80,13 @@ object Probe {
           graft.core.Tables.load(s, d, "documents"))),
       // graph-family edge-construction split (r15): how much of each
       // iterative graph query is the relational edge build
+      // d11 candidate stage alone (r16): prefix-filter candidates over
+      // the persisted shingle table, without the verify joins
+      "d11_candidates" -> ((s, d) => {
+        val sh = graft.llm.Dedup.shingleSets(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.llm.Dedup.setSimCandidatesOf(sh, 0.8)
+      }),
       // q63 tier adjudication (r16, VERDICT r15 #1/#2): same query,
       // forced driver tier vs forced distributed wedge join
       "q63_driver" -> ((s, d) => graft.queries.Extended.trianglesOf(
@@ -132,6 +139,10 @@ object Probe {
     // every column of every row, so projection-only subplans are not
     // pruned away like count() would)
     val noop = sys.env.get("PROBE_NOOP").contains("1")
+    // PROBE_EXPLAIN=1: print the formatted plan once before timing —
+    // for probe-only targets the Explain tool can't reach
+    if (sys.env.get("PROBE_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
