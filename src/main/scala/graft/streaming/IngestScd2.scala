@@ -117,8 +117,11 @@ object IngestScd2 {
             .filter(col("__rk") === 1).drop("__rk", "__src")
             .localCheckpoint(true)
         }
-      // writer-scoped dynamic overwrite (see IngestUpsert for why)
-      try merged.write.mode(SaveMode.Overwrite)
+      // writer-scoped dynamic overwrite (see IngestUpsert for why);
+      // bucket-per-task repartition before the write for the same
+      // small-files reason as IngestUpsert (guide §6)
+      try merged.repartition(effBuckets, col("__bucket"))
+        .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket").parquet(tablePath)
       finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)

@@ -124,7 +124,15 @@ object IngestUpsert {
       // mid-write. Dynamic mode also leaves the root-level
       // _graft_buckets file alone (only the written __bucket=
       // directories are replaced).
-      try merged.write.mode(SaveMode.Overwrite)
+      // repartition by bucket first (guide §6 small files): the merged
+      // frame sits in shuffle-partition-many tasks and partitionBy
+      // writes one file per (task, bucket) — up to tasks × buckets
+      // tiny files per batch, whose open/commit overhead dominated the
+      // apply. One bucket per task = one file per bucket directory,
+      // the "one shard ≈ one output file" posture buckets are sized
+      // for at scale.
+      try merged.repartition(effBuckets, col("__bucket"))
+        .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket").parquet(tablePath)
       finally if (!bootstrap) graft.llm.Dedup.releaseCheckpoint(merged)
