@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => Md5Prefix60(children.head)))
     ext.injectFunction(TextFunctions.injection)
     ext.injectFunction(TextFunctions.charInjection)
+    ext.injectFunction(TextFunctions.gramStatsInjection)
     ext.injectFunction(SetFunctions.injection)
     ext.injectFunction(TopKFunctions.injection)
     ext.injectFunction(BloomFunctions.injection)

@@ -13,6 +13,44 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextOps {
   private val SPACE = UTF8String.fromString(" ")
 
+  /** Per-row n-gram repetition moments: (total gram occurrences, the
+    * top gram's count, occurrences of grams appearing more than once)
+    * — everything t10's per-doc repetition stats derive, computed in
+    * ONE pass over the token array with a local count map. Replaces a
+    * corpus-sized (doc, n, gram) explode + two keyed aggregations
+    * (gram strings through an exchange) with a scan-side projection
+    * whose state is one doc's gram multiset (r16, guide §2.3 "shuffle
+    * fewer bytes" taken to its limit: shuffle nothing).
+    */
+  def gramRepStats(toks: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val m = toks.numElements()
+    val total = m - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long](total * 2)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var k = 0
+      while (k < n) { parts(k) = toks.getUTF8String(i + k); k += 1 }
+      counts.merge(UTF8String.concatWs(SPACE, parts: _*),
+        java.lang.Long.valueOf(1L), (a, b) => a + b)
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](total.toLong, top, dup))
+  }
+
   /** Distinct word n-grams of a token array, space-joined,
     * first-occurrence order (array_distinct semantics). One virtual
     * call per ROW; the higher-order-function form this replaces pays
@@ -92,6 +130,36 @@ case class CharNgrams(child: Expression, n: Int)
   * order, single-space join) — callers keep their `when(size >= n)`
   * whole-text fallback outside.
   */
+/** `gram_rep_stats(array<string>, n) ->
+  * struct<n_grams: bigint, top_c: bigint, dup_c: bigint>` — the
+  * per-doc repetition moments kernel behind t10 (see
+  * [[TextOps.gramRepStats]]). Yields (0, 0, 0) for arrays shorter
+  * than `n` (callers filter those rows out, matching the explode
+  * form's no-row behavior).
+  */
+case class GramRepStats(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_grams",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_c",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup_c",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "gram_rep_stats"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextOps.gramRepStats(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.gramRepStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramRepStats =
+    copy(child = newChild)
+}
+
 case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes with Serializable {
 
@@ -161,12 +229,18 @@ object TextFunctions {
   private def buildChar(children: Seq[Expression]): Expression =
     buildWith(charFnName, CharNgrams.apply)(children)
 
+  val gramStatsFnName = "gram_rep_stats"
+
+  private def buildGramStats(children: Seq[Expression]): Expression =
+    buildWith(gramStatsFnName, GramRepStats.apply)(children)
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(injection, charInjection).foreach { case (id, info, builder) =>
-      if (!registry.functionExists(id))
-        registry.registerFunction(id, info, builder)
-    }
+    Seq(injection, charInjection, gramStatsInjection)
+      .foreach { case (id, info, builder) =>
+        if (!registry.functionExists(id))
+          registry.registerFunction(id, info, builder)
+      }
   }
 
   def injection: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -178,6 +252,15 @@ object TextFunctions {
     (FunctionIdentifier(charFnName),
       new ExpressionInfo(classOf[CharNgrams].getName, charFnName),
       buildChar _)
+
+  def gramStatsInjection: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(gramStatsFnName),
+      new ExpressionInfo(classOf[GramRepStats].getName, gramStatsFnName),
+      buildGramStats _)
+
+  /** Column-API entry (n must be a literal). */
+  def gramRepStats(tokens: Column, n: Int): Column =
+    call_function(gramStatsFnName, tokens, lit(n))
 
   /** Column-API entry (n must be a literal). */
   def wordNgrams(tokens: Column, n: Int): Column =

@@ -173,31 +173,32 @@ object TextAnalysis {
     * counting needs the multiset.
     */
   def repetitionStatsOf(docs: DataFrame): DataFrame = {
-    // ONE scan for both gram sizes: explode n ∈ {2, 3} first, then the
-    // position sequence — two stacked Generates over a single pass of
-    // the text (a union of per-n branches would read the corpus twice)
+    // Scan-side kernel form (r16): the per-doc repetition moments come
+    // from ONE gram_rep_stats pass per (doc, n) — no corpus-sized
+    // (doc, n, gram) explode, no gram strings through an exchange, no
+    // keyed aggregations at all (guide §2.3/§2.4; the old two-level
+    // aggregate shuffled every gram occurrence). Same outputs to the
+    // digit: n_grams = Σc, top_share = round(max c / Σc, 4), dup_frac
+    // = round(Σ{c>1} c / Σc, 4); docs shorter than n still contribute
+    // no row (the size filter mirrors the explode form's behavior).
+    graft.functions.TextFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), col("t"),
         explode(array(lit(2), lit(3))).as("n"))
       .filter(size(col("t")) >= col("n"))
-      .select(col("doc_id"), col("t"), col("n"),
-        explode(sequence(lit(1), size(col("t")) - col("n") + 1)).as("i"))
       .select(col("doc_id"), col("n"),
-        when(col("n") === 2, concat_ws(" ",
-          element_at(col("t"), col("i")),
-          element_at(col("t"), col("i") + 1)))
-        .otherwise(concat_ws(" ",
-          element_at(col("t"), col("i")),
-          element_at(col("t"), col("i") + 1),
-          element_at(col("t"), col("i") + 2))).as("gram"))
-      .groupBy("doc_id", "n", "gram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n")
-      .agg(sum(col("c")).as("n_grams"),
-        round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"),
-        round(sum(when(col("c") > 1, col("c")).otherwise(0L))
-          .cast("double") / sum(col("c")), 4).as("dup_frac"))
+        when(col("n") === 2,
+          graft.functions.TextFunctions.gramRepStats(col("t"), 2))
+        .otherwise(
+          graft.functions.TextFunctions.gramRepStats(col("t"), 3))
+          .as("st"))
+      .select(col("doc_id"), col("n"),
+        col("st.n_grams").as("n_grams"),
+        round(col("st.top_c").cast("double") / col("st.n_grams"), 4)
+          .as("top_share"),
+        round(col("st.dup_c").cast("double") / col("st.n_grams"), 4)
+          .as("dup_frac"))
   }
 
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
